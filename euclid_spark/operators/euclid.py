@@ -1,0 +1,285 @@
+"""Reference-parity operators (SURVEY.md §2.A).
+
+Each operator re-expresses a capability of Lagrange-Labs/Euclid-database
+on the synthetic testdata schema (mapping in SURVEY.md §3):
+
+- block number / block range  → events.ts time ranges
+- owner address               → events.user_id
+- mapping key (NFT id)        → JSON prop `k` in events.props
+- mapping value (balance)     → events.value
+- storage-DB commitment       → order-independent mod-prime digest
+- block DB                    → per-day digest + cumulative chain
+
+Every query is a declarative DataFrame plan: range filters sit directly on
+the scan (parquet predicate pushdown; partition pruning when the table is
+written partitioned by day), aggregations are partial-agg friendly, and
+the only joins are broadcast-sized. `ORACLES` carries the DuckDB SQL the
+driver uses for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark.catalog import load_events
+from euclid_spark.functions.hashing import DIGEST_PRIME, MIX, digest_agg, digest_term
+
+# Query-2 style parameters (owner + block range), fixed so the oracle SQL
+# can restate them literally.
+T_MIN, T_MAX = "2024-01-05", "2024-01-25"
+OWNER = 7
+TOP_L = 5  # revelation reveals L results (query2/revelation/mod.rs Parameters<_, L>)
+REWARDS_RATE = 7  # query_erc20 rewards-rate public input analog
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir)
+
+
+def _token_id() -> F.Column:
+    return F.get_json_object("props", "$.k").cast("long")
+
+
+def _range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range predicate on the raw int64 ns column (inside load_events): at
+    # scale this is the partition/row-group-pruning filter — the analog of
+    # opening only the block-range subtree of the block DB.
+    return load_events(spark, sf_dir, T_MIN, T_MAX)
+
+
+def block_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — filtered range scan ≈ MPT mapping-entry extraction at a block
+    (storage/mapping/): emit the (owner, key, value) tuples in range."""
+    return (
+        _range(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.to_date("ts").alias("event_day"),
+            "value",
+        )
+    )
+
+
+def q2_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — Query2 semantics (query2/revelation): the DISTINCT set of
+    mapping keys seen for each owner across the block range. Set-union is
+    the aggregation monoid, exactly as the circuit unions NFT-id sets up
+    the (storage × block) tree."""
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ev.select(
+        F.col("user_id").alias("owner"), _token_id().alias("token_id")
+    ).distinct()
+
+
+def q2_revelation_topl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — revelation step: one owner, bounded to L results in canonical
+    key order (RevelationInput sorts mapping keys; revelation/mod.rs:70).
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — no global sort."""
+    return (
+        q2_distinct_keys(spark, sf_dir)
+        .filter(F.col("owner") == OWNER)
+        .select("token_id")
+        .orderBy("token_id")
+        .limit(TOP_L)
+    )
+
+
+def erc20_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — query_erc20: per entry compute value * rewards_rate / supply
+    with an explicit zero-supply guard (query_erc20/storage/leaf.rs:88-106
+    multiplies then guards overflow/div-by-zero), then SUM over the block
+    range per owner. Single scan, map-side partial sums."""
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    supply = _token_id()  # per-row divisor analog (may be 0 or NULL)
+    term = (
+        F.when(supply.isNull() | (supply == 0), F.lit(0.0))
+        .otherwise(F.col("value") * F.lit(REWARDS_RATE) / supply)
+    )
+    return (
+        ev.groupBy(F.col("user_id").alias("owner"))
+        .agg(F.round(F.sum(term), 4).alias("reward"))
+    )
+
+
+def storage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — order-independent per-group table commitment, the Spark analog
+    of the reference's group-hashing digest (storage/digest_equal.rs): a
+    commutative mod-prime sum of per-row mixes. Map-side combinable,
+    traversal-order independent, skew-immune."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    term = digest_term(F.col("c_custkey").cast("long"), F.col("c_nationkey").cast("long"))
+    return (
+        cust.groupBy(F.col("c_nationkey").alias("group_key"))
+        .agg(digest_agg(term).alias("digest"), F.count("*").alias("n_rows"))
+    )
+
+
+def length_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — cardinality validation (storage/length_match.rs): the number
+    of extracted entries must equal the declared length. Here: lineitem
+    count per order vs the max line number."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_entries"),
+        F.max("l_linenumber").alias("declared_len"),
+        (F.count("*") == F.max("l_linenumber")).alias("length_ok"),
+    )
+
+
+def state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — state DB analog (state/lpn/): the latest per-account state at
+    each block boundary → last event value per (user, day). max_by keeps
+    it a single hash aggregate (no window shuffle-and-sort)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def block_db_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — block-DB public inputs (block/public_inputs.rs exposes first
+    and last block numbers + root): global range metadata in one pass."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.min("event_id").alias("first_block"),
+        F.max("event_id").alias("last_block"),
+        F.count("*").alias("n_blocks"),
+        F.countDistinct("user_id").alias("n_owners"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+
+
+def block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — append-only block DB (block/mod.rs IVC): each appended unit
+    (here: a day of events) contributes a digest, and the running chain
+    digest reproduces the evolving root commitment. The cumulative window
+    is ordered by the append key only — O(days) state, not O(rows)."""
+    ev = _events(spark, sf_dir)
+    term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        digest_agg(term).alias("day_digest"), F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "chain_digest", F.pmod(F.sum("day_digest").over(w), F.lit(DIGEST_PRIME)).cast("long")
+    )
+
+
+def membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — provenance join: a row together with its group commitment and
+    cardinality — the SQL shape of "this entry is a member of the digest
+    the query was proven against" (digest_equal binds entry set to the
+    storage-DB root). The digest side is tiny → broadcast join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    digests = storage_digest(spark, sf_dir)
+    rows = cust.filter(F.col("c_custkey") % 100 == 7)
+    return rows.join(
+        F.broadcast(digests), rows.c_nationkey == digests.group_key, "inner"
+    ).select("c_custkey", "c_name", "group_key", "digest", "n_rows")
+
+
+QUERIES = {
+    "euclid_block_range_scan": block_range_scan,
+    "euclid_q2_distinct_keys": q2_distinct_keys,
+    "euclid_q2_revelation_topL": q2_revelation_topl,
+    "euclid_erc20_weighted_sum": erc20_weighted_sum,
+    "euclid_storage_digest": storage_digest,
+    "euclid_length_match": length_match,
+    "euclid_state_rollup": state_rollup,
+    "euclid_block_db_metadata": block_db_metadata,
+    "euclid_block_db_chain": block_db_chain,
+    "euclid_membership_proof": membership_proof,
+}
+
+_RANGE = f"ts >= TIMESTAMP '{T_MIN}' AND ts < TIMESTAMP '{T_MAX}'"
+_TOKEN = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+_DIGEST_CUST = (
+    f"CAST(SUM((c_custkey * {MIX} + c_nationkey * 97) % {DIGEST_PRIME}) "
+    f"% {DIGEST_PRIME} AS BIGINT)"
+)
+
+ORACLES = {
+    "euclid_block_range_scan": f"""
+        SELECT event_id, user_id, CAST(ts AS DATE) AS event_day, value
+        FROM events
+        WHERE {_RANGE} AND event_type = 'purchase'
+    """,
+    "euclid_q2_distinct_keys": f"""
+        SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id
+        FROM events
+        WHERE {_RANGE} AND event_type = 'purchase'
+    """,
+    "euclid_q2_revelation_topL": f"""
+        SELECT DISTINCT {_TOKEN} AS token_id
+        FROM events
+        WHERE {_RANGE} AND event_type = 'purchase' AND user_id = {OWNER}
+        ORDER BY token_id
+        LIMIT {TOP_L}
+    """,
+    "euclid_erc20_weighted_sum": f"""
+        SELECT user_id AS owner,
+               ROUND(SUM(CASE WHEN {_TOKEN} IS NULL OR {_TOKEN} = 0 THEN 0.0
+                              ELSE value * {REWARDS_RATE} / {_TOKEN} END), 4) AS reward
+        FROM events
+        WHERE {_RANGE} AND event_type = 'purchase'
+        GROUP BY user_id
+    """,
+    "euclid_storage_digest": f"""
+        SELECT c_nationkey AS group_key, {_DIGEST_CUST} AS digest,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM customer GROUP BY c_nationkey
+    """,
+    "euclid_length_match": """
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_entries,
+               MAX(l_linenumber) AS declared_len,
+               COUNT(*) = MAX(l_linenumber) AS length_ok
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "euclid_state_rollup": """
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               max_by(value, event_id) AS last_value,
+               MAX(event_id) AS last_event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    "euclid_block_db_metadata": """
+        SELECT MIN(event_id) AS first_block, MAX(event_id) AS last_block,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_owners,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events
+    """,
+    "euclid_block_db_chain": f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM((event_id * {MIX} + user_id * 97) % {DIGEST_PRIME})
+                        % {DIGEST_PRIME} AS BIGINT) AS day_digest,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT day, day_digest, n,
+               CAST(SUM(day_digest) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    % {DIGEST_PRIME} AS BIGINT) AS chain_digest
+        FROM daily
+    """,
+    "euclid_membership_proof": f"""
+        WITH d AS (
+            SELECT c_nationkey AS group_key, {_DIGEST_CUST} AS digest,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_custkey, c_name, group_key, digest, n_rows
+        FROM customer JOIN d ON c_nationkey = group_key
+        WHERE c_custkey % 100 = 7
+    """,
+}
