@@ -1,0 +1,256 @@
+"""Deduplication operators (SURVEY.md §2.C1-C4) over the documents table.
+
+Scale design (the point of each variant):
+- exact: one hash-aggregate on the normalized text — map-side combinable.
+- MinHash+LSH: the classic near-dup pipeline that avoids the O(n²) cross
+  join — shingle → per-doc signature (one groupBy with k MIN aggs, no
+  per-seed explosion) → band buckets → self-join *within buckets only*,
+  with a bucket-size cap as the skew guard (a degenerate bucket of m docs
+  would otherwise emit m² candidate pairs).
+- n-gram Jaccard: exact verification via inverted-index join (pairs that
+  share ≥1 shingle), never all-pairs.
+- SimHash: 64-bit signature; near-dups collide on at least one 16-bit
+  chunk when hamming ≤ 10 (pigeonhole on 4 chunks needs ≤ 3 flipped
+  chunks, so chunk-equality buckets recall hamming ≤ 16⋅3 worst case —
+  candidates are then filtered by true hamming distance).
+
+MinHash values are md5-hex prefixes: lexicographic MIN over the hex
+string equals MIN over the number, and DuckDB reproduces md5 exactly, so
+the whole LSH pipeline is oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from euclid_spark.functions.text import minhash_hex, normalized_text, shingles, words
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 → P(candidate) = 1-(1-j²)⁴
+MAX_BUCKET = 100  # LSH skew guard
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) — the inverted-index input."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(shingles("text", k=3)).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — exact dedup on the canonical text form: keep the lowest
+    doc_id per identical text; a single hash aggregate."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(normalized_text("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: one groupBy with N_HASHES MIN aggregates
+    (no row explosion by seed — k× fewer shuffle rows than the naive
+    (doc, seed, shingle) shape)."""
+    sh = _doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(minhash_hex(F.col("shingle"), F.lit(s))).alias(f"sig{s}")
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — MinHash + LSH candidate pairs (doc_a < doc_b)."""
+    sigs = _signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat(sig{b * BAND_SIZE}, sig{b * BAND_SIZE + 1})"
+        for b in range(n_bands)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)"
+    )
+    wb = Window.partitionBy("band_idx", "band_val")
+    bands = bands.withColumn("bucket_n", F.count("*").over(wb)).filter(
+        F.col("bucket_n") <= MAX_BUCKET
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — exact trigram-Jaccard pairs ≥ threshold via inverted-index
+    join: only pairs sharing ≥1 shingle are scored."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)  # filter pre-rounding, like the oracle
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — 64-bit SimHash near-dup (rows-only: xxhash64 is JVM-specific).
+
+    simhash bit i = sign of Σ_words ±count, sign from bit i of the word
+    hash. Candidates bucket on 16-bit chunks (pigeonhole), then exact
+    hamming ≤ SIMHASH_MAX_HAMMING via bit_count(xor).
+    """
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("w"),
+            ).otherwise(-F.col("w"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = wc.groupBy("doc_id").agg(*bit_sums)
+    simhash = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)),
+        range(63),  # bit 63 excluded: keep the hash non-negative
+        F.lit(0).cast("long"),
+    )
+    sh = per_doc.select("doc_id", simhash.alias("simhash"))
+    chunks = sh.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack(4, 0, (simhash >> 0)  & 65535, 1, (simhash >> 16) & 65535,"
+        "         2, (simhash >> 32) & 65535, 3, (simhash >> 48) & 65535)"
+        " AS (chunk_idx, chunk_val)",
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+# Shared oracle CTEs: normalized words → distinct 3-word shingles.
+# DuckDB lists are 1-indexed (Spark arrays 0-indexed) — both yield
+# words[i..i+2] joined by single spaces.
+_SH = r"""
+    w AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                              ' ') AS ws
+          FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                      AS shingle
+           FROM w WHERE len(ws) >= 3)
+"""
+
+_SIG_COLS = ", ".join(
+    f"MIN(substr(md5('{s}|' || shingle), 1, 16)) AS sig{s}" for s in range(N_HASHES)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx,"
+    f" sig{b * BAND_SIZE} || sig{b * BAND_SIZE + 1} AS band_val FROM sig"
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+ORACLES = {
+    "dedup_exact": r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_md5,
+               MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SH},
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        bands AS ({_BAND_SELECTS}),
+        guarded AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+            FROM bands
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM guarded a JOIN guarded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= {MAX_BUCKET} AND b.bucket_n <= {MAX_BUCKET}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SH},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+    """,
+    # dedup_simhash: rows-only (xxhash64 signature is engine-specific)
+}
