@@ -1,0 +1,197 @@
+"""Text analysis operators (SURVEY.md §2.C7-C10) over documents.
+
+All pure column expressions (regex + array higher-order functions): no
+UDFs, whole-stage codegen end-to-end, embarrassingly parallel per row —
+the shape that scales linearly to 100 TB of documents. Every operator is
+oracle-checked: the heuristics are defined only with functions both
+engines implement identically (md5, regex classes, array filters).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark.functions.hashing import DIGEST_PRIME
+from euclid_spark.functions.text import normalized_text, words
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Synthetic marker-word language heuristic (vocabulary-calibrated; the
+# operator shape — per-language evidence scores + argmax — is what a real
+# n-gram language ID computes).
+LANG_MARKERS = {
+    "de": ("scan", "merge", "part"),
+    "en": ("the", "fast", "key"),
+    "es": ("order", "sort", "table"),
+    "fr": ("window", "small", "hash"),
+    "zh": ("join", "data", "row"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _nonempty_words() -> F.Column:
+    return F.filter(words("text"), lambda w: w != "")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — whitespace and regex token counts per document."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(_nonempty_words()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — quality scoring from length / alpha-ratio / stopword-ratio,
+    the standard pre-training corpus filter signals."""
+    docs = _docs(spark, sf_dir)
+    ws = _nonempty_words()
+    n_words = F.size(ws)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+    stop_n = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = F.when(n_words > 0, stop_n / n_words).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.5) * alpha
+        + F.lit(0.3) * (1 - stop_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0), n_words / F.lit(50.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — marker-word language scores + deterministic argmax
+    (ties resolve in lexicographic language order)."""
+    docs = _docs(spark, sf_dir)
+    ws = _nonempty_words()
+    def _score(markers: tuple[str, ...]) -> F.Column:
+        # nb: F.filter lambdas must take exactly one arg (a second would
+        # be interpreted as the element index)
+        return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+    scores = {lang: _score(m) for lang, m in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lg].alias(f"s_{lg}") for lg in langs],
+        pred.alias("predicted"),
+    )
+    return out.withColumn("label_match", F.col("predicted") == F.col("lang"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — document fingerprints: full md5 of the canonical text, a
+    64-bit hex prefix, and a rolling polynomial hash over the word
+    sequence (order-sensitive, unlike the digest in functions/hashing —
+    two docs with the same words in different order differ here)."""
+    docs = _docs(spark, sf_dir)
+    norm = normalized_text("text")
+    word_h = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
+    rolling = F.aggregate(
+        _nonempty_words(),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + word_h(w)) % DIGEST_PRIME,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.substring(F.md5(norm), 1, 16).alias("fp64"),
+        rolling.alias("fp_rolling"),
+    )
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+_WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _marker_score(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({_WS}, w -> list_contains({lst}, w)))"
+
+
+_LANGS = sorted(LANG_MARKERS)
+_BEST = "greatest(" + ", ".join(_marker_score(lg) for lg in _LANGS) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_marker_score(lg)} = {_BEST} THEN '{lg}'" for lg in _LANGS
+    )
+    + " END"
+)
+
+ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_WS}) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS INT)
+                   AS n_re_tokens,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               CAST(len({_WS}) AS INT) AS n_words,
+               ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     * 1.0 / length(text), 4) AS alpha_ratio,
+               ROUND(CASE WHEN len({_WS}) > 0
+                     THEN len(list_filter({_WS}, w -> list_contains({_STOP_LIST}, w)))
+                          * 1.0 / len({_WS}) ELSE 0.0 END, 4) AS stop_ratio,
+               ROUND(0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            * 1.0 / length(text))
+                   + 0.3 * (1 - CASE WHEN len({_WS}) > 0
+                     THEN len(list_filter({_WS}, w -> list_contains({_STOP_LIST}, w)))
+                          * 1.0 / len({_WS}) ELSE 0.0 END)
+                   + 0.2 * least(1.0, len({_WS}) / 50.0), 4) AS quality
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id, lang,
+               {", ".join(f"CAST({_marker_score(lg)} AS INT) AS s_{lg}" for lg in _LANGS)},
+               {_PRED} AS predicted,
+               {_PRED} = lang AS label_match
+        FROM documents
+    """,
+    "text_fingerprint": rf"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+               substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+                   AS fp64,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_WS},
+                           w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
+                   (acc, h) -> (acc * 31 + h) % {DIGEST_PRIME}) AS fp_rolling
+        FROM documents
+    """,
+}

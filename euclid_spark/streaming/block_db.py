@@ -1,0 +1,106 @@
+"""Streaming block-DB analog (SURVEY.md §2.A9 / §2.D4-D5).
+
+The reference's block DB is an append-only IVC structure: every new block
+is appended and the root commitment is updated incrementally
+(mr-plonky2-circuits/src/block/mod.rs). The Spark-native equivalents:
+
+- `windowed_event_counts`: Structured Streaming with watermark + windowed
+  aggregation — the standing query over the append stream.
+- `IncrementalDigest` via `foreachBatch`: each micro-batch folds its
+  order-independent digest into a running chain commitment, idempotent by
+  batch id (exactly-once under retries) — the IVC step function.
+
+State stays O(windows) / O(1): the watermark bounds the agg state, the
+chain folds to a single value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from euclid_spark.functions.hashing import DIGEST_PRIME, digest_agg, digest_term
+
+# events schema with ts as int64 nanoseconds (as stored in parquet)
+EVENTS_NS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files; new
+    files are discovered per micro-batch (the append-only ingest path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked 1-hour tumbling aggregation per event type."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@dataclass
+class IncrementalDigest:
+    """foreachBatch sink folding each micro-batch into a chain commitment.
+
+    chain' = (chain + batch_digest) mod P — associative, so replays of the
+    same batch id are skipped (idempotence) and the final chain equals the
+    batch-computed digest of the full table.
+    """
+
+    chain: int = 0
+    n_rows: int = 0
+    seen_batches: set[int] = field(default_factory=set)
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.seen_batches:
+            return
+        self.seen_batches.add(batch_id)
+        term = digest_term(
+            F.col("event_id").cast("long"), F.col("user_id").cast("long")
+        )
+        row = batch_df.agg(
+            digest_agg(term).alias("d"), F.count("*").alias("n")
+        ).collect()[0]
+        if row["n"]:
+            self.chain = (self.chain + row["d"]) % DIGEST_PRIME
+            self.n_rows += row["n"]
+
+
+def run_digest_chain(
+    stream: DataFrame, checkpoint: str
+) -> tuple[StreamingQuery, IncrementalDigest]:
+    sink = IncrementalDigest()
+    q = (
+        stream.writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
