@@ -1,0 +1,71 @@
+"""Physical-plan assertions (SURVEY.md §5 level 4): pushdown reaches the
+scan, small dims broadcast, and no row-at-a-time Python evaluation sneaks
+into hot-path operators. These guard the 100 TB properties the small-SF
+row counts can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from euclid_spark.operators import dedup, euclid, relational, similarity, textops
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_parquet(spark):
+    plan = _plan(relational.q6_forecast_revenue(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    # the range predicate must appear among the pushed filters
+    pushed = plan.split("PushedFilters:")[1]
+    assert "l_shipdate" in pushed[:400] or "l_discount" in pushed[:400]
+
+
+def test_block_range_scan_pushes_ns_range(spark):
+    plan = _plan(euclid.block_range_scan(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:")[1]
+    assert "ts" in pushed[:300], "raw int64 ns range filter must push down"
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(relational.q5_local_supplier(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_membership_proof_broadcasts_digests(spark):
+    plan = _plan(euclid.membership_proof(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_hot_paths(spark):
+    hot = [
+        euclid.q2_distinct_keys,
+        euclid.erc20_weighted_sum,
+        euclid.storage_digest,
+        relational.q1_pricing_summary,
+        dedup.dedup_minhash_lsh,
+        similarity.sim_topk_cosine,
+        textops.text_fingerprint,
+    ]
+    for fn in hot:
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{fn.__name__} uses a pandas UDF"
+
+
+def test_codegen_in_q1(spark):
+    df = relational.q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan (isFinalPlan=true) on execution
+    plan = _plan(df)
+    # whole-stage codegen stages print as "*(n)" in the executed plan
+    assert "*(1)" in plan and "partial_sum" in plan
+
+
+@pytest.mark.parametrize(
+    "fn", [euclid.q2_revelation_topl, relational.q3_shipping_priority]
+)
+def test_topn_uses_take_ordered(spark, fn):
+    plan = _plan(fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, "LIMIT+ORDER BY must not global-sort"
