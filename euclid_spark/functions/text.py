@@ -23,13 +23,17 @@ def words(col: Column | str) -> Column:
     return F.split(normalized_text(col), " ")
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
+def shingles(ws: Column, k: int = 3) -> Column:
     """k-word shingles as an array<string> (empty if fewer than k words).
+
+    `ws` must be a *materialized* words array column (a projected
+    `words(...)` output), NOT the inline expression: array indexing
+    re-evaluates its child per access, so an inlined split/regex would run
+    k× per shingle — staging the array first is >10× faster.
 
     Spark arrays are 0-indexed; the DuckDB oracle mirror uses 1-indexed
     list access — both produce words[i]..words[i+k-1] joined by spaces.
     """
-    ws = words(col)
     n = F.size(ws)
     idx = F.sequence(F.lit(0), n - F.lit(k))  # inclusive end
     make = lambda i: F.concat_ws(" ", *[F.get(ws, i + F.lit(j)) for j in range(k)])  # noqa: E731

@@ -40,12 +40,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) — the inverted-index input."""
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(shingles("text", k=3)).alias("shingle"))
-        .distinct()
-    )
+    """Distinct (doc_id, shingle) — the inverted-index input. The words
+    array is projected first so the shingle transform indexes a
+    materialized array (see functions/text.shingles)."""
+    ws = _docs(spark, sf_dir).select("doc_id", words("text").alias("ws"))
+    return ws.select(
+        "doc_id", F.explode(shingles(F.col("ws"), k=3)).alias("shingle")
+    ).distinct()
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +86,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = bands.withColumn("bucket_n", F.count("*").over(wb)).filter(
         F.col("bucket_n") <= MAX_BUCKET
     )
+    # both sides of the self-join read the signature table: persist it so
+    # the shingle→md5 pipeline runs once (at scale: a checkpointed
+    # signature table reused across dedup runs)
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -101,7 +106,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — exact trigram-Jaccard pairs ≥ threshold via inverted-index
     join: only pairs sharing ≥1 shingle are scored."""
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()  # read 3× below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -52,11 +52,13 @@ def test_cosine_zero_vector_guard(spark):
 
 def test_text_normalization_and_shingles(spark):
     df = spark.createDataFrame([Row(text="  The   QUICK brown  fox ")])
-    got = df.select(
-        normalized_text("text").alias("n"),
-        words("text").alias("w"),
-        shingles("text", k=3).alias("s"),
-    ).collect()[0]
+    got = (
+        df.select(
+            normalized_text("text").alias("n"), words("text").alias("w")
+        )
+        .select("n", "w", shingles(F.col("w"), k=3).alias("s"))
+        .collect()[0]
+    )
     assert got["n"] == "the quick brown fox"
     assert got["w"] == ["the", "quick", "brown", "fox"]
     assert got["s"] == ["the quick brown", "quick brown fox"]
@@ -64,7 +66,10 @@ def test_text_normalization_and_shingles(spark):
 
 def test_shingles_short_doc_is_empty(spark):
     df = spark.createDataFrame([Row(text="one two")])
-    assert df.select(shingles("text", k=3).alias("s")).collect()[0]["s"] == []
+    got = df.select(words("text").alias("w")).select(
+        shingles(F.col("w"), k=3).alias("s")
+    )
+    assert got.collect()[0]["s"] == []
 
 
 def test_u256_roundtrip_add_compare(spark):
