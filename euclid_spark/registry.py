@@ -46,10 +46,27 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def _with_session_confs(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the runtime confs results depend on, whatever session the
+    caller built: UTC (date truncation must match the UTC-naive oracle)
+    and int64 reading of nanosecond parquet timestamps."""
+
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return fn(spark, sf_dir)
+
+    inner.__name__ = getattr(fn, "__name__", "query")
+    inner.__doc__ = fn.__doc__
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        out.update(m.QUERIES)
+        out.update({k: _with_session_confs(v) for k, v in m.QUERIES.items()})
     return out
 
 
