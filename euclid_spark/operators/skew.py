@@ -1,0 +1,71 @@
+"""Skew-mitigation utilities (SURVEY.md §6).
+
+At 100 TB a handful of hot keys (one whale account, one viral token)
+dominate a shuffle partition and stall the stage. Two standard remedies,
+expressed as reusable plan rewrites:
+
+- `salted_agg`: two-phase aggregation — partial-aggregate on
+  (keys + salt) so a hot key's rows spread over N reducers, then
+  final-aggregate on the keys. Works for any algebraic aggregate
+  (sum/count/min/max — supply both phases).
+- `salted_join`: big side gets a random-ish salt from a stable hash of
+  non-key columns; the small side is exploded N× (one row per salt) so
+  every (key, salt) pair still matches. Hot-key rows now land on N
+  partitions instead of one.
+
+AQE's skew-join splitting handles many cases automatically
+(spark.sql.adaptive.skewJoin.enabled is on in session.py); these are for
+aggregations (which AQE does not salt) and for deterministic plan shapes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """Deterministic row salt in [0, n_salts) from a stable hash of all
+    columns (no rand(): keeps retries/replays idempotent)."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    `partial_aggs` aggregate raw rows per (keys, salt); `final_aggs`
+    re-aggregate the partials per keys (referencing the partials'
+    aliases). Example: partial sum(x) AS s → final sum(s) AS total.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    n_salts×, join on (key, salt). Output columns = big ∪ small (minus
+    the helper columns)."""
+    big_s = with_salt(big, n_salts)
+    small_r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    joined = big_s.join(small_r, on=[key, "_salt"], how="inner")
+    return joined.drop("_salt")
