@@ -191,6 +191,77 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B19: TPC-H Q7 volume shipping between two nations ------------------------
+
+NATION_A, NATION_B = "NATION_1", "NATION_2"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation vs customer-nation trade volume per year: the
+    dual-dimension join — the same small nation table joins twice under
+    different roles, both broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == NATION_A) & (F.col("cust_nation") == NATION_B)
+    ) | ((F.col("supp_nation") == NATION_B) & (F.col("cust_nation") == NATION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --- B20: event funnel ---------------------------------------------------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → first later purchase per user; two hash aggregates and a
+    broadcast-sized join of per-user firsts (no window over raw events)."""
+    ev = _t(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id")
+    )
+    first_after = (
+        purchases.join(first_signup, "user_id")
+        .filter(F.col("p_id") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("p_id").alias("first_purchase_after"))
+    )
+    return (
+        first_signup.join(first_after, "user_id", "left")
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase_after",
+            F.col("first_purchase_after").isNotNull().alias("converted"),
+        )
+    )
+
+
 # --- B8: semi / anti join -----------------------------------------------------
 
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +454,8 @@ QUERIES = {
     "tpch_q10_returned_items": q10_returned_items,
     "tpch_q14_promo_effect": q14_promo_effect,
     "tpch_q18_large_volume": q18_large_volume,
+    "tpch_q7_nation_volume": q7_nation_volume,
+    "rel_funnel_conversion": funnel_conversion,
     "rel_semi_anti_join": semi_anti_join,
     "rel_window_topn_per_group": window_topn_per_group,
     "rel_window_running_agg": window_running_agg,
@@ -480,6 +553,36 @@ ORACLES = {
                ROUND(sum_qty, 2) AS sum_qty
         FROM big JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """,
+    "tpch_q7_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               ROUND(SUM({_REV}), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = '{NATION_A}' AND n2.n_name = '{NATION_B}')
+            OR (n1.n_name = '{NATION_B}' AND n2.n_name = '{NATION_A}'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "rel_funnel_conversion": """
+        WITH fs AS (
+            SELECT user_id, MIN(event_id) AS first_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), fp AS (
+            SELECT e.user_id, MIN(e.event_id) AS first_purchase_after
+            FROM events e JOIN fs ON e.user_id = fs.user_id
+            WHERE e.event_type = 'purchase' AND e.event_id > fs.first_signup
+            GROUP BY e.user_id
+        )
+        SELECT fs.user_id, fs.first_signup, fp.first_purchase_after,
+               fp.first_purchase_after IS NOT NULL AS converted
+        FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id
     """,
     "rel_semi_anti_join": """
         SELECT c_custkey, c_name, c_mktsegment
