@@ -104,9 +104,69 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b — IVF-style ANN: corpus vectors are assigned to their nearest
+    centroid (inverted lists); each query probes only its N_PROBE nearest
+    lists. Centroids here are a deterministic sample (first K vectors) —
+    swap in k-means output without changing the plan. At scale the
+    assignment is computed once and persisted; probes touch
+    N_PROBE/N_CENTROIDS of the corpus."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+
+    def nearest(df: DataFrame, id_col: str, emb_col: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            emb_col,
+            "cid",
+            F.round(cosine(F.col(emb_col), F.col("cemb")), 6).alias("csim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("csim"), "cid")
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= keep)
+            .drop("csim", "crn")
+        )
+
+    corpus = nearest(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        ),
+        "neighbor_id",
+        "ce",
+        keep=1,
+    )
+    probes = nearest(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        ),
+        "query_id",
+        "qe",
+        keep=N_PROBE,
+    )
+    scored = corpus.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 _DOT = (

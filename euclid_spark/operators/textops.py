@@ -124,11 +124,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP = 5
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — top TF-IDF terms per document. Term frequencies and document
+    frequencies are two hash aggregates over the exploded words; the
+    corpus size joins in as a broadcast single-row aggregate (no
+    driver-side count()). Ranking uses the rounded score + term tiebreak
+    so the oracle reproduces the exact row set."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", F.explode(_nonempty_words()).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("nd") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "word", "tf", "tfidf", "rn")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_topk": text_tfidf_topk,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -181,6 +218,25 @@ ORACLES = {
                {_PRED} AS predicted,
                {_PRED} = lang AS label_match
         FROM documents
+    """,
+    "text_tfidf_topk": f"""
+        WITH w AS (
+            SELECT doc_id, unnest({_WS}) AS word FROM documents
+        ),
+        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM w GROUP BY 1, 2),
+        dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS nd FROM documents),
+        scored AS (
+            SELECT doc_id, word, tf,
+                   ROUND(tf * ln(nd * 1.0 / df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+        )
+        SELECT doc_id, word, tf, tfidf, rn FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, word) AS INT) AS rn
+            FROM scored
+        ) WHERE rn <= {TFIDF_TOP}
     """,
     "text_fingerprint": rf"""
         SELECT doc_id,
