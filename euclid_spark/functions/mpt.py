@@ -1,0 +1,41 @@
+"""Storage-slot → MPT-key derivation (SURVEY.md §2.E3/E4 companion).
+
+Mirrors mr-plonky2-circuits/src/storage/key.rs: the storage *location* of
+a mapping entry is keccak(left_pad32(mapping_key) || left_pad32(slot)),
+and the MPT lookup key is keccak(location), consumed as nibbles.
+
+Keccak-256 is not available as a Spark builtin; sha2-256 is the
+documented stand-in (same shape: 32-byte digest of the padded 64-byte
+tuple). Swap `_hash_hex` for a keccak UDF where bit-exact Ethereum
+parity is required — every other part of the derivation is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from euclid_spark.functions.packing import left_pad32
+
+
+def _hash_hex(binary: Column) -> Column:
+    """32-byte digest as lowercase hex (keccak256 stand-in)."""
+    return F.lower(F.sha2(binary, 256))
+
+
+def mapping_location(mapping_key: Column, slot: Column) -> Column:
+    """Storage location of mapping[key] at a slot: H(pad32(key) ||
+    pad32(slot)), hex. (key.rs INPUT_TUPLE_LEN = 2×32 bytes.)"""
+    return _hash_hex(F.concat(left_pad32(mapping_key), left_pad32(slot)))
+
+
+def mpt_key(location_hex: Column) -> Column:
+    """MPT lookup key = H(location) (key.rs keccak_mpt_key), hex."""
+    return _hash_hex(F.unhex(location_hex))
+
+
+def to_nibbles(hex_col: Column) -> Column:
+    """Hex string → array of nibble values 0-15 (the MPTKeyWire NIBBLES
+    form used for trie traversal)."""
+    chars = F.split(hex_col, "(?!$)")
+    return F.transform(chars, lambda c: F.conv(c, 16, 10).cast("int"))
