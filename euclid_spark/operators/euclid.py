@@ -186,8 +186,33 @@ def membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "group_key", "digest", "n_rows")
 
 
+MAPPING_SLOT = 1  # storage slot of the demo mapping
+
+
+def mapping_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — the extraction step end-to-end (storage/key.rs +
+    storage/mapping/): for each mapping entry in the block range, derive
+    its storage location H(pad(key) || pad(slot)) and MPT lookup key
+    H(location). Hashes run over the canonical 64-char padded hex text
+    (DuckDB's sha256 is VARCHAR-only; functions/mpt.py holds the
+    byte-level variant). Pure projections on the scan — extraction is
+    embarrassingly parallel at any scale."""
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    key_hex = F.lpad(F.lower(F.hex(_token_id())), 64, "0")
+    slot_hex = F.lpad(F.lower(F.hex(F.lit(MAPPING_SLOT))), 64, "0")
+    location = F.sha2(F.concat(key_hex, slot_hex), 256)
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("owner"),
+        _token_id().alias("token_id"),
+        location.alias("location"),
+        F.sha2(location, 256).alias("mpt_key"),
+    ).filter(F.col("token_id").isNotNull())
+
+
 QUERIES = {
     "euclid_block_range_scan": block_range_scan,
+    "euclid_mapping_extract": mapping_extract,
     "euclid_q2_distinct_keys": q2_distinct_keys,
     "euclid_q2_revelation_topL": q2_revelation_topl,
     "euclid_erc20_weighted_sum": erc20_weighted_sum,
@@ -211,6 +236,15 @@ ORACLES = {
         SELECT event_id, user_id, CAST(ts AS DATE) AS event_day, value
         FROM events
         WHERE {_RANGE} AND event_type = 'purchase'
+    """,
+    "euclid_mapping_extract": f"""
+        SELECT event_id, user_id AS owner, {_TOKEN} AS token_id,
+               sha256(lpad(lower(to_hex({_TOKEN})), 64, '0')
+                      || lpad(lower(to_hex({MAPPING_SLOT})), 64, '0')) AS location,
+               sha256(sha256(lpad(lower(to_hex({_TOKEN})), 64, '0')
+                      || lpad(lower(to_hex({MAPPING_SLOT})), 64, '0'))) AS mpt_key
+        FROM events
+        WHERE {_RANGE} AND event_type = 'purchase' AND {_TOKEN} IS NOT NULL
     """,
     "euclid_q2_distinct_keys": f"""
         SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id
