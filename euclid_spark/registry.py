@@ -44,6 +44,12 @@ try:
     _MODULES.append(multimodal)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from euclid_spark.operators import components
+
+    _MODULES.append(components)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_session_confs(

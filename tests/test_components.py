@@ -1,0 +1,50 @@
+"""Connected components: fixed-point correctness vs a Python union-find
+on the same edge set, plus a chain graph needing label propagation over
+multiple rounds."""
+
+from __future__ import annotations
+
+from euclid_spark.operators.components import connected_components, dedup_components
+from tests.conftest import SF_SMOKE
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_chain_graph_converges_to_min_label(spark):
+    # 0-1-2-3-4-5 chain plus separate pair (10, 11)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_components_match_union_find_on_real_pairs(spark):
+    from euclid_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    ]
+    nodes = sorted({x for p in pairs for x in p})
+    expected = _union_find(pairs, nodes)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

@@ -20,6 +20,7 @@ MAY_BE_EMPTY = {
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "tpch_q7_nation_volume",  # narrow nation pair: empty at sf0.001
+    "dedup_components",  # clusters exist only where near-dup pairs do
 }
 
 
