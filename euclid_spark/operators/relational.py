@@ -262,6 +262,53 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B21: histogram ------------------------------------------------------------
+
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values via width_bucket — a single
+    hash aggregate, the scan-friendly profiling primitive."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), F.lit(20))
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+# --- B22: correlated-subquery shape --------------------------------------------
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average — the correlated
+    scalar-subquery pattern, decorrelated into an aggregate + self-join
+    (what Catalyst's subquery decorrelation produces).
+
+    The threshold test runs in exact integer cents (price·n > Σcents):
+    a float average lands exactly on round-off boundaries for 2-decimal
+    money values, where cross-engine ulp differences flip strict
+    comparisons — integer arithmetic makes the predicate deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    avgs = (
+        orders.select(F.col("o_custkey").alias("ck"), cents.alias("cents"))
+        .groupBy("ck")
+        .agg(F.sum("cents").alias("sum_cents"), F.count("*").alias("n"))
+    )
+    return (
+        orders.withColumn("cents", cents)
+        .join(avgs, orders.o_custkey == avgs.ck)
+        .filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.col("sum_cents") / (F.lit(100.0) * F.col("n")), 6).alias(
+                "cust_avg"
+            ),
+        )
+    )
+
+
 # --- B8: semi / anti join -----------------------------------------------------
 
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +503,8 @@ QUERIES = {
     "tpch_q18_large_volume": q18_large_volume,
     "tpch_q7_nation_volume": q7_nation_volume,
     "rel_funnel_conversion": funnel_conversion,
+    "rel_histogram": histogram_values,
+    "rel_above_avg_subquery": orders_above_customer_avg,
     "rel_semi_anti_join": semi_anti_join,
     "rel_window_topn_per_group": window_topn_per_group,
     "rel_window_running_agg": window_running_agg,
@@ -583,6 +632,29 @@ ORACLES = {
         SELECT fs.user_id, fs.first_signup, fp.first_purchase_after,
                fp.first_purchase_after IS NOT NULL AS converted
         FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id
+    """,
+    "rel_histogram": """
+        -- width_bucket(v, 0, 200, 20) spelled out (absent in DuckDB 1.0):
+        -- 0 below range, 21 above, else floor(v/10)+1
+        SELECT CAST(CASE WHEN value < 0 THEN 0
+                         WHEN value >= 200 THEN 21
+                         ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+        FROM events GROUP BY 1
+    """,
+    "rel_above_avg_subquery": """
+        WITH a AS (
+            SELECT o_custkey AS ck,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROUND(sum_cents / (100.0 * n), 6) AS cust_avg
+        FROM orders JOIN a ON o_custkey = ck
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > sum_cents
     """,
     "rel_semi_anti_join": """
         SELECT c_custkey, c_name, c_mktsegment
