@@ -92,8 +92,52 @@ def mm_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
 
-QUERIES = {"mm_binary_pipeline": mm_binary_pipeline}
+CHUNK = 100  # payload chunk size (bytes/chars) — the frame-sampling unit
 
-# rows-only: the extractor is engine-side by definition (that's the point
-# of the stub); metadata columns are still deterministic.
-ORACLES: dict[str, str] = {}
+
+def mm_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 — chunking / frame-sampling plumbing: split each payload into
+    fixed-size chunks, one output row per chunk with its fingerprint —
+    the layout step before per-frame decode (video frame sampling, audio
+    windowing). Pure posexplode over a generated index — columnar
+    end-to-end, no UDF; chunk count scales with payload size, rows stay
+    bounded per task."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chunks = F.ceil(F.length("text") / F.lit(CHUNK)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunk_of = lambda i: F.col("text").substr(  # noqa: E731
+        i * CHUNK + 1, F.lit(CHUNK)
+    )
+    return docs.select(
+        "doc_id", "text", F.posexplode(idx).alias("chunk_idx", "i")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(chunk_of(F.col("i"))).alias("chunk_md5"),
+        F.length(chunk_of(F.col("i"))).alias("chunk_len"),
+    )
+
+
+QUERIES = {
+    "mm_binary_pipeline": mm_binary_pipeline,
+    "mm_chunk_fingerprints": mm_chunk_fingerprints,
+}
+
+# mm_binary_pipeline is rows-only: the extractor is engine-side by
+# definition (that's the point of the stub). Chunking is deterministic →
+# oracle-checked.
+ORACLES: dict[str, str] = {
+    "mm_chunk_fingerprints": f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               md5(substr(text, 1 + {CHUNK} * i, {CHUNK})) AS chunk_md5,
+               CAST(length(substr(text, 1 + {CHUNK} * i, {CHUNK})) AS INT)
+                   AS chunk_len
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / {CHUNK}.0) AS BIGINT)))
+                       AS i
+            FROM documents
+        )
+    """,
+}
