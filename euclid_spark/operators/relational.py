@@ -262,6 +262,64 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B23: TPC-H Q8 market share -------------------------------------------------
+
+SHARE_NATION = "NATION_3"
+SHARE_REGION = "ASIA"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of one supplier nation inside a region per year —
+    conditional-fraction aggregation over a snowflake join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == SHARE_REGION)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == SHARE_NATION, rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(national) / F.sum(rev), 6).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+# --- B24: TPC-H Q13 customer order-count distribution ---------------------------
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order counts per customer (left join so customers
+    with zero orders count too) — the two-level aggregation shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 # --- B21: histogram ------------------------------------------------------------
 
 def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +563,8 @@ QUERIES = {
     "rel_funnel_conversion": funnel_conversion,
     "rel_histogram": histogram_values,
     "rel_above_avg_subquery": orders_above_customer_avg,
+    "tpch_q8_market_share": q8_market_share,
+    "tpch_q13_order_distribution": q13_order_distribution,
     "rel_semi_anti_join": semi_anti_join,
     "rel_window_topn_per_group": window_topn_per_group,
     "rel_window_running_agg": window_running_agg,
@@ -632,6 +692,34 @@ ORACLES = {
         SELECT fs.user_id, fs.first_signup, fp.first_purchase_after,
                fp.first_purchase_after IS NOT NULL AS converted
         FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id
+    """,
+    "tpch_q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               ROUND(SUM(CASE WHEN n2.n_name = '{SHARE_NATION}'
+                              THEN {_REV} ELSE 0.0 END) / SUM({_REV}), 6)
+                   AS mkt_share,
+               ROUND(SUM({_REV}), 2) AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = '{SHARE_REGION}'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY year(o_orderdate)
+    """,
+    "tpch_q13_order_distribution": """
+        WITH pc AS (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     "rel_histogram": """
         -- width_bucket(v, 0, 200, 20) spelled out (absent in DuckDB 1.0):
