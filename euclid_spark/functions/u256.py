@@ -72,6 +72,77 @@ def u256_add_overflows(a: U256, b: U256) -> Column:
     return u256_lt(u256_add(a, b), a)
 
 
+DEC38 = DecimalType(38, 0)
+_B32 = 2**32
+
+
+def _split32(limbs: U256) -> list[Column]:
+    """4×64-bit limbs → 8×32-bit limbs, least-significant FIRST (the
+    reference packs u256 values as 32-bit limbs too — mrp2-utils Packer).
+    32-bit limbs keep every schoolbook partial product < 2⁶⁴, far inside
+    decimal(38,0)."""
+    b32 = F.lit(_B32).cast(DEC38)
+    out: list[Column] = []
+    for limb in reversed(limbs):  # least-significant 64-bit limb first
+        wide = limb.cast(DEC38)
+        lo = F.pmod(wide, b32)
+        out.append(lo)
+        out.append(((wide - lo) / b32).cast(DEC38))
+    return out
+
+
+def u256_mul(a: U256, b: U256) -> tuple[U256, Column]:
+    """256-bit schoolbook multiply over 32-bit limbs. Returns
+    (product mod 2²⁵⁶, overflowed) — the circuit asserts the overflow
+    flag is false (query_erc20/storage/leaf.rs:88-92 mul_u256 + ensure
+    no-overflow); callers here get the flag to enforce the same guard.
+
+    Implemented as a runtime fold (`aggregate` over the 16 result
+    positions with a struct accumulator): a hand-unrolled carry chain
+    would duplicate the carry subtree at every level and blow the
+    Catalyst expression tree up exponentially — the higher-order function
+    keeps the plan constant-size and iterates at execution time."""
+    b32 = F.lit(_B32).cast(DEC38)
+    zero = F.lit(0).cast(DEC38)
+    xs = F.array(*_split32(a))  # least-significant first
+    ys = F.array(*_split32(b))
+
+    def step(state: Column, p: Column) -> Column:
+        # nb: F.sequence(8, 7) would run DESCENDING (auto step -1) and
+        # index out of bounds — filter a fixed 0..7 range instead
+        idxs = F.filter(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: ((p - i) >= 0) & ((p - i) <= 7),
+        )
+        prods = F.transform(idxs, lambda i: F.get(xs, i) * F.get(ys, p - i))
+        acc = F.aggregate(prods, zero, lambda s, v: s + v) + state["carry"]
+        digit = F.pmod(acc, b32)
+        carry = ((acc - digit) / b32).cast(DEC38)
+        return F.struct(
+            F.when(p < 8, F.concat(state["digits"], F.array(digit)))
+            .otherwise(state["digits"])
+            .alias("digits"),
+            carry.alias("carry"),
+            (state["ovf"] | ((p >= 8) & (digit > zero))).alias("ovf"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<decimal(38,0)>").alias("digits"),
+        zero.alias("carry"),
+        F.lit(False).alias("ovf"),
+    )
+    res = F.aggregate(F.sequence(F.lit(0), F.lit(15)), init, step)
+    overflow = res["ovf"] | (res["carry"] > zero)
+    # reassemble 8×32 (LSB first) → 4×64 (MSB first)
+    limbs64 = [
+        (F.get(res["digits"], 2 * k + 1) * b32 + F.get(res["digits"], 2 * k)).cast(
+            DEC20
+        )
+        for k in range(4)
+    ]
+    return tuple(reversed(limbs64)), overflow
+
+
 def u256_to_hex(limbs: U256) -> Column:
     """Back to a 64-char lowercase hex string."""
     return F.concat(
