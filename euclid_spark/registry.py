@@ -62,6 +62,12 @@ def _with_session_confs(
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local-mode tuning only (results unaffected): a default 200
+        # shuffle partitions over-parallelizes tiny local shuffles
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+            )
         return fn(spark, sf_dir)
 
     inner.__name__ = getattr(fn, "__name__", "query")
