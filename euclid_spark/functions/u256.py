@@ -148,3 +148,116 @@ def u256_to_hex(limbs: U256) -> Column:
     return F.concat(
         *[F.lpad(F.lower(F.conv(l.cast("string"), 10, 16)), 16, "0") for l in limbs]
     )
+
+
+def u256_divmod(a: U256, b: U256) -> Column:
+    """256-bit integer division. Returns ONE struct column
+    `(q_hex, r_hex, div_by_zero)` — quotient and remainder as 64-char hex.
+
+    Binary long division as a runtime fold over the 256 dividend bits
+    (MSB first). Two structural rules keep it tractable:
+    - iteration happens at execution time (`aggregate`), never by
+      unrolling — an unrolled carry chain explodes the expression tree;
+    - the dividend/divisor limb arrays ride INSIDE the fold state: HOF
+      expressions get no common-subexpression elimination, so a captured
+      outer array (which may itself embed a u256_mul fold) would be
+      re-evaluated on every access of every step. Returning one struct
+      (not per-limb columns) applies the same rule for the caller.
+
+    On b = 0 the flag is true and q = r = 0, mirroring the circuit's
+    explicit guard (query_erc20/storage/leaf.rs:93). Limb arithmetic runs
+    on longs (32-bit limbs: every intermediate < 2³³ ≪ 2⁶³) — no boxed
+    decimal in the loop."""
+    b32 = F.lit(_B32)
+    zero = F.lit(0).cast("long")
+    to_long8 = lambda limbs: F.array(  # noqa: E731
+        *[c.cast("long") for c in _split32(limbs)]
+    )
+
+    def shl1_plus(arr: Column, bit_in: Column) -> Column:
+        # elementwise shift-left-by-1 with inter-limb carry (no chain:
+        # new limb k reads only old limbs k and k-1)
+        def limb(k: Column) -> Column:
+            doubled = F.pmod(F.get(arr, k) * 2, b32)
+            carry = F.when(k == 0, bit_in).otherwise(
+                F.shiftright(F.get(arr, k - 1), 31)
+            )
+            return (doubled + carry).cast("long")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(7)), limb)
+
+    def geq(arr: Column, other: Column) -> Column:
+        # lexicographic >= folded least-significant-limb up
+        def fold(acc: Column, k: Column) -> Column:
+            return (
+                F.when(F.get(arr, k) > F.get(other, k), F.lit(True))
+                .when(F.get(arr, k) < F.get(other, k), F.lit(False))
+                .otherwise(acc)
+            )
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(7)), F.lit(True), fold)
+
+    def sub(arr: Column, other: Column) -> Column:
+        # arr - other; borrow chain via an inner 8-limb fold
+        def fold(state: Column, k: Column) -> Column:
+            d = F.get(arr, k) - F.get(other, k) - state["borrow"]
+            neg = d < 0
+            return F.struct(
+                F.concat(
+                    state["out"], F.array((F.when(neg, d + b32).otherwise(d)).cast("long"))
+                ).alias("out"),
+                F.when(neg, F.lit(1).cast("long")).otherwise(zero).alias("borrow"),
+            )
+
+        init = F.struct(
+            F.array().cast("array<long>").alias("out"), zero.alias("borrow")
+        )
+        return F.aggregate(F.sequence(F.lit(0), F.lit(7)), init, fold)["out"]
+
+    def step(state: Column, i: Column) -> Column:
+        # bit i from the MSB of the dividend (limbs are LSB-first)
+        li = F.lit(7) - F.floor(i / 32).cast("int")
+        off = F.lit(31) - F.pmod(i, F.lit(32))
+        # dynamic shift: x >> off as floor(x / 2^off) — power-of-two
+        # doubles are exact, and shiftright() only takes a literal count
+        bit = F.pmod(
+            F.floor(F.get(state["x"], li) / F.pow(F.lit(2.0), off)).cast("long"),
+            F.lit(2),
+        )
+        r2 = shl1_plus(state["r"], bit.cast("long"))
+        fits = geq(r2, state["d"])
+        new_r = F.when(fits, sub(r2, state["d"])).otherwise(r2)
+        new_q = shl1_plus(state["q"], F.when(fits, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+        return F.struct(
+            state["x"].alias("x"),
+            state["d"].alias("d"),
+            new_r.alias("r"),
+            new_q.alias("q"),
+        )
+
+    zeros8 = F.transform(F.sequence(F.lit(0), F.lit(7)), lambda _: zero)
+    init = F.struct(
+        to_long8(a).alias("x"), to_long8(b).alias("d"),
+        zeros8.alias("r"), zeros8.alias("q"),
+    )
+
+    def finish(state: Column) -> Column:
+        def hex64(arr: Column) -> Column:
+            # 8×32-bit limbs LSB-first → 64-char hex, MSB first
+            parts = F.transform(
+                F.sequence(F.lit(7), F.lit(0), F.lit(-1)),
+                lambda k: F.lpad(
+                    F.lower(F.conv(F.get(arr, k).cast("string"), 10, 16)), 8, "0"
+                ),
+            )
+            return F.array_join(parts, "")
+
+        dz = geq(zeros8, state["d"])  # divisor == 0 ⟺ 0 >= divisor
+        zero_hex = F.lit("0" * 64)
+        return F.struct(
+            F.when(dz, zero_hex).otherwise(hex64(state["q"])).alias("q_hex"),
+            F.when(dz, zero_hex).otherwise(hex64(state["r"])).alias("r_hex"),
+            dz.alias("div_by_zero"),
+        )
+
+    return F.aggregate(F.sequence(F.lit(0), F.lit(255)), init, step, finish)
