@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from euclid_spark.functions.text import minhash_hex, normalized_text, shingles, words
+from euclid_spark.functions.text import normalized_text, shingles, words
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 → P(candidate) = 1-(1-j²)⁴
@@ -62,13 +62,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: one groupBy with N_HASHES MIN aggregates
     (no row explosion by seed — k× fewer shuffle rows than the naive
-    (doc, seed, shingle) shape)."""
+    (doc, seed, shingle) shape). Each md5 yields TWO 16-hex-char hash
+    functions (its halves), and the md5s are projected once per shingle
+    row before the aggregation — aggregate expressions get no
+    subexpression sharing, so an md5 inside each MIN would run k×."""
     sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(minhash_hex(F.col("shingle"), F.lit(s))).alias(f"sig{s}")
-        for s in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    n_md5 = N_HASHES // 2
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{m}|"), F.col("shingle"))).alias(f"h{m}")
+            for m in range(n_md5)
+        ],
+    )
+    aggs = []
+    for s in range(N_HASHES):
+        m, half = divmod(s, 2)
+        aggs.append(
+            F.min(F.substring(F.col(f"h{m}"), 1 + 16 * half, 16)).alias(f"sig{s}")
+        )
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +226,8 @@ _SH = r"""
 """
 
 _SIG_COLS = ", ".join(
-    f"MIN(substr(md5('{s}|' || shingle), 1, 16)) AS sig{s}" for s in range(N_HASHES)
+    f"MIN(substr(md5('{s // 2}|' || shingle), {1 + 16 * (s % 2)}, 16)) AS sig{s}"
+    for s in range(N_HASHES)
 )
 _BAND_SELECTS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx,"
