@@ -71,5 +71,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
-QUERIES = {"dedup_components": dedup_components}
-ORACLES: dict[str, str] = {}
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 — the production deliverable of the dedup pipeline: the list of
+    documents to KEEP — every doc that is not in a near-dup cluster, plus
+    the canonical (minimum doc_id) member of each cluster. Anti-join of
+    the corpus against non-canonical cluster members."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = dedup_components(spark, sf_dir)
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+QUERIES = {
+    "dedup_components": dedup_components,
+    "dedup_keep_list": dedup_keep_list,
+}
+
+# The keep-list IS oracle-checkable even though components is iterative:
+# DuckDB computes the same connected components as a recursive CTE
+# (transitive closure over the verified near-dup pairs, then min label).
+from euclid_spark.operators.dedup import (  # noqa: E402
+    JACCARD_THRESHOLD as _JT,
+    _SH,
+)
+
+ORACLES: dict[str, str] = {
+    "dedup_keep_list": f"""
+        WITH RECURSIVE
+        {_SH},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) * 1.0 /
+                   ((SELECT n_sh FROM sz WHERE doc_id = a.doc_id)
+                    + (SELECT n_sh FROM sz WHERE doc_id = b.doc_id)
+                    - COUNT(*)) >= {_JT}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM comp WHERE doc_id <> component
+        )
+    """,
+}
