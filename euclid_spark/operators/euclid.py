@@ -210,9 +210,26 @@ def mapping_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token_id").isNotNull())
 
 
+def q2_batch_revelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — revelation batched over ALL owners at once: per-owner top-L
+    distinct keys in canonical order via one window pass (the reference
+    proves one owner per revelation; an analytics engine amortizes the
+    scan across every owner in the range)."""
+    from pyspark.sql import Window
+
+    keys = q2_distinct_keys(spark, sf_dir).filter(F.col("token_id").isNotNull())
+    w = Window.partitionBy("owner").orderBy("token_id")
+    return (
+        keys.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= TOP_L)
+        .select("owner", "token_id", "pos")
+    )
+
+
 QUERIES = {
     "euclid_block_range_scan": block_range_scan,
     "euclid_mapping_extract": mapping_extract,
+    "euclid_q2_batch_revelation": q2_batch_revelation,
     "euclid_q2_distinct_keys": q2_distinct_keys,
     "euclid_q2_revelation_topL": q2_revelation_topl,
     "euclid_erc20_weighted_sum": erc20_weighted_sum,
@@ -250,6 +267,20 @@ ORACLES = {
         SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id
         FROM events
         WHERE {_RANGE} AND event_type = 'purchase'
+    """,
+    "euclid_q2_batch_revelation": f"""
+        WITH d AS (
+            SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id
+            FROM events
+            WHERE {_RANGE} AND event_type = 'purchase'
+              AND {_TOKEN} IS NOT NULL
+        )
+        SELECT owner, token_id, pos FROM (
+            SELECT owner, token_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY owner
+                        ORDER BY token_id) AS INT) AS pos
+            FROM d
+        ) WHERE pos <= {TOP_L}
     """,
     "euclid_q2_revelation_topL": f"""
         SELECT DISTINCT {_TOKEN} AS token_id

@@ -320,6 +320,21 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B25: exact percentiles -----------------------------------------------------
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 per group (`percentile`, linear interpolation —
+    same semantics as DuckDB quantile_cont). The exact variant
+    complements the sketch-based rel_approx_agg: exact needs a per-group
+    sort, approx is mergeable — at 100 TB pick per use-case."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
 # --- B21: histogram ------------------------------------------------------------
 
 def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,6 +580,7 @@ QUERIES = {
     "rel_above_avg_subquery": orders_above_customer_avg,
     "tpch_q8_market_share": q8_market_share,
     "tpch_q13_order_distribution": q13_order_distribution,
+    "rel_exact_percentiles": exact_percentiles,
     "rel_semi_anti_join": semi_anti_join,
     "rel_window_topn_per_group": window_topn_per_group,
     "rel_window_running_agg": window_running_agg,
@@ -720,6 +736,13 @@ ORACLES = {
         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
         FROM pc GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
+    """,
+    "rel_exact_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
     "rel_histogram": """
         -- width_bucket(v, 0, 200, 20) spelled out (absent in DuckDB 1.0):
