@@ -34,6 +34,37 @@ def mpt_key(location_hex: Column) -> Column:
     return _hash_hex(F.unhex(location_hex))
 
 
+def keccak256_hex(col: Column) -> Column:
+    """Bit-exact Ethereum keccak-256 of a binary column, as lowercase hex.
+
+    Arrow-batched pandas UDF over the numpy-vectorized single-block
+    permutation (functions/keccak.py) — one keccak-f pass per Arrow batch,
+    not one Python sponge per row. Cold path by design: key derivation is
+    the one-time extraction/indexing step, never a per-query expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _keccak(s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from euclid_spark.functions.keccak import keccak256_batch
+
+        vals = [b if b is not None else b"" for b in s]
+        return pd.Series([d.hex() for d in keccak256_batch(vals)])
+
+    return _keccak(col)
+
+
+def mapping_location_keccak(mapping_key: Column, slot: Column) -> Column:
+    """mapping_location with real keccak — what a user with live Ethereum
+    data needs for bit-exact storage keys (mrp2-utils/src/storage_key.rs)."""
+    return keccak256_hex(F.concat(left_pad32(mapping_key), left_pad32(slot)))
+
+
+def mpt_key_keccak(location_hex: Column) -> Column:
+    return keccak256_hex(F.unhex(location_hex))
+
+
 def to_nibbles(hex_col: Column) -> Column:
     """Hex string → array of nibble values 0-15 (the MPTKeyWire NIBBLES
     form used for trie traversal)."""

@@ -4,18 +4,41 @@ lowest doc_id as the canonical representative — the final step of a
 production dedup pipeline (pairs alone over-remove: A~B, B~C ⇒ one
 cluster {A,B,C}, keep A).
 
-Iterative label propagation (small-star style): every node repeatedly
-adopts the minimum label in its neighborhood until a fixed point. Each
-round is two hash joins + an aggregation — all shuffle-partitioned on the
-node id; rounds ≈ O(log(diameter)). Results are persisted per round and
-the loop stops on a converged count, so the plan lineage stays bounded
-(the driver-side loop is orchestration only — per-round work is fully
-distributed, no collect of edges)."""
+Iterative min-label propagation with **pointer doubling**: each round
+(1) every node adopts the minimum label in its edge neighborhood, then
+(2) every node adopts its label's label (component := component of
+component). Step (2) halves chain depth per round, so convergence is
+O(log(diameter)) rounds — 20 rounds covers diameter ~10⁶ — matching the
+small-star/large-star family (CC-MR / Kiveris et al., public
+literature) rather than the O(diameter) one-hop variant.
+
+Scale rules enforced here:
+- the symmetrized edge set is persisted AND materialized once before the
+  loop — per-round joins read the cache, never the upstream pipeline
+  (the r1 bug: each round re-ran shingle→md5→join→Jaccard from parquet);
+- per-round label frames are **checkpointed, not merely persisted** —
+  each round's plan references the previous labels 4× (edge-hop join +
+  pointer self-join), so an un-truncated logical plan grows 4^rounds
+  (persist caches partitions but keeps full lineage; round ~15 produced
+  a 2 GiB plan string). `localCheckpoint(eager=True)` cuts lineage to
+  the materialized RDD each round; on a real cluster prefer a reliable
+  `checkpoint()` via `sparkContext.setCheckpointDir` (localCheckpoint
+  dies with an executor), which this code uses when a checkpoint dir is
+  configured;
+- the driver-side loop is orchestration only (per-round work is three
+  hash joins + an aggregation, all shuffle-partitioned on the node id);
+- exhausting max_rounds without a fixed point WARNS loudly — an
+  unconverged labeling silently corrupts the keep-list downstream.
+"""
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from euclid_spark.cache import persist_tracked
 
 MAX_ROUNDS = 20
 
@@ -23,19 +46,37 @@ MAX_ROUNDS = 20
 def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
     """edges: (doc_a, doc_b) undirected. Returns (doc_id, component) with
     component = min doc_id reachable."""
-    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    sym = persist_tracked(
+        edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+            edges.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
     )
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.withColumn("component", F.col("doc_id")).persist()
+    # Materialize the edge set NOW: every upstream stage (at scale: the
+    # whole candidate-pair pipeline) runs exactly once, and the loop below
+    # only ever touches the cached partitions.
+    sym.count()
 
+    # reliable checkpoint on a cluster (survives executor loss); local
+    # checkpoint otherwise — either way the LINEAGE is truncated, which is
+    # the point (see module docstring: plans grow 4^rounds without it)
+    _ckpt = (
+        (lambda df: df.checkpoint(eager=True))
+        if sym.sparkSession.sparkContext.getCheckpointDir()
+        else (lambda df: df.localCheckpoint(eager=True))
+    )
+
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = _ckpt(nodes.withColumn("component", F.col("doc_id")))
+
+    converged = False
     for _ in range(max_rounds):
+        # (1) edge-hop: min label over the neighborhood
         neigh_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("neigh_component"))
         )
-        new_labels = (
+        one_hop = _ckpt(
             labels.join(neigh_min, labels.doc_id == neigh_min.src, "left")
             .select(
                 "doc_id",
@@ -44,19 +85,40 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                     F.coalesce(F.col("neigh_component"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+        )
+        # (2) pointer doubling: component := label(component). Labels are
+        # always node ids present in the frame, so a self-join resolves
+        # the pointer; chains collapse at 2× depth per round. one_hop is
+        # read twice below — it is already materialized by its checkpoint.
+        ptr = one_hop.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        new_labels = _ckpt(
+            one_hop.join(ptr, one_hop.component == ptr.p_id, "left").select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
+                ).alias("component"),
+            )
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixed point after {max_rounds} rounds"
+            " — labels may span unmerged components; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -90,19 +152,21 @@ QUERIES = {
 # The keep-list IS oracle-checkable even though components is iterative:
 # DuckDB computes the same connected components as a recursive CTE
 # (transitive closure over the verified near-dup pairs, then min label).
+# _SH_CAPPED mirrors the document-frequency cap applied on the Spark side
+# (dedup.MAX_SHINGLE_DF) — the pair sets must agree exactly.
 from euclid_spark.operators.dedup import (  # noqa: E402
     JACCARD_THRESHOLD as _JT,
-    _SH,
+    _SH_CAPPED,
 )
 
 ORACLES: dict[str, str] = {
     "dedup_keep_list": f"""
         WITH RECURSIVE
-        {_SH},
-        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        {_SH_CAPPED},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) * 1.0 /
                    ((SELECT n_sh FROM sz WHERE doc_id = a.doc_id)

@@ -8,7 +8,13 @@ Scale design (the point of each variant):
   with a bucket-size cap as the skew guard (a degenerate bucket of m docs
   would otherwise emit m² candidate pairs).
 - n-gram Jaccard: exact verification via inverted-index join (pairs that
-  share ≥1 shingle), never all-pairs.
+  share ≥1 shingle), never all-pairs — with a **shingle document-frequency
+  cap** (MAX_SHINGLE_DF): a shingle present in m docs would emit m² join
+  rows, and a corpus-scale stopword trigram ("one of the") makes that
+  quadratic in corpus size. High-df shingles carry no Jaccard signal, so
+  they are dropped from the shingle universe (numerator AND denominator —
+  the score is Jaccard over the capped universe), standard practice in
+  near-dup mining. The oracle applies the identical cap.
 - SimHash: 64-bit signature; near-dups collide on at least one 16-bit
   chunk when hamming ≤ 10 (pigeonhole on 4 chunks needs ≤ 3 flipped
   chunks, so chunk-equality buckets recall hamming ≤ 16⋅3 worst case —
@@ -26,11 +32,13 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from euclid_spark.cache import persist_tracked
 from euclid_spark.functions.text import normalized_text, shingles, words
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 → P(candidate) = 1-(1-j²)⁴
 MAX_BUCKET = 100  # LSH skew guard
+MAX_SHINGLE_DF = 50  # Jaccard inverted-index skew guard
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 10
 
@@ -101,8 +109,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both sides of the self-join read the signature table: persist it so
     # the shingle→md5 pipeline runs once (at scale: a checkpointed
-    # signature table reused across dedup runs)
-    bands = bands.persist()
+    # signature table reused across dedup runs); lifecycle owned by the
+    # caller via cache.release_all()
+    bands = persist_tracked(bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -116,10 +125,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle universe with the document-frequency skew guard: drop any
+    shingle appearing in > MAX_SHINGLE_DF docs BEFORE the self-join. The
+    df count is a window over `shingle` — the same key the join shuffles
+    on, so the guard adds no extra shuffle beyond the one the join needs."""
+    sh = _doc_shingles(spark, sf_dir)
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — exact trigram-Jaccard pairs ≥ threshold via inverted-index
-    join: only pairs sharing ≥1 shingle are scored."""
-    sh = _doc_shingles(spark, sf_dir).persist()  # read 3× below
+    join: only pairs sharing ≥1 (df-capped) shingle are scored."""
+    sh = persist_tracked(_capped_shingles(spark, sf_dir))  # read 3× below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -225,6 +248,16 @@ _SH = r"""
            FROM w WHERE len(ws) >= 3)
 """
 
+# _SH plus the document-frequency cap (mirror of _capped_shingles).
+_SH_CAPPED = f"""
+    {_SH},
+    shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(*) OVER (PARTITION BY shingle) AS df
+                FROM sh)
+            WHERE df <= {MAX_SHINGLE_DF})
+"""
+
 _SIG_COLS = ", ".join(
     f"MIN(substr(md5('{s // 2}|' || shingle), {1 + 16 * (s % 2)}, 16)) AS sig{s}"
     for s in range(N_HASHES)
@@ -257,11 +290,11 @@ ORACLES = {
         WHERE a.bucket_n <= {MAX_BUCKET} AND b.bucket_n <= {MAX_BUCKET}
     """,
     "dedup_ngram_jaccard": f"""
-        WITH {_SH},
-        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        WITH {_SH_CAPPED},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,

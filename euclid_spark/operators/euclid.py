@@ -74,17 +74,38 @@ def q2_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _range_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance binding for revelation results: the block range actually
+    covered plus the digest of the scanned range — the Spark analog of the
+    revelation public inputs exposing (min_block, max_block, block-DB
+    commitment) with every result set (query2/revelation/mod.rs:60-104,
+    revelation/public_inputs.rs). One-row aggregate over the same pruned
+    scan the query reads — broadcast onto results for free."""
+    ev = _range(spark, sf_dir)
+    term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
+    return ev.agg(
+        F.min("event_id").alias("min_block"),
+        F.max("event_id").alias("max_block"),
+        digest_agg(term).alias("range_digest"),
+    )
+
+
 def q2_revelation_topl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — revelation step: one owner, bounded to L results in canonical
     key order (RevelationInput sorts mapping keys; revelation/mod.rs:70).
-    ORDER BY + LIMIT compiles to TakeOrderedAndProject — no global sort."""
-    return (
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — no global sort.
+    NULL keys are excluded (consistent with A11/A12; Spark sorts NULLS
+    FIRST vs DuckDB NULLS LAST, so an unfiltered NULL would silently skew
+    the top-L set). Every result row carries the provenance columns."""
+    top = (
         q2_distinct_keys(spark, sf_dir)
         .filter(F.col("owner") == OWNER)
+        .filter(F.col("token_id").isNotNull())
         .select("token_id")
         .orderBy("token_id")
         .limit(TOP_L)
     )
+    return top.crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
 
 
 def erc20_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,18 +179,45 @@ def block_db_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — append-only block DB (block/mod.rs IVC): each appended unit
     (here: a day of events) contributes a digest, and the running chain
-    digest reproduces the evolving root commitment. The cumulative window
-    is ordered by the append key only — O(days) state, not O(rows)."""
+    digest reproduces the evolving root commitment.
+
+    The prefix sum is TWO-LEVEL so no stage ever sorts the whole history
+    in one reducer (the r1 plan was `Window.orderBy(day)` → Exchange
+    SinglePartition — O(days) state in one task, a bottleneck once the
+    append unit is block-granular): (1) cumulative sums run per epoch
+    (month) under a PARTITIONED window; (2) epoch offsets come from a
+    triangular join over the per-epoch totals — a table with one row per
+    epoch, broadcast. Work per task is O(days-per-epoch); nothing is
+    single-partition."""
+    from pyspark.sql import Window
+
     ev = _events(spark, sf_dir)
     term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         digest_agg(term).alias("day_digest"), F.count("*").alias("n")
-    )
-    from pyspark.sql import Window
+    ).withColumn("epoch", F.trunc("day", "month"))
 
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.withColumn(
-        "chain_digest", F.pmod(F.sum("day_digest").over(w), F.lit(DIGEST_PRIME)).cast("long")
+    epoch_tot = daily.groupBy("epoch").agg(F.sum("day_digest").alias("etot"))
+    e1, e2 = epoch_tot.alias("e1"), epoch_tot.alias("e2")
+    offsets = (
+        e1.join(e2, F.col("e2.epoch") < F.col("e1.epoch"), "left")
+        .groupBy(F.col("e1.epoch").alias("epoch"))
+        .agg(F.coalesce(F.sum("e2.etot"), F.lit(0)).alias("offset"))
+    )
+    w = (
+        Window.partitionBy("epoch")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.join(F.broadcast(offsets), "epoch")
+        .withColumn(
+            "chain_digest",
+            F.pmod(
+                F.col("offset") + F.sum("day_digest").over(w), F.lit(DIGEST_PRIME)
+            ).cast("long"),
+        )
+        .select("day", "day_digest", "n", "chain_digest")
     )
 
 
@@ -219,10 +267,102 @@ def q2_batch_revelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keys = q2_distinct_keys(spark, sf_dir).filter(F.col("token_id").isNotNull())
     w = Window.partitionBy("owner").orderBy("token_id")
-    return (
+    topl = (
         keys.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= TOP_L)
         .select("owner", "token_id", "pos")
+    )
+    # provenance rides along, exactly as the revelation public inputs do
+    return topl.crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
+
+
+def mapping_extract_keccak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11k — the extraction step with REAL keccak-256: bit-exact Ethereum
+    storage locations and MPT keys (mrp2-utils/src/storage_key.rs;
+    storage/key.rs keccak_mpt). The sha2 variant (mapping_extract) stays
+    the oracle-checked one; this is what a user with live chain data runs.
+    Rows-only at the driver (DuckDB has no keccak) — bit-exactness is
+    pinned by known-answer vectors in tests/test_keccak.py instead.
+
+    Plan shape: pruned range scan → Arrow-batched pandas UDF (one
+    vectorized keccak-f pass per batch) — embarrassingly parallel, runs
+    once at indexing time, never per query."""
+    from euclid_spark.functions.mpt import keccak256_hex
+
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    tok = _token_id()
+    key32 = F.unhex(F.lpad(F.lower(F.hex(tok)), 64, "0"))
+    slot32 = F.unhex(F.lpad(F.lower(F.hex(F.lit(MAPPING_SLOT))), 64, "0"))
+    out = ev.filter(tok.isNotNull()).select(
+        "event_id",
+        F.col("user_id").alias("owner"),
+        tok.alias("token_id"),
+        keccak256_hex(F.concat(key32, slot32)).alias("location"),
+    )
+    return out.withColumn("mpt_key", keccak256_hex(F.unhex(F.col("location"))))
+
+
+def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4u — the ERC-20 query in FULL 256-bit integer arithmetic, matching
+    query_erc20/storage/leaf.rs:88-106 exactly: per entry compute
+    ⌊balance · rewards_rate / supply⌋ with the circuit's two guards (mul
+    overflow asserted false; zero supply short-circuits to 0), then SUM
+    per owner mod 2²⁵⁶.
+
+    Balances are synthesized > 2⁶⁴ (real wei magnitudes, where the
+    double-based A4 would silently lose precision):
+    balance = ⌊value·10⁴⌋·2⁶⁴ + event_id. The per-owner u256 sum is
+    limb-wise: 4 independent SUM aggregates (map-side combinable) with a
+    single carry-normalization after the aggregate — order-independent and
+    skew-immune like every digest here. Oracle: DuckDB HUGEINT (the data
+    keeps every intermediate < 2¹²⁶, so int128 is exact there, while the
+    Spark path exercises the generic 256-bit code)."""
+    from pyspark.sql.types import DecimalType
+
+    from euclid_spark.functions.u256 import (
+        DEC20,
+        u256_divmod,
+        u256_from_hex,
+        u256_mul,
+        u256_to_hex,
+    )
+
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    zero = F.lit(0).cast(DEC20)
+    scaled = F.floor(F.col("value") * 10000).cast(DEC20)
+    balance = (zero, zero, scaled, F.col("event_id").cast(DEC20))
+    rate = (zero, zero, zero, F.lit(REWARDS_RATE).cast(DEC20))
+    supply = (zero, zero, zero, F.coalesce(_token_id(), F.lit(0)).cast(DEC20))
+
+    prod, ovf = u256_mul(balance, rate)
+    dm = u256_divmod(prod, supply)  # q=0 when div_by_zero — the guard
+    q = u256_from_hex(dm["q_hex"])
+    rows = ev.select(
+        F.col("user_id").alias("owner"),
+        *[q[3 - i].alias(f"l{i}") for i in range(4)],  # LSB-first columns
+        dm["div_by_zero"].cast("int").alias("zs"),
+        ovf.cast("int").alias("of"),
+    )
+    agged = rows.groupBy("owner").agg(
+        *[F.sum(f"l{i}").alias(f"s{i}") for i in range(4)],
+        F.sum("zs").cast("long").alias("n_zero_supply"),
+        F.sum("of").cast("long").alias("n_overflow"),
+    )
+    # carry renormalization of the limb-wise sums (mod 2²⁵⁶)
+    DEC38 = DecimalType(38, 0)
+    two64 = F.lit(str(2**64)).cast(DEC38)
+    limbs, carry = [], F.lit(0).cast(DEC38)
+    for i in range(4):
+        t = F.col(f"s{i}").cast(DEC38) + carry
+        limb = F.pmod(t, two64)
+        carry = ((t - limb) / two64).cast(DEC38)
+        limbs.append(limb.cast(DEC20))
+    reward_hex = u256_to_hex(tuple(reversed(limbs)))
+    return agged.select(
+        "owner",
+        reward_hex.alias("reward_hex"),
+        "n_zero_supply",
+        "n_overflow",
     )
 
 
@@ -233,6 +373,8 @@ QUERIES = {
     "euclid_q2_distinct_keys": q2_distinct_keys,
     "euclid_q2_revelation_topL": q2_revelation_topl,
     "euclid_erc20_weighted_sum": erc20_weighted_sum,
+    "euclid_erc20_weighted_sum_u256": erc20_weighted_sum_u256,
+    "euclid_mapping_extract_keccak": mapping_extract_keccak,
     "euclid_storage_digest": storage_digest,
     "euclid_length_match": length_match,
     "euclid_state_rollup": state_rollup,
@@ -247,6 +389,15 @@ _DIGEST_CUST = (
     f"CAST(SUM((c_custkey * {MIX} + c_nationkey * 97) % {DIGEST_PRIME}) "
     f"% {DIGEST_PRIME} AS BIGINT)"
 )
+
+# revelation provenance: the (min_block, max_block, range_digest) binding
+# computed over the whole pruned range scan (mirrors _range_provenance)
+_PROV_SQL = f"""
+    SELECT MIN(event_id) AS min_block, MAX(event_id) AS max_block,
+           CAST(SUM((event_id * {MIX} + user_id * 97) % {DIGEST_PRIME})
+                % {DIGEST_PRIME} AS BIGINT) AS range_digest
+    FROM events WHERE {_RANGE}
+"""
 
 ORACLES = {
     "euclid_block_range_scan": f"""
@@ -275,19 +426,43 @@ ORACLES = {
             WHERE {_RANGE} AND event_type = 'purchase'
               AND {_TOKEN} IS NOT NULL
         )
-        SELECT owner, token_id, pos FROM (
+        SELECT owner, token_id, pos, min_block, max_block, range_digest
+        FROM (
             SELECT owner, token_id,
                    CAST(ROW_NUMBER() OVER (PARTITION BY owner
                         ORDER BY token_id) AS INT) AS pos
             FROM d
-        ) WHERE pos <= {TOP_L}
+        ) CROSS JOIN ({_PROV_SQL})
+        WHERE pos <= {TOP_L}
     """,
     "euclid_q2_revelation_topL": f"""
-        SELECT DISTINCT {_TOKEN} AS token_id
-        FROM events
-        WHERE {_RANGE} AND event_type = 'purchase' AND user_id = {OWNER}
-        ORDER BY token_id
-        LIMIT {TOP_L}
+        SELECT token_id, min_block, max_block, range_digest FROM (
+            SELECT DISTINCT {_TOKEN} AS token_id
+            FROM events
+            WHERE {_RANGE} AND event_type = 'purchase' AND user_id = {OWNER}
+              AND {_TOKEN} IS NOT NULL
+            ORDER BY token_id
+            LIMIT {TOP_L}
+        ) CROSS JOIN ({_PROV_SQL})
+    """,
+    "euclid_erc20_weighted_sum_u256": f"""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 10000) AS HUGEINT) AS scaled,
+                   {_TOKEN} AS tok
+            FROM events
+            WHERE {_RANGE} AND event_type = 'purchase'
+        )
+        SELECT user_id AS owner,
+               lpad(lower(to_hex(SUM(
+                   CASE WHEN tok IS NULL OR tok = 0 THEN CAST(0 AS HUGEINT)
+                        ELSE (scaled * CAST('18446744073709551616' AS HUGEINT)
+                              + event_id) * {REWARDS_RATE} // tok
+                   END))), 64, '0') AS reward_hex,
+               CAST(SUM(CASE WHEN tok IS NULL OR tok = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero_supply,
+               CAST(0 AS BIGINT) AS n_overflow
+        FROM e GROUP BY user_id
     """,
     "euclid_erc20_weighted_sum": f"""
         SELECT user_id AS owner,

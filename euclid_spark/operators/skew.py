@@ -28,11 +28,27 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
-def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
-    """Deterministic row salt in [0, n_salts) from a stable hash of all
-    columns (no rand(): keeps retries/replays idempotent)."""
+def with_salt(
+    df: DataFrame,
+    n_salts: int = DEFAULT_SALTS,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic row salt in [0, n_salts): stable hash of the NON-key
+    columns mixed with a per-row monotonic id.
+
+    Hashing the key columns is pointless (every row of a hot key shares
+    them → one salt → no spread), and even non-key columns can be
+    low-entropy (byte-identical rows); the monotonic id term guarantees
+    spread regardless. `monotonically_increasing_id` is a function of
+    (partition id, row position) — deterministic under task retry for
+    deterministic inputs, unlike `rand()`."""
+    exclude = set(key_cols)
+    non_key = [c for c in df.columns if c not in exclude]
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(*non_key, F.monotonically_increasing_id()), F.lit(n_salts)
+        ).cast("int"),
     )
 
 
@@ -49,7 +65,7 @@ def salted_agg(
     re-aggregate the partials per keys (referencing the partials'
     aliases). Example: partial sum(x) AS s → final sum(s) AS total.
     """
-    salted = with_salt(df, n_salts)
+    salted = with_salt(df, n_salts, key_cols=keys)
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
 
@@ -63,7 +79,7 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     n_salts×, join on (key, salt). Output columns = big ∪ small (minus
     the helper columns)."""
-    big_s = with_salt(big, n_salts)
+    big_s = with_salt(big, n_salts, key_cols=[key])
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))

@@ -8,7 +8,11 @@ is appended and the root commitment is updated incrementally
   aggregation — the standing query over the append stream.
 - `IncrementalDigest` via `foreachBatch`: each micro-batch folds its
   order-independent digest into a running chain commitment, idempotent by
-  batch id (exactly-once under retries) — the IVC step function.
+  batch id — the IVC step function. Exactly-once holds ACROSS driver
+  restarts when a `state_path` is given: the (last_batch_id, chain) pair
+  is written atomically after each fold, so a micro-batch replayed from
+  the checkpoint on restart is recognized and skipped. Without a
+  state_path the guarantee is within-process only.
 
 State stays O(windows) / O(1): the watermark bounds the agg state, the
 chain folds to a single value.
@@ -16,7 +20,9 @@ chain folds to a single value.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import json
+import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,16 +78,45 @@ class IncrementalDigest:
     chain' = (chain + batch_digest) mod P — associative, so replays of the
     same batch id are skipped (idempotence) and the final chain equals the
     batch-computed digest of the full table.
-    """
+
+    Durability: micro-batch ids from a given checkpoint are strictly
+    increasing, so "applied" reduces to `batch_id <= last_batch_id`. With
+    `state_path` set, that watermark plus the chain value is persisted
+    write-to-temp-then-rename (atomic on POSIX) AFTER each fold and
+    reloaded on construction — the replayed first batch after a driver
+    restart is skipped instead of double-counted (ADVICE r1)."""
 
     chain: int = 0
     n_rows: int = 0
-    seen_batches: set[int] = field(default_factory=set)
+    last_batch_id: int = -1
+    state_path: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.state_path and os.path.exists(self.state_path):
+            with open(self.state_path) as fh:
+                st = json.load(fh)
+            self.chain = st["chain"]
+            self.n_rows = st["n_rows"]
+            self.last_batch_id = st["last_batch_id"]
+
+    def _save(self) -> None:
+        if not self.state_path:
+            return
+        tmp = f"{self.state_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "chain": self.chain,
+                    "n_rows": self.n_rows,
+                    "last_batch_id": self.last_batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, self.state_path)
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.seen_batches:
+        if batch_id <= self.last_batch_id:
             return
-        self.seen_batches.add(batch_id)
         term = digest_term(
             F.col("event_id").cast("long"), F.col("user_id").cast("long")
         )
@@ -91,12 +126,15 @@ class IncrementalDigest:
         if row["n"]:
             self.chain = (self.chain + row["d"]) % DIGEST_PRIME
             self.n_rows += row["n"]
+        self.last_batch_id = batch_id
+        self._save()
 
 
 def run_digest_chain(
     stream: DataFrame, checkpoint: str
 ) -> tuple[StreamingQuery, IncrementalDigest]:
-    sink = IncrementalDigest()
+    os.makedirs(checkpoint, exist_ok=True)
+    sink = IncrementalDigest(state_path=os.path.join(checkpoint, "digest_state.json"))
     q = (
         stream.writeStream.foreachBatch(sink.process)
         .option("checkpointLocation", checkpoint)

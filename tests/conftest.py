@@ -21,6 +21,16 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_caches():
+    """Operators register persists via cache.persist_tracked; the test
+    (as cache-lifecycle owner) releases them after its terminal action."""
+    yield
+    from euclid_spark.cache import release_all
+
+    release_all()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

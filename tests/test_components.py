@@ -24,6 +24,41 @@ def _union_find(edges, nodes):
     return {n: find(n) for n in nodes}
 
 
+def test_edge_source_evaluated_once(spark):
+    """The r1 scale bug: each fixed-point round re-ran the whole upstream
+    candidate-pair pipeline. Tap the edge source with an accumulator and
+    prove it is evaluated exactly twice (once per union branch of the
+    symmetrization) regardless of how many rounds the loop runs."""
+    n_edges = 30
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(n_edges)], "doc_a long, doc_b long"
+    )
+
+    def tap(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    edges = base.mapInPandas(tap, "doc_a long, doc_b long")
+    labels = connected_components(edges)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n_edges + 1)}
+    assert acc.value == 2 * n_edges, (
+        f"edge source evaluated {acc.value / n_edges:.0f}×, expected 2× "
+        "(persisted symmetrized edge set must feed every round)"
+    )
+
+
+def test_unconverged_loop_warns(spark):
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with _pytest.warns(RuntimeWarning, match="no fixed point"):
+        connected_components(df, max_rounds=1)
+
+
 def test_chain_graph_converges_to_min_label(spark):
     # 0-1-2-3-4-5 chain plus separate pair (10, 11)
     edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]

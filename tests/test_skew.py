@@ -64,3 +64,18 @@ def test_salt_spreads_hot_key(spark):
         with_salt(df).select("_salt").distinct().count()
     )
     assert n_buckets > 4  # the whale's rows hash across many salts
+
+
+def test_salt_spreads_byte_identical_rows(spark):
+    """The ADVICE r1 pathology: a hot key whose rows are byte-identical
+    (zero non-key entropy). A column-hash-only salt collapses them onto
+    one bucket; the monotonic-id term must spread them anyway."""
+    from euclid_spark.operators.skew import DEFAULT_SALTS, with_salt
+
+    df = spark.range(20_000).select(
+        F.lit(999_999).alias("user_id"), F.lit(1.0).alias("value")
+    )
+    n_buckets = (
+        with_salt(df, key_cols=["user_id"]).select("_salt").distinct().count()
+    )
+    assert n_buckets == DEFAULT_SALTS

@@ -77,3 +77,26 @@ def test_digest_chain_is_idempotent_per_batch(spark):
     assert sink.chain == first
     sink.process(df, batch_id=1)
     assert sink.chain != first
+
+
+def test_digest_chain_survives_driver_restart(spark, tmp_path):
+    """ADVICE r1: a replayed micro-batch after a driver restart must not
+    be double-counted. Simulate the restart by constructing a fresh sink
+    over the same state file and replaying the last batch id."""
+    from euclid_spark.streaming.block_db import IncrementalDigest
+
+    df = spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("user_id")
+    )
+    state = str(tmp_path / "digest_state.json")
+    sink = IncrementalDigest(state_path=state)
+    sink.process(df, batch_id=0)
+    sink.process(df, batch_id=1)
+    chain, n = sink.chain, sink.n_rows
+
+    revived = IncrementalDigest(state_path=state)  # "restarted driver"
+    assert (revived.chain, revived.n_rows, revived.last_batch_id) == (chain, n, 1)
+    revived.process(df, batch_id=1)  # checkpoint replays the last batch
+    assert (revived.chain, revived.n_rows) == (chain, n)
+    revived.process(df, batch_id=2)  # genuinely new batch still folds
+    assert revived.n_rows == n + 10
