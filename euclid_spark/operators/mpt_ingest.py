@@ -1,0 +1,266 @@
+"""MPT/RLP ingestion (SURVEY.md §2.A15-A16) — the reference's *input*
+surface: take raw RLP-encoded Merkle-Patricia-Trie nodes (what
+`eth_getProof` / a state snapshot delivers) and produce typed node rows,
+then reassemble the (key, value) mapping entries by walking the trie —
+`mrp2-utils/src/rlp.rs`, `mrp2-utils/src/mpt_sequential/mod.rs`,
+`mr-plonky2-circuits/src/storage/mapping/{leaf,branch,extension}.rs`
+re-expressed for Spark.
+
+Pipeline shape (all distributed; nothing trie-shaped runs on the driver):
+
+1. `synthesize_owner_tries` — testdata stand-in for the raw-node feed:
+   one storage trie per owner built inside `applyInPandas` (per-group =
+   embarrassingly parallel; at 100 TB each group is one contract's
+   storage proof set). Emits (owner, node_hash, node_rlp, is_root).
+2. `decode_mpt_nodes` — `mapInPandas` over node bytes → typed rows
+   (type, hex-prefix-decoded path nibbles, value, child refs). Embedded
+   (<32-byte) children are PROMOTED: the decoder emits them as extra
+   node rows keyed by keccak(embedded_rlp) and rewrites the parent's
+   child ref to that key, so the walker needs no inline special case.
+3. `mpt_reassemble` — level-synchronous trie walk as iterative joins:
+   a frontier of (owner, node_hash, prefix) advances one trie level per
+   round across ALL tries simultaneously; leaves/branch-terminals emit
+   entries. Rounds = max trie depth (≤ key-nibbles + 1, here ≤ 9; ≤ 65
+   for full 32-byte keys) — a bounded driver loop, each round pure
+   joins. Frontier/emit frames are checkpointed per round (lineage
+   would otherwise nest per level — same failure mode as
+   operators/components.py, see that module docstring).
+
+The round-trip IS the correctness gate: `euclid_mpt_reassemble` shreds
+entries into real trie nodes and must recover them exactly, so its
+oracle is plain SQL over the original entry derivation — the whole
+RLP/keccak/trie machinery cancels out, which is what makes a
+driver-checkable oracle possible at all (DuckDB has no keccak).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark.operators.euclid import _range, _token_id
+
+NODE_SCHEMA = (
+    "owner long, node_hash string, node_rlp binary, is_root boolean"
+)
+DECODED_SCHEMA = (
+    "owner long, node_hash string, node_type string, path array<int>, "
+    "value binary, children array<struct<idx:int, child:string>>"
+)
+
+
+def entries_for_owner(owner: int, tokens: "list[int]") -> "dict[bytes, bytes]":
+    """Deterministic mapping entries: key = token_id as 4 bytes, value =
+    (owner·2³² + token) left-padded to 32 bytes (storage-slot width —
+    also keeps every leaf ≥ 32 bytes RLP, matching real storage tries
+    where values are 32-byte words)."""
+    return {
+        int(t).to_bytes(4, "big"): (owner * (1 << 32) + int(t)).to_bytes(32, "big")
+        for t in tokens
+    }
+
+
+def synthesize_owner_tries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-owner storage tries from the events mapping entries. The
+    builder runs once per owner group inside applyInPandas — the Spark
+    analog of ingesting one contract's proof nodes per task."""
+    from euclid_spark.functions.rlp import build_trie
+
+    ev = (
+        _range(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("owner"), _token_id().alias("token_id"))
+        .filter(F.col("token_id").isNotNull())
+        .distinct()
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        owner = int(pdf["owner"].iloc[0])
+        root, nodes = build_trie(entries_for_owner(owner, pdf["token_id"].tolist()))
+        return pd.DataFrame(
+            {
+                "owner": owner,
+                "node_hash": [h.hex() for h in nodes],
+                "node_rlp": [nodes[h] for h in nodes],
+                "is_root": [h == root for h in nodes],
+            }
+        )
+
+    return ev.groupBy("owner").applyInPandas(build, NODE_SCHEMA)
+
+
+def decode_mpt_nodes(nodes: DataFrame) -> DataFrame:
+    """Typed rows from raw node bytes; embedded children promoted to
+    first-class rows (see module docstring)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from euclid_spark.functions.keccak import keccak256
+        from euclid_spark.functions.rlp import decode_node, rlp_encode
+
+        for pdf in batches:
+            out: "list[dict]" = []
+
+            def emit(owner: int, node_hash: str, rec: dict) -> None:
+                children = []
+                for idx, ref in rec["children"]:
+                    if isinstance(ref, bytes) and len(ref) == 32:
+                        children.append({"idx": idx, "child": ref.hex()})
+                    else:  # embedded node: promote to a row of its own
+                        enc = rlp_encode(ref)
+                        h = keccak256(enc).hex()
+                        children.append({"idx": idx, "child": h})
+                        emit(owner, h, decode_node(enc))
+                out.append(
+                    {
+                        "owner": owner,
+                        "node_hash": node_hash,
+                        "node_type": rec["type"],
+                        "path": rec["path"],
+                        "value": rec["value"],
+                        "children": children,
+                    }
+                )
+
+            for owner, node_hash, node_rlp in zip(
+                pdf["owner"], pdf["node_hash"], pdf["node_rlp"]
+            ):
+                emit(int(owner), node_hash, decode_node(bytes(node_rlp)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "owner", "node_hash", "node_type", "path", "value", "children",
+                ],
+            )
+
+    return nodes.select("owner", "node_hash", "node_rlp").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+MAX_DEPTH = 66  # 64 key nibbles + terminal + slack; bounded by the spec
+
+
+def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
+    """Walk every trie level-synchronously; emit (owner, key_nibbles,
+    value). `roots`: (owner, node_hash) of each trie's root."""
+    spark = decoded.sparkSession
+    _ckpt = (
+        (lambda df: df.checkpoint(eager=True))
+        if spark.sparkContext.getCheckpointDir()
+        else (lambda df: df.localCheckpoint(eager=True))
+    )
+
+    dec = decoded.persist()
+    dec.count()  # materialize once; every round joins against the cache
+
+    frontier = _ckpt(
+        roots.select(
+            "owner", "node_hash", F.expr("CAST(array() AS array<int>)").alias("prefix")
+        )
+    )
+    emitted: "list[DataFrame]" = []
+    for _ in range(MAX_DEPTH):
+        cur = frontier.join(dec, ["owner", "node_hash"])
+        leaves = cur.filter(F.col("node_type") == "leaf").select(
+            "owner",
+            F.concat("prefix", "path").alias("key_nibbles"),
+            "value",
+        )
+        terminals = cur.filter(
+            (F.col("node_type") == "branch") & (F.length("value") > 0)
+        ).select("owner", F.col("prefix").alias("key_nibbles"), "value")
+        emitted.append(_ckpt(leaves.unionAll(terminals)))
+
+        ext_next = cur.filter(F.col("node_type") == "extension").select(
+            "owner",
+            F.col("children")[0]["child"].alias("node_hash"),
+            F.concat("prefix", "path").alias("prefix"),
+        )
+        branch_next = (
+            cur.filter(F.col("node_type") == "branch")
+            .select("owner", "prefix", F.explode("children").alias("c"))
+            .select(
+                "owner",
+                F.col("c.child").alias("node_hash"),
+                F.concat("prefix", F.array(F.col("c.idx"))).alias("prefix"),
+            )
+        )
+        frontier = _ckpt(ext_next.unionAll(branch_next))
+        if frontier.isEmpty():
+            break
+    else:
+        raise RuntimeError("mpt_reassemble: depth exceeds MPT maximum — cyclic refs?")
+    dec.unpersist()
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.unionAll(e)
+    return out
+
+
+def _nibbles_to_hex(col: F.Column) -> F.Column:
+    return F.concat_ws(
+        "",
+        F.transform(col, lambda n: F.substring(F.lit("0123456789abcdef"), n + 1, 1)),
+    )
+
+
+def mpt_node_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — ingestion step alone: raw node bytes → typed rows, summarized
+    per owner (node-type census + max path length). Rows-only at the
+    driver: node populations depend on keccak-based trie structure, which
+    SQL cannot restate."""
+    nodes = synthesize_owner_tries(spark, sf_dir)
+    dec = decode_mpt_nodes(nodes)
+    return (
+        dec.groupBy("owner")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum((F.col("node_type") == "leaf").cast("int")).alias("n_leaf"),
+            F.sum((F.col("node_type") == "extension").cast("int")).alias("n_ext"),
+            F.sum((F.col("node_type") == "branch").cast("int")).alias("n_branch"),
+            F.max(F.size("path")).alias("max_path_len"),
+        )
+        .orderBy("owner")
+    )
+
+
+def mpt_reassemble_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — full round trip: entries → trie nodes → decode → walk →
+    entries. Output (owner, token_id, value_hex) must equal the original
+    derivation, which is the oracle."""
+    nodes = synthesize_owner_tries(spark, sf_dir)
+    dec = decode_mpt_nodes(nodes)
+    roots = nodes.filter("is_root").select("owner", "node_hash")
+    ent = mpt_reassemble(dec, roots)
+    return ent.select(
+        "owner",
+        F.conv(_nibbles_to_hex(F.col("key_nibbles")), 16, 10)
+        .cast("long")
+        .alias("token_id"),
+        F.lower(F.hex("value")).alias("value_hex"),
+    )
+
+
+QUERIES = {
+    "euclid_mpt_node_decode": mpt_node_decode,
+    "euclid_mpt_reassemble": mpt_reassemble_query,
+}
+
+from euclid_spark.operators.euclid import _RANGE, _TOKEN  # noqa: E402
+
+ORACLES = {
+    "euclid_mpt_reassemble": f"""
+        SELECT owner, token_id,
+               lpad(lower(to_hex(owner * 4294967296 + token_id)), 64, '0')
+                   AS value_hex
+        FROM (
+            SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id
+            FROM events
+            WHERE {_RANGE} AND event_type = 'purchase'
+              AND {_TOKEN} IS NOT NULL
+        )
+    """,
+}

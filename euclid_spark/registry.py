@@ -10,46 +10,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from euclid_spark.operators import euclid
+from euclid_spark.operators import (
+    components,
+    dedup,
+    euclid,
+    mpt_ingest,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 
-_MODULES = [euclid]
-
-try:  # modules land incrementally; keep the registry importable throughout
-    from euclid_spark.operators import relational
-
-    _MODULES.append(relational)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from euclid_spark.operators import dedup
-
-    _MODULES.append(dedup)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from euclid_spark.operators import similarity
-
-    _MODULES.append(similarity)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from euclid_spark.operators import textops
-
-    _MODULES.append(textops)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from euclid_spark.operators import multimodal
-
-    _MODULES.append(multimodal)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from euclid_spark.operators import components
-
-    _MODULES.append(components)
-except ImportError:  # pragma: no cover
-    pass
+_MODULES = [
+    euclid,
+    relational,
+    dedup,
+    similarity,
+    textops,
+    multimodal,
+    components,
+    mpt_ingest,
+]
 
 
 def _with_session_confs(
