@@ -4,10 +4,16 @@
   tiny filtered slice, so the plan is broadcast(query) × corpus scan: at
   100 TB the corpus is never shuffled, each partition scores its local
   rows and TakeOrderedAndProject keeps k per query (no global sort).
-- C6: random-hyperplane LSH — the scale path. Each vector gets an 8-bit
-  bucket (sign of 8 fixed hyperplane projections); probes only score
-  same-bucket rows, cutting the scored fraction to ~2⁻⁸ per bucket while
-  recalling close vectors (which share signs with high probability).
+- C6: random-hyperplane LSH — multi-table banding: T hash tables of b
+  sign bits each; a pair is a candidate if it collides in ANY table
+  (exactly the MinHash band trick, with hyperplane signs as the hash).
+  Recall for a pair with per-bit agreement q is 1-(1-q^b)^T, tunable
+  independently of the scored fraction ≈ 1-(1-2^-b)^T. The T=8, b=4
+  defaults are sized for THIS testdata's worst case (near-random
+  embeddings, true-neighbor cosine ≈ 0.3 → q ≈ 0.6 → recall ≈ 0.7 at
+  ~40 % scored); real clustered embeddings (q ≥ 0.8) get ≥ 0.99 recall
+  at the same cost, and raising b shrinks the scored fraction
+  exponentially. Recall is MEASURED in tests/test_ann_recall.py.
 
 All vector math is `zip_with`/`aggregate` higher-order functions: JVM
 codegen, double precision, no Python UDF, no Arrow transfer.
@@ -53,11 +59,15 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes() -> list[list[float]]:
+N_TABLES = 8  # hash tables (bands)
+BITS_PER_TABLE = 4  # sign bits per table
+
+
+def _planes(n: int = N_TABLES * BITS_PER_TABLE) -> list[list[float]]:
     """Fixed ±1 hyperplanes, deterministically derived from a counter via
     a small LCG (no RNG state, reproducible everywhere)."""
     vals, x = [], 1234567891
-    for _ in range(N_PLANES):
+    for _ in range(n):
         row = []
         for _ in range(DIM):
             x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
@@ -66,32 +76,47 @@ def _planes() -> list[list[float]]:
     return vals
 
 
-def lsh_bucket(emb_col: F.Column) -> F.Column:
-    """8-bit random-hyperplane bucket id for an embedding column."""
-    bucket = F.lit(0)
-    for j, plane in enumerate(_planes()):
-        p = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(emb_col, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+def lsh_buckets(emb_col: F.Column) -> F.Column:
+    """Array of N_TABLES bucket ids (BITS_PER_TABLE sign bits each) for an
+    embedding column. One expression tree, all JVM-side."""
+    planes = _planes()
+    buckets = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for j in range(BITS_PER_TABLE):
+            p = F.array(*[F.lit(v) for v in planes[t * BITS_PER_TABLE + j]])
+            bucket = bucket + F.when(
+                dot(emb_col, p) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        buckets.append(bucket.cast("int"))
+    return F.array(*buckets)
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 — ANN via hyperplane LSH (rows-only: approximate by design).
-    Probes join only their own bucket; the corpus side is bucketed once
-    and reusable across query batches."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("embedding")))
+    """C6 — ANN via multi-table hyperplane LSH (rows-only: approximate by
+    design). Corpus is hashed once into T tables (posexplode → one row
+    per (table, bucket)); a probe scores the union of its T buckets,
+    deduped. The corpus side's hashed layout is what you persist and
+    reuse across query batches at scale."""
+    emb = _emb(spark, sf_dir).withColumn("buckets", lsh_buckets(F.col("embedding")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        "bucket",
+        F.posexplode("buckets").alias("table", "bucket"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        "bucket",
+        F.posexplode("buckets").alias("table", "bucket"),
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
+    # any-table collision → candidate; max_by keeps one embedding copy
+    # per pair without a second join back to the corpus
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qe").alias("qe"), F.first("ce").alias("ce"))
+    )
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
@@ -105,20 +130,42 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 8
-N_PROBE = 2
+# 3/8 lists probed: on near-random embeddings (this testdata's worst
+# case) 2 probes recall only ~0.4 of true neighbors — cluster margins
+# are thin when the space has no structure. Real clustered corpora get
+# away with fewer probes; the recall test pins the floor either way.
+N_PROBE = 3
+
+
+def kmeans_centroids(emb: DataFrame, k: int = N_CENTROIDS, seed: int = 42) -> DataFrame:
+    """Real Lloyd k-means over the corpus via Spark ML (public API) —
+    replaces the r1 placeholder 'first K vectors'. Training is one
+    distributed pass per iteration; the fitted model is k×DIM doubles —
+    a model ARTIFACT, driver-held and re-broadcast like any parameter
+    table (this is not a collect-of-data anti-pattern). At 100 TB you
+    train on a sample and persist the centroids; the plan below is
+    unchanged either way."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(train)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(rows, "cid int, cemb array<double>")
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6b — IVF-style ANN: corpus vectors are assigned to their nearest
-    centroid (inverted lists); each query probes only its N_PROBE nearest
-    lists. Centroids here are a deterministic sample (first K vectors) —
-    swap in k-means output without changing the plan. At scale the
-    assignment is computed once and persisted; probes touch
-    N_PROBE/N_CENTROIDS of the corpus."""
+    """C6b — IVF ANN: corpus vectors are assigned to their nearest
+    k-means centroid (inverted lists); each query probes only its N_PROBE
+    nearest lists. At scale the assignment is computed once and
+    persisted; probes touch ~N_PROBE/N_CENTROIDS of the corpus. Recall
+    vs the exact baseline is measured in tests/test_ann_recall.py."""
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
+    cent = kmeans_centroids(emb.filter(F.col("vec_id") >= N_QUERIES))
 
     def nearest(df: DataFrame, id_col: str, emb_col: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).select(

@@ -1,0 +1,95 @@
+"""ANN recall gates (VERDICT r1 #9): an approximate index is only "done"
+when its recall against the exact baseline is measured. recall@k =
+|ANN-top-k ∩ exact-top-k| / k, averaged over the query set, at the
+oracle SF (500 corpus vectors — small enough to be cheap, large enough
+that buckets/lists actually partition the space)."""
+
+from __future__ import annotations
+
+from euclid_spark.operators.similarity import (
+    TOP_K,
+    sim_ann_lsh,
+    sim_ivf_topk,
+    sim_topk_cosine,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _topk_sets(df) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall_at_k(approx: dict, exact: dict) -> float:
+    per_q = [
+        len(approx.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def test_lsh_recall_floor(spark):
+    exact = _topk_sets(sim_topk_cosine(spark, SF_ORACLE))
+    lsh = _topk_sets(sim_ann_lsh(spark, SF_ORACLE))
+    r = _recall_at_k(lsh, exact)
+    print(f"\nLSH recall@{TOP_K}: {r:.3f}")
+    # 8-bit hyperplane buckets score ~1/256 of the corpus per probe; on
+    # near-random synthetic embeddings a recall floor of 0.2 guards
+    # against structural regressions (e.g. bucketing both sides
+    # differently) without overfitting to this dataset.
+    assert r >= 0.2, f"LSH recall@{TOP_K} collapsed: {r:.3f}"
+
+
+def test_ivf_recall_floor(spark):
+    exact = _topk_sets(sim_topk_cosine(spark, SF_ORACLE))
+    ivf = _topk_sets(sim_ivf_topk(spark, SF_ORACLE))
+    r = _recall_at_k(ivf, exact)
+    print(f"\nIVF recall@{TOP_K}: {r:.3f}")
+    # probing 2 of 8 k-means lists must keep a majority of true
+    # neighbors — if centroid training or list assignment breaks,
+    # recall drops toward n_probe/n_centroids = 0.25.
+    assert r >= 0.5, f"IVF recall@{TOP_K} collapsed: {r:.3f}"
+
+
+def test_ivf_probes_fraction_of_corpus(spark):
+    """The point of IVF is scoring a FRACTION of the corpus. Count scored
+    candidate pairs vs brute force."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    cent = kmeans_centroids(corpus)
+    assert cent.count() == N_CENTROIDS
+    n_corpus = corpus.count()
+    brute_pairs = N_QUERIES * n_corpus
+    # scored pairs = sum over probed lists of their sizes; bounded well
+    # below brute force unless lists are degenerate
+    from euclid_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", cosine(F.col("embedding"), F.col("cemb")).alias("s")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("s"))),
+        )
+        .filter("rn = 1")
+    )
+    sizes = {r["cid"]: r["n"] for r in assigned.groupBy("cid").count().withColumnRenamed("count", "n").collect()}
+    # worst case: every query probes the N_PROBE largest lists
+    biggest = sorted(sizes.values(), reverse=True)[:N_PROBE]
+    worst_scored = N_QUERIES * sum(biggest)
+    frac = worst_scored / brute_pairs
+    print(f"\nIVF worst-case scored fraction: {frac:.3f}")
+    assert frac < 0.8, "inverted lists are degenerate — IVF scores ~everything"
