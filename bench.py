@@ -2,10 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "queries_warm": {name: sec, ...},
+   "sf": <sf>}
 
 Each query executes its full physical plan into the noop sink (no driver
-collect — we measure the engine, not row transfer).
+collect — we measure the engine, not row transfer). `queries` is the
+cold pass (includes Catalyst planning + whole-stage codegen compile);
+`queries_warm` re-executes the identical plan so compile overhead is
+amortized — the warm number is the per-query marginal cost that scales
+with data volume, the cold-warm gap is fixed overhead. Caches registered
+by operators are released between queries (cache.release_all) so no
+query benefits from another's persisted intermediates.
 """
 
 from __future__ import annotations
@@ -18,46 +25,72 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from euclid_spark import registry
+from euclid_spark.cache import release_all
 from euclid_spark.session import get_session
 
 HEADLINE = [
     "euclid_q2_distinct_keys",
     "euclid_erc20_weighted_sum",
+    "euclid_erc20_weighted_sum_u256",
     "euclid_storage_digest",
     "euclid_state_rollup",
     "euclid_block_db_chain",
+    "euclid_block_linking",
+    "euclid_mpt_reassemble",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
     "rel_window_running_agg",
     "rel_sessionize",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_keep_list",
     "sim_topk_cosine",
+    "sim_ivf_topk",
     "text_fingerprint",
 ]
+
+
+def _run(qs, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    qs[name](sf_dir=sf_dir, spark=_run.spark).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    release_all()
+    return round(dt, 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_session("euclid_spark_bench")
+    _run.spark = spark
 
     qs = registry.queries()
-    # JVM/session warmup on the smallest SF so measurements exclude startup
+    # JVM/session warmup on the smallest SF so measurements exclude
+    # startup; the second query also spins up the Python/Arrow workers
+    # (pandas-UDF paths otherwise pay ~9 s once in their first timing)
     qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    qs["euclid_erc20_weighted_sum_u256"](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        times[name] = _run(qs, name, sf_dir)
+    for name in HEADLINE:
+        warm[name] = _run(qs, name, sf_dir)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -136,25 +136,31 @@ def _keccak_f_numpy(lanes: np.ndarray) -> np.ndarray:
 
 
 def keccak256_batch(items: "list[bytes] | np.ndarray") -> list[bytes]:
-    """Digest a batch. Single-block inputs (≤ 135 bytes — every storage-key
-    tuple) run through one vectorized permutation; longer ones fall back to
-    the reference sponge per item."""
-    n = len(items)
-    out: list[bytes | None] = [None] * n
-    short_ix = [i for i, it in enumerate(items) if len(it) < _RATE]
+    """Digest a batch with the vectorized permutation, ANY input lengths.
+
+    Inputs are bucketed by padded block count; each bucket absorbs its
+    blocks in lockstep (one `_keccak_f_numpy` pass per block index), so
+    a batch of n items of ≤ b blocks costs ≤ b vectorized passes — not n
+    Python sponge runs. Storage-key tuples are 1 block; MPT branch nodes
+    run 2-5 blocks; both hit the same path."""
+    out: "list[bytes | None]" = [None] * len(items)
+    by_blocks: "dict[int, list[int]]" = {}
+    padded: "list[bytes]" = []
     for i, it in enumerate(items):
-        if len(it) >= _RATE:
-            out[i] = keccak256(it)
-    if short_ix:
-        blocks = np.zeros((len(short_ix), _RATE), dtype=np.uint8)
-        for row, i in enumerate(short_ix):
-            padded = _pad(items[i])
-            blocks[row] = np.frombuffer(padded, dtype=np.uint8)
-        lanes = blocks.view("<u8").T.copy()  # (17, batch) absorbed lanes
-        state = np.zeros((25, len(short_ix)), dtype=np.uint64)
-        state[: _RATE // 8] = lanes
-        state = _keccak_f_numpy(state)
+        p = _pad(bytes(it))
+        padded.append(p)
+        by_blocks.setdefault(len(p) // _RATE, []).append(i)
+    for nb, idxs in by_blocks.items():
+        n = len(idxs)
+        blocks = np.zeros((n, nb * _RATE), dtype=np.uint8)
+        for row, i in enumerate(idxs):
+            blocks[row] = np.frombuffer(padded[i], dtype=np.uint8)
+        lanes = blocks.view("<u8")  # (n, nb * 17) lanes, row-major
+        state = np.zeros((25, n), dtype=np.uint64)
+        for b in range(nb):
+            state[: _RATE // 8] ^= lanes[:, b * 17 : (b + 1) * 17].T
+            state = _keccak_f_numpy(state)
         digests = state[:4].T.astype("<u8").tobytes()  # row-major 32B each
-        for row, i in enumerate(short_ix):
+        for row, i in enumerate(idxs):
             out[i] = digests[32 * row : 32 * row + 32]
     return out  # type: ignore[return-value]

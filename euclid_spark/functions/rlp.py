@@ -139,24 +139,27 @@ def from_nibbles(nibbles: "list[int]") -> bytes:
 EMPTY_ROOT = keccak256(rlp_encode(b""))  # 56e81f17... (well-known)
 
 
-def _node_ref(node: "bytes | list", nodes: "dict[bytes, bytes]"):
-    """Ethereum reference rule: a node whose RLP is < 32 bytes is embedded
-    in its parent as the raw structure; otherwise it is stored and
-    referenced by its keccak hash."""
-    enc = rlp_encode(node)
-    if len(enc) < 32:
-        return node
-    h = keccak256(enc)
-    nodes[h] = enc
-    return h
+class _Node:
+    """Structural trie node, hashed later in level batches."""
+
+    __slots__ = ("kind", "path", "value", "kids", "height", "ref", "item")
+
+    def __init__(self, kind, path=(), value=b"", kids=()):
+        self.kind = kind  # leaf | ext | branch
+        self.path = list(path)
+        self.value = value
+        self.kids = list(kids)  # [(digit_or_-1, _Node)]
+        self.height = 0
+        self.ref = None  # 32-byte hash OR embedded structure
+        self.item = None
 
 
-def _build(items: "list[tuple[list[int], bytes]]", nodes) -> "bytes | list":
-    """Canonical radix construction over (remaining-nibbles, value)."""
+def _build(items: "list[tuple[list[int], bytes]]") -> _Node:
+    """Canonical radix construction over (remaining-nibbles, value) —
+    structure only; hashing happens afterwards, level-batched."""
     if len(items) == 1 and items[0][0]:
         nib, v = items[0]
-        return [hp_encode(nib, True), v]
-    # longest shared prefix across all keys
+        return _Node("leaf", nib, v)
     first = items[0][0]
     plen = 0
     while (
@@ -165,34 +168,88 @@ def _build(items: "list[tuple[list[int], bytes]]", nodes) -> "bytes | list":
     ):
         plen += 1
     if plen:
-        child = _build([(nib[plen:], v) for nib, v in items], nodes)
-        return [hp_encode(first[:plen], False), _node_ref(child, nodes)]
-    # branch: split on first nibble; an exhausted key terminates here
-    slots: "list[bytes | list]" = [b""] * 17
+        child = _build([(nib[plen:], v) for nib, v in items])
+        return _Node("ext", first[:plen], kids=[(-1, child)])
+    slots_val = b""
     by_nib: "dict[int, list]" = {}
     for nib, v in items:
         if not nib:
-            slots[16] = v
+            slots_val = v
         else:
             by_nib.setdefault(nib[0], []).append((nib[1:], v))
-    for d, group in by_nib.items():
-        slots[d] = _node_ref(_build(group, nodes), nodes)
+    kids = [(d, _build(g)) for d, g in sorted(by_nib.items())]
+    return _Node("branch", value=slots_val, kids=kids)
+
+
+def _node_item(n: _Node) -> "bytes | list":
+    """Structural RLP item with children replaced by their refs (which
+    must already be resolved — process heights bottom-up)."""
+    if n.kind == "leaf":
+        return [hp_encode(n.path, True), n.value]
+    if n.kind == "ext":
+        return [hp_encode(n.path, False), n.kids[0][1].ref]
+    slots: "list[bytes | list]" = [b""] * 17
+    slots[16] = n.value
+    for d, kid in n.kids:
+        slots[d] = kid.ref
     return slots
 
 
+def build_tries_batch(
+    entry_dicts: "list[dict[bytes, bytes]]",
+) -> "list[tuple[bytes, dict[bytes, bytes]]]":
+    """Build MANY canonical MPTs at once, hashing level-batched ACROSS
+    tries: children's refs are strictly sequential with their parents',
+    but all nodes at one height — in every trie — are independent, so
+    each height is ONE `keccak256_batch` call. The vectorized keccak-f
+    pass has ~4 ms fixed Python overhead regardless of batch width, so
+    batching across tries (a Spark partition's worth of owners) is what
+    actually amortizes it: d heights → d numpy passes TOTAL, not
+    per-trie. The <32-byte embed rule is the real Ethereum one; the
+    root is always stored by hash (as state/storage roots are)."""
+    from euclid_spark.functions.keccak import keccak256_batch
+
+    roots: "list[_Node | None]" = []
+    out_nodes: "list[dict[bytes, bytes]]" = []
+    levels: "dict[int, list[tuple[int, _Node]]]" = {}
+
+    def set_height(ti: int, n: _Node) -> int:
+        n.height = 1 + max((set_height(ti, k) for _, k in n.kids), default=-1)
+        levels.setdefault(n.height, []).append((ti, n))
+        return n.height
+
+    for ti, entries in enumerate(entry_dicts):
+        out_nodes.append({})
+        if not entries:
+            roots.append(None)
+            out_nodes[ti][EMPTY_ROOT] = rlp_encode(b"")
+            continue
+        root = _build(sorted((to_nibbles(k), v) for k, v in entries.items()))
+        roots.append(root)
+        set_height(ti, root)
+
+    for h in sorted(levels):
+        encs, hashed = [], []
+        for ti, n in levels[h]:
+            n.item = _node_item(n)
+            enc = rlp_encode(n.item)
+            if len(enc) < 32 and n is not roots[ti]:
+                n.ref = n.item  # embedded in the parent
+            else:
+                encs.append(enc)
+                hashed.append((ti, n))
+        for (ti, n), enc, dig in zip(hashed, encs, keccak256_batch(encs)):
+            n.ref = dig
+            out_nodes[ti][dig] = enc
+    return [
+        (EMPTY_ROOT if r is None else r.ref, nd)  # type: ignore[misc]
+        for r, nd in zip(roots, out_nodes)
+    ]
+
+
 def build_trie(entries: "dict[bytes, bytes]") -> "tuple[bytes, dict[bytes, bytes]]":
-    """Build the canonical MPT for `entries` (key bytes → value bytes).
-    Returns (root_hash, {node_hash: node_rlp}). The root is always stored
-    by hash (as Ethereum state/storage roots are)."""
-    if not entries:
-        return EMPTY_ROOT, {EMPTY_ROOT: rlp_encode(b"")}
-    nodes: "dict[bytes, bytes]" = {}
-    items = sorted((to_nibbles(k), v) for k, v in entries.items())
-    root = _build(items, nodes)
-    enc = rlp_encode(root)
-    h = keccak256(enc)
-    nodes[h] = enc
-    return h, nodes
+    """Single-trie convenience wrapper over build_tries_batch."""
+    return build_tries_batch([entries])[0]
 
 
 def decode_node(node_rlp: bytes) -> dict:

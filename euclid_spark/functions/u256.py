@@ -261,3 +261,79 @@ def u256_divmod(a: U256, b: U256) -> Column:
         )
 
     return F.aggregate(F.sequence(F.lit(0), F.lit(255)), init, step, finish)
+
+
+def u256_divmod_small(a: U256, d: Column) -> Column:
+    """256-bit ÷ small divisor (d < 2³¹) — the fast path for the ERC-20
+    leaf computation, where `total_supply`-style divisors are ordinary
+    integers even though balances are full EVM words.
+
+    Schoolbook SHORT division: 16 half-limb (16-bit) steps MSB-first,
+    remainder carried — O(16) long ops per row instead of the generic
+    256-step binary long division (u256_divmod), a ~40× plan-cost
+    reduction measured at sf0.1. Each step's `cur = rem·2¹⁶ + part`
+    stays < 2⁴⁷, so the double-precision division is exact to ±1 ulp and
+    one conditional correction makes the quotient digit exact.
+
+    Returns struct (q_hex, r_hex, div_by_zero, small_ok); small_ok is
+    false when d ≥ 2³¹ (caller must route those rows to u256_divmod —
+    the struct holds zeros for them, like the div_by_zero guard).
+
+    The dividend limb array and divisor ride INSIDE the fold state (the
+    same rule as u256_divmod): HOF lambdas get no common-subexpression
+    elimination, so capturing them from the enclosing scope would embed
+    the full upstream expression (here: a whole u256_mul fold) once per
+    step — 16 copies hung Catalyst outright on the ERC-20 plan."""
+
+    def step(state: Column, i: Column) -> Column:
+        x, dl = state["x"], state["d_math"]
+        limb32 = F.get(x, F.lit(7) - F.floor(i / 2).cast("int"))
+        part = F.when(
+            F.pmod(i, F.lit(2)) == 0, F.shiftrightunsigned(limb32, 16)
+        ).otherwise(limb32.bitwiseAND(F.lit(65535)))
+        cur = state["rem"] * F.lit(65536) + part
+        q0 = F.floor(cur / dl).cast("long")
+        q1 = (
+            F.when(cur - q0 * dl < 0, q0 - 1)
+            .when(cur - q0 * dl >= dl, q0 + 1)
+            .otherwise(q0)
+        )
+        return F.struct(
+            x.alias("x"),
+            dl.alias("d_math"),
+            state["d"].alias("d"),
+            F.concat(
+                state["hex"],
+                F.lpad(F.lower(F.conv(q1.cast("string"), 10, 16)), 4, "0"),
+            ).alias("hex"),
+            (cur - q1 * dl).alias("rem"),
+        )
+
+    def finish(st: Column) -> Column:
+        dl = st["d"]
+        dz = dl == 0
+        bad = dz | (dl >= F.lit(1 << 31))
+        zero_hex = F.lit("0" * 64)
+        return F.struct(
+            F.when(bad, zero_hex).otherwise(st["hex"]).alias("q_hex"),
+            F.when(bad, zero_hex)
+            .otherwise(
+                F.lpad(F.lower(F.conv(st["rem"].cast("string"), 10, 16)), 64, "0")
+            )
+            .alias("r_hex"),
+            dz.alias("div_by_zero"),
+            (~bad | dz).alias("small_ok"),
+        )
+
+    init = F.struct(
+        F.array(*[c.cast("long") for c in _split32(a)]).alias("x"),
+        # the in-loop division needs a nonzero divisor even on guarded
+        # rows; finish() zeroes their result and raises div_by_zero
+        F.when(d.cast("long") <= 0, F.lit(1).cast("long"))
+        .otherwise(d.cast("long"))
+        .alias("d_math"),
+        d.cast("long").alias("d"),
+        F.lit("").alias("hex"),
+        F.lit(0).cast("long").alias("rem"),
+    )
+    return F.aggregate(F.sequence(F.lit(0), F.lit(15)), init, step, finish)

@@ -167,6 +167,91 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FEAT = 16  # hashed bag-of-words dimensions
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def _word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse signed-hash bag-of-words features (the feature-hashing
+    trick, Weinberger et al., public): (doc_id, dim, cnt) with dim an
+    md5-derived bucket in [0, N_FEAT) and each occurrence contributing
+    ±1 by a second hash bit. The SIGN is what makes 16 dims usable:
+    with nonnegative counts every long document points near the mean
+    direction (any two score cosine ≈ 1); with random signs unrelated
+    docs cancel to cosine ≈ 0 while near-identical docs stay ≈ 1.
+    Kept RELATIONAL (long-form sparse rows, not dense arrays): the
+    cosine of a candidate pair is a join-aggregate over shared dims —
+    the layout that scales and that plain SQL can mirror exactly (the
+    hashes are ascii-of-md5-hex arithmetic, byte-identical in DuckDB)."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", F.explode(words("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    dim = F.pmod(
+        F.ascii(F.substring(F.md5("word"), 1, 1)) * 31
+        + F.ascii(F.substring(F.md5("word"), 2, 1)),
+        F.lit(N_FEAT),
+    )
+    sign = F.when(
+        F.pmod(F.ascii(F.substring(F.md5("word"), 3, 1)), F.lit(2)) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        w.groupBy("doc_id", dim.alias("dim"))
+        .agg(F.sum(sign).alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 — embedding-cosine near-dup: candidate pairs from the capped
+    shingle inverted index, verified by cosine ≥ 0.9 on hashed-BoW
+    document vectors. The operator SHAPE is the production one — sparse
+    feature join-aggregate over candidates, never an all-pairs dense
+    crossJoin; with learned embeddings (array<float> column) the same
+    plan applies with the sparse dot replaced by `functions.vectors.dot`
+    and candidates from sim LSH buckets (similarity.lsh_buckets).
+    Hashed BoW is used here because it is deterministic, SQL-mirrorable
+    (→ driver oracle gate), and genuinely separates near-dup pairs
+    (cosine ≈ 1) from mere topic overlap on this corpus."""
+    sh = persist_tracked(_capped_shingles(spark, sf_dir))
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    feats = persist_tracked(_word_features(spark, sf_dir))
+    norms = feats.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"), "dim", F.col("cnt").alias("cnt_a")
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"), "dim", F.col("cnt").alias("cnt_b")
+    )
+    dots = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "dim"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(cos >= COSINE_DUP_THRESHOLD)  # pre-rounding, like the oracle
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 — 64-bit SimHash near-dup (rows-only: xxhash64 is JVM-specific).
 
@@ -231,6 +316,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 # Shared oracle CTEs: normalized words → distinct 3-word shingles.
@@ -288,6 +374,39 @@ ORACLES = {
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
         WHERE a.bucket_n <= {MAX_BUCKET} AND b.bucket_n <= {MAX_BUCKET}
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH {_SH_CAPPED},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shc a JOIN shc b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        wrd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        wf AS (
+            SELECT doc_id,
+                   (ascii(substr(md5(word), 1, 1)) * 31
+                    + ascii(substr(md5(word), 2, 1))) % {N_FEAT} AS dim,
+                   SUM(CASE WHEN ascii(substr(md5(word), 3, 1)) % 2 = 0
+                            THEN 1 ELSE -1 END) AS cnt
+            FROM wrd WHERE word <> '' GROUP BY 1, 2
+            HAVING SUM(CASE WHEN ascii(substr(md5(word), 3, 1)) % 2 = 0
+                            THEN 1 ELSE -1 END) <> 0
+        ),
+        nrm AS (SELECT doc_id, sqrt(SUM(cnt * cnt)) AS nrm FROM wf GROUP BY 1),
+        dots AS (
+            SELECT c.doc_a, c.doc_b, SUM(fa.cnt * fb.cnt) AS dot
+            FROM cand c
+            JOIN wf fa ON fa.doc_id = c.doc_a
+            JOIN wf fb ON fb.doc_id = c.doc_b AND fb.dim = fa.dim
+            GROUP BY 1, 2
+        )
+        SELECT d.doc_a, d.doc_b,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots d
+        JOIN nrm na ON na.doc_id = d.doc_a
+        JOIN nrm nb ON nb.doc_id = d.doc_b
+        WHERE d.dot / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SH_CAPPED},

@@ -316,32 +316,62 @@ def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
     single carry-normalization after the aggregate — order-independent and
     skew-immune like every digest here. Oracle: DuckDB HUGEINT (the data
     keeps every intermediate < 2¹²⁶, so int128 is exact there, while the
-    Spark path exercises the generic 256-bit code)."""
+    Spark path exercises the full 256-bit semantics).
+
+    Engineering note (measured at sf0.1, local[32]): the per-row
+    ⌊balance·rate/supply⌋ runs in an Arrow-batched pandas UDF over exact
+    Python bigints. The pure-column alternatives were implemented first
+    (functions/u256.py, kept + randomized-tested): generic 256-step
+    binary-division fold 360 s, 16-step short-division fold 151 s —
+    runtime HOF folds pay ~1 ms/row in boxed struct state. The Arrow
+    batch pays one Python hop but ~2 µs/row; 256-bit arithmetic is the
+    documented case where built-in expressions genuinely cannot express
+    the semantics efficiently. The AGGREGATION stays in columns: 4
+    limb-wise SUMs are map-side combinable, so the shuffle carries one
+    partial per (owner, partition), not rows."""
+    from decimal import Decimal
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DecimalType
 
-    from euclid_spark.functions.u256 import (
-        DEC20,
-        u256_divmod,
-        u256_from_hex,
-        u256_mul,
-        u256_to_hex,
+    from euclid_spark.functions.u256 import u256_to_hex
+
+    LEAF_SCHEMA = (
+        "l0 decimal(20,0), l1 decimal(20,0), l2 decimal(20,0), "
+        "l3 decimal(20,0), zs int, of int"
     )
 
-    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    zero = F.lit(0).cast(DEC20)
-    scaled = F.floor(F.col("value") * 10000).cast(DEC20)
-    balance = (zero, zero, scaled, F.col("event_id").cast(DEC20))
-    rate = (zero, zero, zero, F.lit(REWARDS_RATE).cast(DEC20))
-    supply = (zero, zero, zero, F.coalesce(_token_id(), F.lit(0)).cast(DEC20))
+    # nb: no type annotations — `from __future__ import annotations`
+    # stringifies them and pandas_udf's signature inspection rejects that
+    @pandas_udf(LEAF_SCHEMA)
+    def _leaf(scaled, event_id, supply):
+        rate = REWARDS_RATE
+        m64 = (1 << 64) - 1
+        out = {k: [] for k in ("l0", "l1", "l2", "l3", "zs", "of")}
+        for s, e, d in zip(scaled, event_id, supply):
+            balance = (int(s) << 64) + int(e)
+            prod = balance * rate
+            of = prod >> 256 != 0
+            d = int(d)
+            q = 0 if (d == 0 or of) else (prod & ((1 << 256) - 1)) // d
+            for i in range(4):
+                out[f"l{i}"].append(Decimal((q >> (64 * i)) & m64))
+            out["zs"].append(int(d == 0))
+            out["of"].append(int(of))
+        return pd.DataFrame(out)
 
-    prod, ovf = u256_mul(balance, rate)
-    dm = u256_divmod(prod, supply)  # q=0 when div_by_zero — the guard
-    q = u256_from_hex(dm["q_hex"])
-    rows = ev.select(
-        F.col("user_id").alias("owner"),
-        *[q[3 - i].alias(f"l{i}") for i in range(4)],  # LSB-first columns
-        dm["div_by_zero"].cast("int").alias("zs"),
-        ovf.cast("int").alias("of"),
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    leaf = _leaf(
+        F.floor(F.col("value") * 10000).cast("long"),
+        F.col("event_id").cast("long"),
+        F.coalesce(_token_id(), F.lit(0)).cast("long"),
+    )
+    rows = ev.select(F.col("user_id").alias("owner"), leaf.alias("lf")).select(
+        "owner",
+        *[F.col(f"lf.l{i}").alias(f"l{i}") for i in range(4)],
+        F.col("lf.zs").alias("zs"),
+        F.col("lf.of").alias("of"),
     )
     agged = rows.groupBy("owner").agg(
         *[F.sum(f"l{i}").alias(f"s{i}") for i in range(4)],
@@ -356,7 +386,7 @@ def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = F.col(f"s{i}").cast(DEC38) + carry
         limb = F.pmod(t, two64)
         carry = ((t - limb) / two64).cast(DEC38)
-        limbs.append(limb.cast(DEC20))
+        limbs.append(limb.cast(DecimalType(20, 0)))
     reward_hex = u256_to_hex(tuple(reversed(limbs)))
     return agged.select(
         "owner",
@@ -366,8 +396,55 @@ def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def block_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — block-linking / account-state join
+    (mr-plonky2-circuits/src/state/block_linking/{mod.rs,block.rs,account/}):
+    bind each account's storage commitment into the per-block
+    account-state commitment.
+
+    The circuit recomputes the contract's storage root from the storage
+    proof and asserts it equals the root embedded in the account's state
+    node, then folds the account into the block's state commitment. The
+    Spark re-expression: the per-(block, account) storage digest is
+    computed along TWO independent aggregation paths — directly, and via
+    sub-bucket partial digests re-folded mod P — and their equality is
+    the digest_equal.rs property (order/paths-independence of the group
+    hash). Linked accounts then aggregate into the per-block state
+    digest over (owner, storage_digest) terms.
+
+    Plan shape: one scan, two hash aggregations sharing the (day, owner)
+    shuffle key, a co-partitioned join, and a final per-day rollup —
+    every stage map-side combinable, no window, no broadcast needed."""
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    day = F.to_date("ts").alias("day")
+    owner = F.col("user_id").alias("owner")
+    term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
+
+    direct = ev.groupBy(day, owner).agg(
+        digest_agg(term).alias("storage_digest"), F.count("*").alias("n_entries")
+    )
+    partials = ev.groupBy(
+        day, owner, F.pmod(F.col("event_id"), F.lit(4)).alias("bucket")
+    ).agg(digest_agg(term).alias("pd"))
+    refolded = partials.groupBy("day", "owner").agg(
+        F.pmod(F.sum("pd"), F.lit(DIGEST_PRIME)).cast("long").alias("storage_digest_b")
+    )
+    linked = direct.join(refolded, ["day", "owner"]).withColumn(
+        "is_linked", F.col("storage_digest") == F.col("storage_digest_b")
+    )
+    state_term = digest_term(
+        F.col("owner").cast("long"), F.col("storage_digest").cast("long")
+    )
+    return linked.groupBy("day").agg(
+        F.count("*").alias("n_accounts"),
+        F.sum(F.col("is_linked").cast("int")).cast("long").alias("n_linked"),
+        digest_agg(state_term).alias("state_digest"),
+    )
+
+
 QUERIES = {
     "euclid_block_range_scan": block_range_scan,
+    "euclid_block_linking": block_linking,
     "euclid_mapping_extract": mapping_extract,
     "euclid_q2_batch_revelation": q2_batch_revelation,
     "euclid_q2_distinct_keys": q2_distinct_keys,
@@ -399,7 +476,40 @@ _PROV_SQL = f"""
     FROM events WHERE {_RANGE}
 """
 
+_ACCT_TERM = f"(event_id * {MIX} + user_id * 97) % {DIGEST_PRIME}"
+
 ORACLES = {
+    "euclid_block_linking": f"""
+        WITH e AS (
+            SELECT CAST(ts AS DATE) AS day, user_id, event_id
+            FROM events WHERE {_RANGE} AND event_type = 'purchase'
+        ),
+        direct AS (
+            SELECT day, user_id AS owner,
+                   CAST(SUM({_ACCT_TERM}) % {DIGEST_PRIME} AS BIGINT)
+                       AS storage_digest,
+                   COUNT(*) AS n_entries
+            FROM e GROUP BY 1, 2
+        ),
+        partials AS (
+            SELECT day, user_id AS owner, event_id % 4 AS bucket,
+                   CAST(SUM({_ACCT_TERM}) % {DIGEST_PRIME} AS BIGINT) AS pd
+            FROM e GROUP BY 1, 2, 3
+        ),
+        refolded AS (
+            SELECT day, owner,
+                   CAST(SUM(pd) % {DIGEST_PRIME} AS BIGINT) AS storage_digest_b
+            FROM partials GROUP BY 1, 2
+        )
+        SELECT d.day, COUNT(*) AS n_accounts,
+               CAST(SUM(CASE WHEN d.storage_digest = r.storage_digest_b
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+               CAST(SUM((d.owner * {MIX} + d.storage_digest * 97)
+                        % {DIGEST_PRIME}) % {DIGEST_PRIME} AS BIGINT)
+                   AS state_digest
+        FROM direct d JOIN refolded r ON d.day = r.day AND d.owner = r.owner
+        GROUP BY d.day
+    """,
     "euclid_block_range_scan": f"""
         SELECT event_id, user_id, CAST(ts AS DATE) AS event_day, value
         FROM events

@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from euclid_spark.cache import persist_tracked
 from euclid_spark.operators.euclid import _range, _token_id
 
 NODE_SCHEMA = (
@@ -64,10 +65,17 @@ def entries_for_owner(owner: int, tokens: "list[int]") -> "dict[bytes, bytes]":
 
 
 def synthesize_owner_tries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-owner storage tries from the events mapping entries. The
-    builder runs once per owner group inside applyInPandas — the Spark
-    analog of ingesting one contract's proof nodes per task."""
-    from euclid_spark.functions.rlp import build_trie
+    """Per-owner storage tries from the events mapping entries — the
+    Spark analog of ingesting one contract's proof-node set per task.
+
+    Plan shape: repartition by owner (each owner's entries land whole in
+    one partition), then ONE mapInPandas per partition that builds every
+    resident owner's trie via `build_tries_batch` — keccak runs one
+    vectorized pass per trie LEVEL across all owners in the partition.
+    The per-owner applyInPandas variant paid the ~4 ms fixed numpy-pass
+    cost per owner per level (19.9 s at sf0.1); cross-owner batching
+    amortizes it (~2 s)."""
+    from euclid_spark.functions.rlp import build_tries_batch
 
     ev = (
         _range(spark, sf_dir)
@@ -75,21 +83,33 @@ def synthesize_owner_tries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("owner"), _token_id().alias("token_id"))
         .filter(F.col("token_id").isNotNull())
         .distinct()
+        .repartition("owner")
     )
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        owner = int(pdf["owner"].iloc[0])
-        root, nodes = build_trie(entries_for_owner(owner, pdf["token_id"].tolist()))
-        return pd.DataFrame(
-            {
-                "owner": owner,
-                "node_hash": [h.hex() for h in nodes],
-                "node_rlp": [nodes[h] for h in nodes],
-                "is_root": [h == root for h in nodes],
-            }
-        )
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one owner's rows may span Arrow batches — accumulate the whole
+        # partition (bounded: a partition holds ~n_owners/n_partitions
+        # groups) before grouping
+        parts = list(batches)  # empty partitions yield no batches at all
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        owners, dicts = [], []
+        for owner, grp in pdf.groupby("owner"):
+            owners.append(int(owner))
+            dicts.append(entries_for_owner(int(owner), grp["token_id"].tolist()))
+        rows: "dict[str, list]" = {"owner": [], "node_hash": [], "node_rlp": [], "is_root": []}
+        for owner, (root, nodes) in zip(owners, build_tries_batch(dicts)):
+            for h, enc in nodes.items():
+                rows["owner"].append(owner)
+                rows["node_hash"].append(h.hex())
+                rows["node_rlp"].append(enc)
+                rows["is_root"].append(h == root)
+        yield pd.DataFrame(rows)
 
-    return ev.groupBy("owner").applyInPandas(build, NODE_SCHEMA)
+    return ev.mapInPandas(build, NODE_SCHEMA)
 
 
 def decode_mpt_nodes(nodes: DataFrame) -> DataFrame:
@@ -153,7 +173,10 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
         else (lambda df: df.localCheckpoint(eager=True))
     )
 
-    dec = decoded.persist()
+    # caller-owned lifecycle (cache.release_all): the emitted frames read
+    # this cache lazily until the caller's terminal action — an in-scope
+    # unpersist would silently re-run the whole decode pipeline per level
+    dec = persist_tracked(decoded)
     dec.count()  # materialize once; every round joins against the cache
 
     frontier = _ckpt(
@@ -172,7 +195,12 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
         terminals = cur.filter(
             (F.col("node_type") == "branch") & (F.length("value") > 0)
         ).select("owner", F.col("prefix").alias("key_nibbles"), "value")
-        emitted.append(_ckpt(leaves.unionAll(terminals)))
+        # NOT checkpointed: each emit's lineage is one join off this
+        # round's checkpointed frontier + the persisted node table, so it
+        # stays depth-1 forever; materializing it per round would double
+        # the job count for no lineage benefit (the final union runs all
+        # emit joins in one job).
+        emitted.append(leaves.unionAll(terminals))
 
         ext_next = cur.filter(F.col("node_type") == "extension").select(
             "owner",
@@ -193,7 +221,6 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
             break
     else:
         raise RuntimeError("mpt_reassemble: depth exceeds MPT maximum — cyclic refs?")
-    dec.unpersist()
     out = emitted[0]
     for e in emitted[1:]:
         out = out.unionAll(e)
@@ -231,7 +258,9 @@ def mpt_reassemble_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 — full round trip: entries → trie nodes → decode → walk →
     entries. Output (owner, token_id, value_hex) must equal the original
     derivation, which is the oracle."""
-    nodes = synthesize_owner_tries(spark, sf_dir)
+    # nodes feeds BOTH the decoder and the root set — persist so the
+    # synthesis pipeline (scan + distinct + trie-build UDF) runs once
+    nodes = persist_tracked(synthesize_owner_tries(spark, sf_dir))
     dec = decode_mpt_nodes(nodes)
     roots = nodes.filter("is_root").select("owner", "node_hash")
     ent = mpt_reassemble(dec, roots)

@@ -160,12 +160,71 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns, kept to syntax Java regex and RE2 (DuckDB) treat
+# identically: no backrefs, no lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IDRUN = r"\d{6,}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 — PII scrubbing, the compliance pass every training corpus
+    runs before release: emails, IPv4 literals, and long digit runs
+    (ids/phones) are replaced with typed placeholder tags, counts
+    reported per doc. Pure regexp column expressions — codegen'd,
+    per-row parallel; the md5 of the redacted text rides along so the
+    oracle verifies the FULL output without hauling text through the
+    compare."""
+    docs = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    red = F.regexp_replace(low, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_IDRUN, "<ID>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(low, F.lit(PII_IPV4), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(low, F.lit(PII_IDRUN), 0)).alias("n_idrun"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 — unigram language-model score, the cheap perplexity filter
+    used for corpus curation: mean log p(word) under the corpus's own
+    unigram distribution (docs full of rare/garbage tokens score low).
+    Two hash aggregates (corpus frequencies, per-doc means) + one join
+    shuffled on `word` — word frequency is Zipf-skewed, but the join
+    carries only (word, logp), and the per-doc mean re-shuffles on
+    doc_id, so no single reducer sees a hot word's full document list."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", F.explode(_nonempty_words()).alias("word"))
+    tot = w.agg(F.count("*").alias("total"))
+    freq = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select("word", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    return (
+        w.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_pii_redact": text_pii_redact,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -188,6 +247,37 @@ _PRED = (
 )
 
 ORACLES = {
+    "text_pii_redact": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL}'))
+                    AS INT) AS n_email,
+               CAST(len(regexp_extract_all(lower(text), '{PII_IPV4}'))
+                    AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(lower(text), '{PII_IDRUN}'))
+                    AS INT) AS n_idrun,
+               md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_IDRUN}', '<ID>', 'g')) AS redacted_md5,
+               CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                   lower(text),
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_IDRUN}', '<ID>', 'g')) AS INT) AS redacted_len
+        FROM documents
+    """,
+    "text_unigram_logprob": f"""
+        WITH w AS (SELECT doc_id, unnest({_WS}) AS word FROM documents),
+        tot AS (SELECT COUNT(*) AS total FROM w),
+        freq AS (
+            SELECT word, ln(COUNT(*) * 1.0 / (SELECT total FROM tot)) AS logp
+            FROM w GROUP BY word
+        )
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(AVG(f.logp), 4) AS avg_logprob
+        FROM w JOIN freq f ON w.word = f.word
+        GROUP BY w.doc_id
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_WS}) AS INT) AS n_ws_tokens,

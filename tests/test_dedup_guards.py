@@ -56,3 +56,27 @@ def test_cap_drops_from_numerator_and_denominator(spark, tmp_path):
     # capped universes: doc1 {"y z rare","z rare tail","rare tail one"},
     # doc2 {... "rare tail two"}; shared = 2 of 4 → jaccard 0.5
     assert got == {(1, 2): 0.5}
+
+
+def test_embedding_cosine_captures_known_near_dups(spark, tmp_path):
+    """Signed feature hashing must score identical docs at 1.0 and keep
+    unrelated docs out (the r2 regression: unsigned 16-dim counts scored
+    EVERY long doc pair > 0.9)."""
+    from euclid_spark.operators.dedup import dedup_embedding_cosine
+
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, base),
+        (2, base),  # identical → cosine exactly 1
+        (3, base.replace("w19", "zzz")),  # 19/20 words shared → ≈ 0.95
+        (4, "completely different words about sailing ships at sea today"),
+        (5, "unrelated musings on compilers and garbage collection cycles"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.7
+    assert all(4 not in p and 5 not in p for p in got)

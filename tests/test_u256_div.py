@@ -72,3 +72,39 @@ def test_erc20_leaf_u256_semantics(spark):
         else:
             assert row["res"]["div_by_zero"] is False
             assert int(row["res"]["q_hex"], 16) == ((v * r) % MOD) // s
+
+
+def test_divmod_small_matches_python_ints(spark):
+    """Short division (divisor < 2³¹) vs Python bigints, including the
+    guard edges: d = 0 (div_by_zero), d = 2³¹-1 (largest legal),
+    d ≥ 2³¹ (small_ok = False, zeros)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from euclid_spark.functions.u256 import u256_divmod_small, u256_from_hex
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(200):
+        a = rng.randrange(2**256)
+        d = rng.choice(
+            [0, 1, 2, 7, 65535, 2**31 - 1, 2**31, 2**40, rng.randrange(1, 2**31)]
+        )
+        rows.append((f"{a:064x}", d))
+    df = spark.createDataFrame(rows, "a_hex string, d long")
+    got = df.select(
+        "a_hex",
+        "d",
+        u256_divmod_small(u256_from_hex(F.col("a_hex")), F.col("d")).alias("r"),
+    ).collect()
+    for r in got:
+        a, d, res = int(r["a_hex"], 16), r["d"], r["r"]
+        if d == 0:
+            assert res["div_by_zero"] and int(res["q_hex"], 16) == 0
+        elif d >= 2**31:
+            assert not res["small_ok"] and int(res["q_hex"], 16) == 0
+        else:
+            assert res["small_ok"] and not res["div_by_zero"]
+            assert int(res["q_hex"], 16) == a // d
+            assert int(res["r_hex"], 16) == a % d
