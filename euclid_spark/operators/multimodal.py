@@ -118,15 +118,79 @@ def mm_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 3  # sample every 3rd frame
+RESIZE_K = 4  # keep every 4th byte of a sampled frame ("thumbnail")
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 — frame sampling + resize plumbing: of the payload's
+    fixed-size frames, keep every FRAME_STRIDE-th, and derive a
+    byte-strided "thumbnail" (every RESIZE_K-th byte) per kept frame —
+    the deterministic stand-ins for video frame-sampling and image
+    resize (the real decoders slot into the same rows; see the C11
+    stub). All columnar: a stepped `sequence` generates the sampled
+    frame indices, higher-order `transform` does the stride — no UDF,
+    output rows ∝ payload size / (FRAME · STRIDE)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_frames = F.ceil(F.length("text") / F.lit(CHUNK)).cast("int")
+    sampled = F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE))
+    frame = F.col("text").substr(F.col("frame_idx") * CHUNK + 1, F.lit(CHUNK))
+    rows = docs.select(
+        "doc_id", "text", F.explode(sampled).alias("frame_idx")
+    ).withColumn("frame", frame)
+    resized = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("frame"), F.lit(1)), F.lit(RESIZE_K)),
+            lambda p: F.substring(F.col("frame"), p, 1),
+        ),
+        "",
+    )
+    return rows.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("frame_len"),
+        F.md5(resized).alias("resized_md5"),
+        F.length(resized).alias("resized_len"),
+    )
+
+
 QUERIES = {
     "mm_binary_pipeline": mm_binary_pipeline,
     "mm_chunk_fingerprints": mm_chunk_fingerprints,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 # mm_binary_pipeline is rows-only: the extractor is engine-side by
 # definition (that's the point of the stub). Chunking is deterministic →
 # oracle-checked.
 ORACLES: dict[str, str] = {
+    "mm_frame_sample": f"""
+        WITH fr AS (
+            SELECT doc_id, i,
+                   substr(text, 1 + {CHUNK} * i, {CHUNK}) AS frame
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0,
+                           CAST(ceil(length(text) / {CHUNK}.0) AS BIGINT),
+                           {FRAME_STRIDE})) AS i
+                FROM documents
+            )
+        ),
+        rz AS (
+            SELECT doc_id, i, frame,
+                   array_to_string(list_transform(
+                       range(1, length(frame) + 1, {RESIZE_K}),
+                       p -> substr(frame, CAST(p AS INT), 1)), '') AS resized
+            FROM fr
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               md5(frame) AS frame_md5,
+               CAST(length(frame) AS INT) AS frame_len,
+               md5(resized) AS resized_md5,
+               CAST(length(resized) AS INT) AS resized_len
+        FROM rz
+    """,
     "mm_chunk_fingerprints": f"""
         SELECT doc_id,
                CAST(i AS INT) AS chunk_idx,
