@@ -312,7 +312,10 @@ def u256_divmod_small(a: U256, d: Column) -> Column:
     def finish(st: Column) -> Column:
         dl = st["d"]
         dz = dl == 0
-        bad = dz | (dl >= F.lit(1 << 31))
+        # <= 0 (not just == 0): a NEGATIVE divisor also took the d_math
+        # clamp to 1 — without this it would silently return q = a with
+        # small_ok = true instead of flagging the row as out of range
+        bad = (dl <= 0) | (dl >= F.lit(1 << 31))
         zero_hex = F.lit("0" * 64)
         return F.struct(
             F.when(bad, zero_hex).otherwise(st["hex"]).alias("q_hex"),

@@ -159,9 +159,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # no broadcast hints: `sizes` has one row per document — it grows with
+    # the corpus, and a forced broadcast would OOM at 100× scale. The join
+    # keys are the pair ids the aggregation already shuffled on; AQE picks
+    # broadcast locally where the table is actually small.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)  # filter pre-rounding, like the oracle
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -244,9 +248,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    # per-doc norm tables are corpus-sized — never broadcast-hint them
+    # (same reasoning as dedup_ngram_jaccard); AQE decides at runtime.
     return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(cos >= COSINE_DUP_THRESHOLD)  # pre-rounding, like the oracle
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim"))
     )

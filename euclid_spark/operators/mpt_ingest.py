@@ -155,8 +155,14 @@ def decode_mpt_nodes(nodes: DataFrame) -> DataFrame:
                 ],
             )
 
-    return nodes.select("owner", "node_hash", "node_rlp").mapInPandas(
-        decode, DECODED_SCHEMA
+    # a byte-identical embedded node can sit at two positions within one
+    # owner's trie; promotion would then emit duplicate (owner, node_hash)
+    # rows and the reassembly frontier join would fan out duplicate
+    # entries. Content-addressed nodes are interchangeable → keep one.
+    return (
+        nodes.select("owner", "node_hash", "node_rlp")
+        .mapInPandas(decode, DECODED_SCHEMA)
+        .dropDuplicates(["owner", "node_hash"])
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,36 +37,62 @@ def decode_real(payload: bytes) -> bytes:  # pragma: no cover - documented stub
     )
 
 
-def _extract(payload: bytes) -> tuple[float, float, float, float]:
+def _extract_batch(payloads: "list[bytes | None]") -> "dict[str, np.ndarray]":
     """Deterministic fake feature extractor over raw bytes (byte-level
-    stats); stands in for a decoded-media embedding."""
-    if not payload:
-        return 0.0, 0.0, 0.0, 0.0
-    n = len(payload)
-    head = payload[: min(16, n)]
-    tail = payload[-min(16, n):]
-    mean = sum(payload) / n
-    return (
-        round(mean, 6),
-        float(sum(head) % 256),
-        float(sum(tail) % 256),
-        round(max(payload) - min(payload), 6),
+    stats); stands in for a decoded-media embedding. VECTORIZED across
+    the whole Arrow batch: all payloads are laid into one contiguous
+    uint8 buffer and every per-row statistic is a segmented numpy
+    reduction (`np.add.reduceat` over the segment offsets) — no per-row
+    Python. This is the batch shape a real decoder should follow: touch
+    the bytes once, reduce per segment."""
+    n = len(payloads)
+    lens = np.fromiter(
+        (len(p) if p is not None else 0 for p in payloads), np.int64, count=n
     )
+    out = {
+        "f_mean": np.zeros(n), "f_head": np.zeros(n),
+        "f_tail": np.zeros(n), "f_spread": np.zeros(n),
+    }
+    nz = lens > 0
+    if not nz.any():
+        return out
+    data = np.frombuffer(
+        b"".join(p for p in payloads if p), dtype=np.uint8
+    ).astype(np.int64)
+    seg = lens[nz]
+    starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+    # segments are contiguous and cover `data` exactly → reduceat over the
+    # start offsets is the per-row reduction
+    sums = np.add.reduceat(data, starts)
+    spread = np.maximum.reduceat(data, starts) - np.minimum.reduceat(data, starts)
+    # head/tail sums: paired offsets [start, start+h) — interleave starts
+    # and ends and keep the even positions; the sentinel byte keeps the
+    # final (empty) odd segment in-bounds without affecting any even one
+    h = np.minimum(16, seg)
+    data_s = np.append(data, 0)
+
+    def _ranged(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        idx = np.empty(2 * len(lo), dtype=np.int64)
+        idx[0::2], idx[1::2] = lo, hi
+        return np.add.reduceat(data_s, idx)[0::2]
+
+    out["f_mean"][nz] = np.round(sums / seg, 6)
+    out["f_head"][nz] = (_ranged(starts, starts + h) % 256).astype(float)
+    out["f_tail"][nz] = (_ranged(starts + seg - h, starts + seg) % 256).astype(float)
+    out["f_spread"][nz] = spread.astype(float)
+    return out
 
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        feats = pdf["payload"].map(_extract)
+        feats = _extract_batch(list(pdf["payload"]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
                 "n_bytes": pdf["n_bytes"],
                 "payload_md5": pdf["payload_md5"],
-                "f_mean": feats.map(lambda t: t[0]),
-                "f_head": feats.map(lambda t: t[1]),
-                "f_tail": feats.map(lambda t: t[2]),
-                "f_spread": feats.map(lambda t: t[3]),
+                **feats,
             }
         )
 
@@ -104,7 +131,12 @@ def mm_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per task."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_chunks = F.ceil(F.length("text") / F.lit(CHUNK)).cast("int")
-    idx = F.sequence(F.lit(0), n_chunks - 1)
+    # empty/NULL text ⇒ n_chunks 0/NULL: unguarded sequence(0, -1) would
+    # count DOWN (emitting bogus chunk_idx 0 and -1); an empty array
+    # explodes to no rows, matching the oracle's empty range(0, 0)
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunk_of = lambda i: F.col("text").substr(  # noqa: E731
         i * CHUNK + 1, F.lit(CHUNK)
     )
@@ -133,7 +165,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows ∝ payload size / (FRAME · STRIDE)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_frames = F.ceil(F.length("text") / F.lit(CHUNK)).cast("int")
-    sampled = F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE))
+    # empty/NULL text ⇒ n_frames 0/NULL: sequence(0, -1, 3) throws
+    # 'Illegal sequence boundaries' (start > stop with positive step);
+    # guard to an empty array → explode drops the row, like the oracle's
+    # empty range(0, 0, 3)
+    sampled = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
     frame = F.col("text").substr(F.col("frame_idx") * CHUNK + 1, F.lit(CHUNK))
     rows = docs.select(
         "doc_id", "text", F.explode(sampled).alias("frame_idx")

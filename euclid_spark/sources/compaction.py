@@ -7,13 +7,20 @@ object-store listing cost grows unbounded. Compaction rewrites a
 directory into ~target-sized files, preserving rows exactly.
 
 Spark-first shape: one distributed read → `repartition(n)` →
-atomic-rename swap. `n` comes from the actual byte size on disk, not a
+rename swap. `n` comes from the actual byte size on disk, not a
 guess; `repartition` (round-robin) gives evenly-sized output files,
 unlike `coalesce` which merges adjacent partitions unevenly and can
-starve parallelism upstream of the write. The swap is
-write-to-temp-then-rename so readers never observe a half-compacted
-directory (on object stores, swap via a manifest/metastore pointer
-instead — the plan is identical)."""
+starve parallelism upstream of the write.
+
+Swap semantics (two renames, NOT one atomic operation): readers never
+observe a HALF-compacted directory — each rename is atomic, so they see
+either the old files or the new — but between the two renames there is a
+brief window where `path` does not exist, and a crash inside it leaves
+the data only under the randomized `.old-*` / `.compact-*` names
+(recovery: rename whichever survives back to `path`). Single-writer
+maintenance jobs tolerate this; for concurrent readers swap via a
+symlink or manifest/metastore pointer flip instead — on object stores
+that is the only option anyway, and the Spark plan is identical."""
 
 from __future__ import annotations
 
