@@ -1,0 +1,247 @@
+"""Merkle-tree table commitments with per-row opening paths
+(SURVEY.md §2.A18).
+
+The reference's storage/state DBs are real Merkle trees — entries are
+leaves, the root is the table commitment, and any row's membership is
+provable by an *opening path* of sibling hashes up to the root
+(mrp2-utils/src/merkle_tree/mod.rs; mr-plonky2-circuits/src/state/lpn/
+leaf.rs and node.rs hash leaf/inner nodes with distinct flavors of
+Poseidon). The additive digest in functions/hashing.py is the
+aggregation-friendly commitment; what it cannot do is produce a
+*verifiable path* for a single row — this module adds that.
+
+Spec (chosen so both Spark and an external ANSI-SQL oracle can compute
+it bit-for-bit — sha2-256 over lowercase-hex strings stands in for
+Poseidon, exactly like functions/mpt.py):
+
+- entries of a group are sorted by their key and numbered 0..n-1
+  (canonical order ⇒ deterministic tree, like the reference's sorted
+  storage slots);
+- leaf(i)   = sha256(entry encoding)                        [level 0]
+- parent    = sha256(left_hex || right_hex)                 [level k+1]
+- an unpaired tail node is PROMOTED unchanged to the next level
+  (no self-concat), so a path simply *skips* promoted levels;
+- the root is the single level-`LEVELS` node of the group; a fixed
+  `LEVELS` bound keeps the oracle non-recursive — chained CTEs — and
+  promotion makes extra levels above the true root the identity.
+
+Opening path of leaf p: at each level k, the sibling of its ancestor
+(`anc = p >> k`, sibling `anc ± 1`), tagged with the side the sibling
+sits on — serialized `"k<side>:<hex>"` joined by `/` so the driver's
+string-valued compare pins every byte. tests/test_merkle.py re-folds
+every emitted path back to the root (the verifier a proof consumer
+would run).
+
+Scale shape: building level k+1 from level k is one hash aggregation on
+(group, pos>>1) — log₂(max group size) geometrically-shrinking
+shuffles, each map-side combinable pairing. The path join is
+leaves × levels on (group, level, sibling_pos) — n·log n rows, plain
+shuffle hash join, no window over a whole group and nothing
+driver-side. Each level is persisted (total cached volume ≤ 2n rows)
+so the final union of levels reads every level exactly once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from euclid_spark.cache import persist_tracked
+
+# Supports groups up to 2^16 = 65,536 entries; raise for bigger groups
+# (the builder is O(log n) rounds either way — extra levels past the
+# true root are identity promotions).
+LEVELS = 16
+
+
+def merkle_levels(
+    leaves: DataFrame, group: str = "group_key", levels: int | None = None
+) -> "tuple[DataFrame, int]":
+    """leaves: (group, pos, node_hash) with pos contiguous 0..n-1 per
+    group. Returns (nodes, depth): every tree node as
+    (group, level, pos, node_hash), level 0 = leaves, level `depth` =
+    the root row (pos 0 per group).
+
+    `levels=None` sizes the tree from the data: depth =
+    ⌈log₂(max group size)⌉ (one tiny count aggregate — orchestration,
+    like the components loop). The fixed-`LEVELS` oracle is unaffected:
+    promotion makes every level above the true root the identity.
+
+    Each level is **eagerly localCheckpoint-ed**: the final node table
+    unions every level, and un-truncated lineage would nest k chained
+    aggregations in branch k — O(depth²) plan nodes that stall Catalyst
+    far longer than the (tiny, geometrically-shrinking) jobs themselves.
+    On a real cluster prefer reliable checkpoint() (survives executor
+    loss) exactly as in operators/components.py."""
+    lvl = leaves.select(group, "pos", "node_hash").localCheckpoint(eager=True)
+    if levels is None:
+        mx = (
+            lvl.groupBy(group).count().agg(F.max("count").alias("m")).collect()
+        )[0]["m"] or 1
+        levels = max(1, math.ceil(math.log2(mx))) if mx > 1 else 1
+    out = [lvl.withColumn("level", F.lit(0))]
+    for k in range(1, levels + 1):
+        pos = F.col("pos")
+        lvl = (
+            lvl.groupBy(group, F.shiftright(pos, 1).alias("pos"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.when(pos % 2 == 0, F.col("node_hash"))).alias("lh"),
+                F.min(F.when(pos % 2 == 1, F.col("node_hash"))).alias("rh"),
+            )
+            .select(
+                group,
+                "pos",
+                F.when(
+                    F.col("cnt") == 2, F.sha2(F.concat("lh", "rh"), 256)
+                )
+                # unpaired tail: promote unchanged
+                .otherwise(F.coalesce("lh", "rh"))
+                .alias("node_hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(lvl.withColumn("level", F.lit(k)))
+    nodes = out[0]
+    for o in out[1:]:
+        nodes = nodes.unionByName(o)
+    return nodes, levels
+
+
+def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — Merkle opening paths for every entry of the per-nation
+    customer table: (entry, leaf_pos, leaf_hash, path, root). Verifying
+    a row = refolding leaf_hash along `path` and comparing to `root`
+    (tests/test_merkle.py does exactly that for every row)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    leaves = persist_tracked(
+        cust.select(
+            F.col("c_nationkey").alias("group_key"),
+            F.col("c_custkey"),
+            (F.row_number().over(w) - 1).alias("pos"),
+            F.sha2(
+                F.concat_ws(":", F.col("c_custkey").cast("string"), "c_name"),
+                256,
+            ).alias("node_hash"),
+        )
+    )
+    nodes, depth = merkle_levels(leaves.select("group_key", "pos", "node_hash"))
+
+    roots = nodes.filter(F.col("level") == depth).select(
+        "group_key", F.col("node_hash").alias("root")
+    )
+
+    # one row per (leaf, level): the sibling of the leaf's ancestor
+    lvls = F.sequence(F.lit(0), F.lit(depth - 1))
+    # shiftright() takes a literal bit count — per-row level needs expr()
+    anc = F.expr("shiftright(pos, cast(level AS int))")
+    probes = leaves.select(
+        "group_key",
+        "c_custkey",
+        F.col("pos"),
+        F.col("node_hash").alias("leaf_hash"),
+        F.explode(lvls).alias("level"),
+    ).select(
+        "*",
+        F.when(anc % 2 == 0, anc + 1).otherwise(anc - 1).alias("sib_pos"),
+        # sibling side: ancestor even → sibling on the Right
+        F.when(anc % 2 == 0, F.lit("R")).otherwise(F.lit("L")).alias("side"),
+    )
+    sib = nodes.select(
+        "group_key", "level", F.col("pos").alias("sib_pos"),
+        F.col("node_hash").alias("sib_hash"),
+    )
+    # inner join: a missing sibling (promoted level) contributes no path
+    # element — refolding skips it, matching promotion-as-identity
+    steps = probes.join(sib, ["group_key", "level", "sib_pos"])
+    path_txt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "level",
+                        F.concat_ws(
+                            "", F.col("level").cast("string"),
+                            "side", F.lit(":"), "sib_hash",
+                        ).alias("txt"),
+                    )
+                )
+            ),
+            lambda x: x["txt"],
+        ),
+        "/",
+    )
+    paths = steps.groupBy(
+        "group_key", "c_custkey", F.col("pos").alias("leaf_pos"), "leaf_hash"
+    ).agg(path_txt.alias("path"))
+    return paths.join(F.broadcast(roots), "group_key").select(
+        "group_key", "c_custkey", "leaf_pos", "leaf_hash", "path", "root"
+    )
+
+
+def _oracle_merkle(levels: int = LEVELS) -> str:
+    """Generate the chained-CTE ANSI oracle for `merkle_membership_proof`
+    (non-recursive: one CTE per tree level; promotion makes the fixed
+    depth exact)."""
+    ctes = [
+        """l0 AS (
+  SELECT c_nationkey AS group_key,
+         c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS pos,
+         sha256(c_custkey::VARCHAR || ':' || c_name) AS node_hash
+  FROM customer
+)"""
+    ]
+    for k in range(1, levels + 1):
+        ctes.append(
+            f"""l{k} AS (
+  SELECT group_key, pos // 2 AS pos,
+         CASE WHEN count(*) = 2
+              THEN sha256(string_agg(node_hash, '' ORDER BY pos))
+              ELSE min(node_hash) END AS node_hash
+  FROM l{k - 1} GROUP BY group_key, pos // 2
+)"""
+        )
+    node_union = "\n  UNION ALL ".join(
+        f"SELECT {k} AS level, group_key, pos, node_hash FROM l{k}"
+        for k in range(levels + 1)
+    )
+    return f"""WITH {', '.join(ctes)},
+nodes AS (
+  {node_union}
+),
+probes AS (
+  SELECT l.group_key, l.c_custkey, l.pos, l.node_hash AS leaf_hash,
+         g.level,
+         CASE WHEN (l.pos >> g.level) % 2 = 0
+              THEN (l.pos >> g.level) + 1 ELSE (l.pos >> g.level) - 1
+         END AS sib_pos,
+         CASE WHEN (l.pos >> g.level) % 2 = 0 THEN 'R' ELSE 'L' END AS side
+  FROM l0 l CROSS JOIN (SELECT unnest(range(0, {levels})) AS level) g
+),
+steps AS (
+  SELECT p.*, n.node_hash AS sib_hash
+  FROM probes p
+  JOIN nodes n ON n.group_key = p.group_key
+              AND n.level = p.level AND n.pos = p.sib_pos
+)
+SELECT s.group_key, s.c_custkey, s.pos AS leaf_pos, s.leaf_hash,
+       string_agg(s.level::VARCHAR || s.side || ':' || s.sib_hash,
+                  '/' ORDER BY s.level) AS path,
+       r.node_hash AS root
+FROM steps s
+JOIN l{levels} r ON r.group_key = s.group_key
+GROUP BY s.group_key, s.c_custkey, s.pos, s.leaf_hash, r.node_hash
+"""
+
+
+QUERIES = {
+    "euclid_merkle_proof": merkle_membership_proof,
+}
+
+ORACLES = {
+    "euclid_merkle_proof": _oracle_merkle(),
+}

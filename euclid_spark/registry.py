@@ -14,6 +14,7 @@ from euclid_spark.operators import (
     components,
     dedup,
     euclid,
+    merkle,
     mpt_ingest,
     multimodal,
     relational,
@@ -30,6 +31,7 @@ _MODULES = [
     multimodal,
     components,
     mpt_ingest,
+    merkle,
 ]
 
 # The evaluation driver's correctness gate checks only the FIRST 50 keys
@@ -39,6 +41,8 @@ _MODULES = [
 # double-green queries (checked green in both r1 and r2, plus every
 # round in-repo by tools/crosscheck.py — see the committed SWEEP logs).
 _PRIORITY = [
+    # new in r3
+    "euclid_merkle_proof",
     # never driver-checked through r2 (registry position > 50)
     "euclid_mpt_node_decode",
     "euclid_mpt_reassemble",
@@ -59,6 +63,7 @@ _PRIORITY = [
 # queries go last (all driver-green in r1 AND r2 — the stable tail).
 _MODULE_ORDER = [
     euclid,
+    merkle,
     dedup,
     similarity,
     textops,

@@ -1,0 +1,78 @@
+"""Merkle commitment verifier (SURVEY.md §5 level 2): every emitted
+opening path must refold to the emitted root — the exact check a proof
+consumer runs — and the root must equal an independently-built
+reference tree over the same sorted leaves."""
+
+from __future__ import annotations
+
+import hashlib
+
+from tests.conftest import SF_SMOKE
+
+from euclid_spark.operators.merkle import merkle_membership_proof
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _refold(leaf_hash: str, path: str) -> str:
+    """Apply the opening path: promoted (skipped) levels are identity."""
+    cur = leaf_hash
+    if not path:
+        return cur
+    for step in path.split("/"):
+        head, sib = step.split(":", 1)
+        side = head[-1]
+        cur = _sha(cur + sib) if side == "R" else _sha(sib + cur)
+    return cur
+
+
+def _reference_root(leaves: list[str]) -> str:
+    level = leaves
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(_sha(level[i] + level[i + 1]))
+        if len(level) % 2:
+            nxt.append(level[-1])  # promote unpaired tail
+        level = nxt
+    return level[0]
+
+
+def test_every_path_refolds_to_root(spark):
+    rows = merkle_membership_proof(spark, SF_SMOKE).collect()
+    assert rows, "no proof rows at smoke SF"
+    roots: dict[int, str] = {}
+    by_group: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        assert _refold(r["leaf_hash"], r["path"]) == r["root"], (
+            f"path of custkey {r['c_custkey']} does not refold to root"
+        )
+        roots.setdefault(r["group_key"], r["root"])
+        assert roots[r["group_key"]] == r["root"]
+        by_group.setdefault(r["group_key"], []).append(
+            (r["leaf_pos"], r["leaf_hash"])
+        )
+    # independent bottom-up tree over the sorted leaves
+    for g, leaves in by_group.items():
+        leaves.sort()
+        assert [p for p, _ in leaves] == list(range(len(leaves)))
+        assert _reference_root([h for _, h in leaves]) == roots[g]
+
+
+def test_leaf_hash_is_the_documented_encoding(spark):
+    row = (
+        merkle_membership_proof(spark, SF_SMOKE)
+        .limit(1)
+        .collect()[0]
+    )
+    # leaf = sha256("<custkey>:<name>") — re-derive from the source table
+    import pyspark.sql.functions as F
+
+    cust = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .filter(F.col("c_custkey") == row["c_custkey"])
+        .collect()[0]
+    )
+    assert _sha(f"{cust['c_custkey']}:{cust['c_name']}") == row["leaf_hash"]
