@@ -169,6 +169,19 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- B7: TPC-H Q18 large-volume customers ------------------------------------
 
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — agg-subquery → semi join → agg, with RUNTIME SEMI-JOIN
+    PUSHDOWN on the orders probe side (operators/runtime_filters.py):
+    Spark's own InjectRuntimeFilter never fires here (the build side is
+    an aggregate, not a filter-over-scan), so the filter is explicit —
+    qualifying orderkeys are ~1e-5 of orders at scale, so pruning
+    orders BEFORE its joins keeps non-matching rows out of every
+    downstream exchange. Exact (not bloom: the qualifying-key set is
+    broadcast-sized by Q18's selectivity; `rel_bloom_join_prune` is the
+    beyond-broadcast variant). Single action: ReuseExchange shares the
+    lineitem aggregation between the semi side and the final join, so
+    no persist/count jobs are needed."""
+    from euclid_spark.operators.runtime_filters import semi_prune
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -177,6 +190,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
+    orders = semi_prune(orders, "o_orderkey", big, "l_orderkey")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -566,8 +580,41 @@ def exploded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D16: runtime bloom filter on the lineitem⋈orders fact join --------------
+
+BLOOM_PRICE_CUT = 490_000.0  # ~top 1-2% of orders — the selective build side
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 — RUNTIME BLOOM FILTER on the canonical fact⋈filtered-dim
+    shape (operators/runtime_filters.py): the build side (orders above a
+    price cut, ~1% selective) sets a dense bitmap; the probe side —
+    lineitem, the 100 TB fact — is pruned by k inline O(1) bit tests
+    BEFORE its join shuffle, so ~99% of fact rows never enter the
+    exchange. The inner join afterwards removes bloom false positives,
+    making the result exact and oracle-checkable. This is the
+    beyond-broadcast regime: when the build keys outgrow a broadcast
+    list, the bitmap stays m/8 bytes (vs `semi_prune` in tpch_q18,
+    the broadcast-sized exact regime)."""
+    from euclid_spark.operators.runtime_filters import bloom_build, bloom_prune
+
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > BLOOM_PRICE_CUT)
+    pruned = bloom_prune(li, "l_orderkey", bloom_build(sel, "o_orderkey"))
+    return (
+        pruned.join(sel, pruned.l_orderkey == sel.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
+    "rel_bloom_join_prune": bloom_join_prune,
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_local_supplier": q5_local_supplier,
     "tpch_q6_forecast_revenue": q6_forecast_revenue,
@@ -597,6 +644,15 @@ QUERIES = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 ORACLES = {
+    "rel_bloom_join_prune": f"""
+        SELECT o_orderpriority,
+               ROUND(SUM({_REV}), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 490000
+        GROUP BY o_orderpriority
+    """,
     "tpch_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -43,6 +43,7 @@ _MODULES = [
 _PRIORITY = [
     # new in r3
     "euclid_merkle_proof",
+    "rel_bloom_join_prune",
     # never driver-checked through r2 (registry position > 50)
     "euclid_mpt_node_decode",
     "euclid_mpt_reassemble",
