@@ -217,7 +217,131 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C21: Gopher-style repetition filter --------------------------------------
+
+DUP_LINE_MAX = 0.30  # Gopher: drop docs whose duplicate-line share is high
+TOP_WORD_MAX = 0.20  # ... or dominated by a single repeated word
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 — within-document repetition signals (the Gopher/MassiveText
+    repetition rules, public: Rae et al. 2021): duplicate-line fraction
+    and top-word dominance, plus the keep/drop verdict. Line stats are
+    pure array expressions; word dominance is explode → two hash
+    aggregates on (doc_id, word) → doc_id — no windows over the corpus,
+    everything map-side combinable."""
+    docs = _docs(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), F.trim),
+        lambda x: x != "",
+    )
+    line_stats = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+    )
+    wc = (
+        docs.select("doc_id", F.explode(_nonempty_words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_words"))
+    )
+    dup_frac = F.when(
+        F.col("n_lines") > 0, F.col("n_dup_lines") / F.col("n_lines")
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.coalesce(F.col("n_words"), F.lit(0)) > 0, F.col("top_c") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    return (
+        line_stats.join(wc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.round(dup_frac, 4).alias("dup_line_frac"),
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.round(top_frac, 4).alias("top_word_frac"),
+            ((dup_frac <= DUP_LINE_MAX) & (top_frac <= TOP_WORD_MAX)).alias("keep"),
+        )
+    )
+
+
+# --- C22: deterministic stratified sampling -----------------------------------
+
+# per-language keep rates as 4-hex-char thresholds over md5("samp|"+id):
+# lexicographic hex compare == uniform [0,1) draw, identical in any
+# engine — reproducible sampling with NO random() (re-runs and the
+# oracle agree bit-for-bit)
+SAMPLE_THR = {"en": 0.50, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.10}
+_THR_HEX = {k: format(int(v * 65536), "04x") for k, v in SAMPLE_THR.items()}
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — domain/language-mix curation: deterministic hash-bucket
+    sampling at a per-stratum rate (the "data mixture" step of a
+    pre-training pipeline). Pure row-local expressions — sampling a
+    100 TB corpus is a single filtered scan, no shuffle at all."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thr = None
+    for lang, hx in _THR_HEX.items():
+        c = F.when(F.col("lang") == lang, F.lit(hx))
+        thr = c if thr is None else thr.when(F.col("lang") == lang, F.lit(hx))
+    thr = thr.otherwise(F.lit("0ccc"))  # 5% default for unknown strata
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket_hex"),
+                    thr.alias("thr_hex"))
+        .filter(F.col("bucket_hex") < F.col("thr_hex"))
+        .drop("thr_hex")
+    )
+
+
+# --- C23: benchmark-contamination screen --------------------------------------
+
+BENCH_SOURCES = ("src0", "src1")  # the held-out eval set stand-in
+CONTAM_MIN_SHARED = 3
+
+
+def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 — train/test contamination screen (the n-gram overlap check of
+    GPT-3/PaLM data cards, public: Brown et al. 2020 app. C): flag
+    training documents sharing ≥ CONTAM_MIN_SHARED distinct 3-word
+    shingles with a benchmark set (here: sources {src0, src1}).
+    Inverted-index join on the shingle — the benchmark side is
+    fixed-size (scale-invariant), the train side streams through one
+    shuffle; never all-pairs."""
+    from euclid_spark.functions.text import shingles, words as words_of
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", "source", words_of("text").alias("ws"))
+        .select("doc_id", "source", F.explode(shingles(F.col("ws"), k=3)).alias("shingle"))
+        .distinct()
+    )
+    is_bench = F.col("source").isin(*BENCH_SOURCES)
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    train = sh.filter(~is_bench)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return totals.join(shared, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("overlap_frac"),
+        (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
+    )
+
+
 QUERIES = {
+    "text_repetition_filter": text_repetition_filter,
+    "text_stratified_sample": text_stratified_sample,
+    "text_benchmark_overlap": text_benchmark_overlap,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -246,7 +370,75 @@ _PRED = (
     + " END"
 )
 
+_CASE_THR = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _THR_HEX.items())
+    + " ELSE '0ccc' END"
+)
+_BENCH_IN = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+
 ORACLES = {
+    "text_repetition_filter": f"""
+        WITH l AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(coalesce(text, ''),
+                               chr(10)), x -> trim(x)), x -> x <> '') AS ls
+            FROM documents),
+        ln AS (SELECT doc_id, len(ls) AS n_lines,
+                      len(ls) - len(list_distinct(ls)) AS n_dup
+               FROM l),
+        w AS (SELECT doc_id, unnest({_WS}) AS word FROM documents),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        wd AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_words
+               FROM wc GROUP BY 1)
+        SELECT ln.doc_id,
+               CAST(n_lines AS INT) AS n_lines,
+               ROUND(CASE WHEN n_lines > 0
+                          THEN n_dup * 1.0 / n_lines ELSE 0 END, 4)
+                   AS dup_line_frac,
+               CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+               ROUND(CASE WHEN coalesce(n_words, 0) > 0
+                          THEN top_c * 1.0 / n_words ELSE 0 END, 4)
+                   AS top_word_frac,
+               (CASE WHEN n_lines > 0
+                     THEN n_dup * 1.0 / n_lines ELSE 0 END) <= {DUP_LINE_MAX}
+               AND (CASE WHEN coalesce(n_words, 0) > 0
+                         THEN top_c * 1.0 / n_words ELSE 0 END) <= {TOP_WORD_MAX}
+                   AS keep
+        FROM ln LEFT JOIN wd ON ln.doc_id = wd.doc_id
+    """,
+    "text_stratified_sample": f"""
+        SELECT doc_id, lang, source,
+               substring(md5('samp|' || doc_id::VARCHAR), 1, 4) AS bucket_hex
+        FROM documents
+        WHERE substring(md5('samp|' || doc_id::VARCHAR), 1, 4) < {_CASE_THR}
+    """,
+    "text_benchmark_overlap": f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                'g')), ' ') AS ws
+            FROM documents),
+        sh AS (SELECT DISTINCT doc_id, source,
+                      unnest(list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          AS shingle
+               FROM w WHERE len(ws) >= 3),
+        bench AS (SELECT DISTINCT shingle FROM sh
+                  WHERE source IN ({_BENCH_IN})),
+        train AS (SELECT doc_id, shingle FROM sh
+                  WHERE source NOT IN ({_BENCH_IN})),
+        tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+        shd AS (SELECT t.doc_id, COUNT(*) AS n_shared
+                FROM train t JOIN bench b ON t.shingle = b.shingle
+                GROUP BY 1)
+        SELECT tot.doc_id,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               ROUND(n_shared * 1.0 / n_shingles, 4) AS overlap_frac,
+               n_shared >= {CONTAM_MIN_SHARED} AS contaminated
+        FROM tot JOIN shd ON tot.doc_id = shd.doc_id
+    """,
     "text_pii_redact": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL}'))

@@ -44,6 +44,9 @@ _PRIORITY = [
     # new in r3
     "euclid_merkle_proof",
     "rel_bloom_join_prune",
+    "text_repetition_filter",
+    "text_stratified_sample",
+    "text_benchmark_overlap",
     # never driver-checked through r2 (registry position > 50)
     "euclid_mpt_node_decode",
     "euclid_mpt_reassemble",
