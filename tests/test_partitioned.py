@@ -1,0 +1,65 @@
+"""Day-partitioned layout (D18): the range predicate must become a
+PartitionFilter (pruned directories never read), and the pruned scan
+must return exactly what the unpartitioned filter returns."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from euclid_spark.sources.partitioned import (
+    read_events_range,
+    write_events_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+DAY_FROM, DAY_TO = "2024-01-03", "2024-01-06"
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_by_day"))
+    write_events_partitioned(spark, SF_SMOKE, d)
+    return d
+
+
+def test_plan_has_partition_filters(spark, part_dir):
+    df = read_events_range(spark, part_dir, DAY_FROM, DAY_TO)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day predicates must be partition filters, not data filters
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in seg, f"day predicate not in PartitionFilters: {seg}"
+
+
+def _files_read(df) -> int:
+    """The scan's post-pruning numFiles metric (inputFiles() reports the
+    relation's full listing — it ignores partition pruning). Drives THIS
+    DataFrame's own physical plan (df.count() would build a separate
+    query execution and leave these metrics untouched)."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    scan = qe.executedPlan().collectLeaves().apply(0)
+    return int(scan.metrics().apply("numFiles").value())
+
+
+def test_pruning_reads_fewer_files(spark, part_dir):
+    whole = _files_read(spark.read.parquet(part_dir))
+    pruned = _files_read(read_events_range(spark, part_dir, DAY_FROM, DAY_TO))
+    assert 0 < pruned < whole, f"no pruning: {pruned} of {whole} files read"
+    assert pruned == 3  # one file per day in the range
+
+
+def test_pruned_scan_matches_unpartitioned(spark, part_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("day", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))))
+        .filter((F.col("day") >= DAY_FROM) & (F.col("day") < DAY_TO))
+    )
+    got = read_events_range(spark, part_dir, DAY_FROM, DAY_TO)
+    assert got.count() == base.count() > 0
+    a = {r["event_id"] for r in got.select("event_id").collect()}
+    b = {r["event_id"] for r in base.select("event_id").collect()}
+    assert a == b
