@@ -34,61 +34,6 @@ _MODULES = [
     merkle,
 ]
 
-# The evaluation driver's correctness gate checks only the FIRST 50 keys
-# of queries() in iteration order. With >50 registered queries, ordering
-# is therefore a coverage decision: keys never (or least recently)
-# driver-checked go first; the tail is filled with the longest-standing
-# double-green queries (checked green in both r1 and r2, plus every
-# round in-repo by tools/crosscheck.py — see the committed SWEEP logs).
-_PRIORITY = [
-    # new in r3
-    "euclid_merkle_proof",
-    "rel_bloom_join_prune",
-    "text_repetition_filter",
-    "text_stratified_sample",
-    "text_benchmark_overlap",
-    # never driver-checked through r2 (registry position > 50)
-    "euclid_mpt_node_decode",
-    "euclid_mpt_reassemble",
-    "dedup_components",
-    "dedup_keep_list",
-    "mm_chunk_fingerprints",
-    "mm_frame_sample",
-    "text_pii_redact",
-    "text_unigram_logprob",
-    # driver-checked in r1 only
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf_topk",
-    "mm_binary_pipeline",
-]
-
-# Remaining keys follow in module order; relational's 25 TPC-H/OLAP
-# queries go last (all driver-green in r1 AND r2 — the stable tail).
-_MODULE_ORDER = [
-    euclid,
-    merkle,
-    dedup,
-    similarity,
-    textops,
-    multimodal,
-    components,
-    mpt_ingest,
-    relational,
-]
-
-
-def _reorder(merged: dict) -> dict:
-    ordered = {k: merged[k] for k in _PRIORITY if k in merged}
-    for m in _MODULE_ORDER:
-        for k in m.QUERIES:
-            if k in merged and k not in ordered:
-                ordered[k] = merged[k]
-    # safety: anything not covered above still appears
-    ordered.update({k: v for k, v in merged.items() if k not in ordered})
-    return ordered
-
-
 def _with_session_confs(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -116,7 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         out.update({k: _with_session_confs(v) for k, v in m.QUERIES.items()})
-    return _reorder(out)
+    return out
 
 
 def oracles() -> dict[str, str]:

@@ -11,8 +11,34 @@ time so results are timezone-stable against external oracles.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator, Mapping
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: Mapping[str, str]) -> Iterator[None]:
+    """Set runtime SQL confs for the duration of a block, then restore
+    each to its prior value (or unset it if it had none). Operators that
+    need a conf only for work fully contained in their own call use this
+    instead of mutating the shared session permanently."""
+    sentinel = object()
+    prior: dict[str, object] = {}
+    for k, v in confs.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = sentinel
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prior.items():
+            if old is sentinel:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def get_session(app_name: str = "euclid_spark") -> SparkSession:
@@ -31,6 +57,19 @@ def get_session(app_name: str = "euclid_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # data-model requirement, not a per-operator tweak: the events
+        # table's `ts` is a nanosecond parquet timestamp, readable only
+        # as int64 (catalog.load_events converts to TIMESTAMP after
+        # range-pruning on the raw integer)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # transformWithState (streaming/tws.py) requires the RocksDB
+        # state store; making it the session default is also the right
+        # production choice (bounded executor memory for large state)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

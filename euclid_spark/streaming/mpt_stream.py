@@ -134,10 +134,26 @@ class IncrementalMptReassembly:
             else store_existing
         )
 
-        new_roots = batch_df.filter("is_root").select(
-            "owner",
-            "node_hash",
-            F.expr("CAST(array() AS array<int>)").alias("prefix"),
+        # A root seeds a walk cursor only on FIRST arrival: a root node
+        # re-sent in a later micro-batch (or a replayed file) is already
+        # in the node store, and re-seeding its cursor would walk the
+        # whole stored subtree again and append duplicate entries.
+        # Anti-joining against the PRE-batch store is the ledger — the
+        # root's bytes can only ever have been ingested root-tagged
+        # (an MPT root is never any node's child), so presence in the
+        # store means its cursor was already seeded.
+        new_roots = (
+            batch_df.filter("is_root")
+            .select(
+                "owner",
+                "node_hash",
+                F.expr("CAST(array() AS array<int>)").alias("prefix"),
+            )
+            .join(
+                store_existing.select("owner", "node_hash"),
+                ["owner", "node_hash"],
+                "left_anti",
+            )
         )
         active = (
             self._read_or_empty(self.frontier_path, FRONTIER_SCHEMA)

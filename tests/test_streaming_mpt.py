@@ -78,3 +78,22 @@ def test_replayed_batch_is_skipped(spark, tmp_path, node_feed):
     last = spark.read.parquet(src).limit(50)
     sink.process(last, sink.last_batch_id)
     assert sink.entries().count() == n
+
+
+def test_resent_root_does_not_duplicate(spark, tmp_path, node_feed):
+    """A root node RE-SENT in a later micro-batch (new batch id, so the
+    replay watermark does not apply) must not re-seed its walk cursor:
+    the subtree is already in the node store, and a re-seeded cursor
+    would re-emit every entry for that owner."""
+    src, _ = node_feed
+    stream = read_node_stream(spark, src)
+    q, sink = run_incremental_mpt(stream, str(tmp_path / "state"))
+    q.awaitTermination(300)
+    n = sink.entries().count()
+    assert n > 0
+
+    roots = spark.read.parquet(src).filter("is_root")
+    assert not roots.isEmpty()
+    sink.process(roots, sink.last_batch_id + 1)
+    assert sink.entries().count() == n, "re-sent roots re-emitted entries"
+    assert sink.pending().isEmpty()
