@@ -128,10 +128,22 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("node_hash"),
         )
     )
-    nodes, depth = merkle_levels(leaves.select("group_key", "pos", "node_hash"))
+    return merkle_opening_paths(leaves, entry_cols=["c_custkey"])
+
+
+def merkle_opening_paths(
+    leaves: DataFrame,
+    entry_cols: list[str],
+    group: str = "group_key",
+) -> DataFrame:
+    """leaves: (group, *entry_cols, pos, node_hash), pos contiguous per
+    group. Returns (group, *entry_cols, leaf_pos, leaf_hash, path, root)
+    with one output row for EVERY leaf — a single-leaf group's leaf IS
+    its root, emitted with an empty path (zero fold steps)."""
+    nodes, depth = merkle_levels(leaves.select(group, "pos", "node_hash"))
 
     roots = nodes.filter(F.col("level") == depth).select(
-        "group_key", F.col("node_hash").alias("root")
+        group, F.col("node_hash").alias("root")
     )
 
     # one row per (leaf, level): the sibling of the leaf's ancestor
@@ -139,8 +151,8 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shiftright() takes a literal bit count — per-row level needs expr()
     anc = F.expr("shiftright(pos, cast(level AS int))")
     probes = leaves.select(
-        "group_key",
-        "c_custkey",
+        group,
+        *entry_cols,
         F.col("pos"),
         F.col("node_hash").alias("leaf_hash"),
         F.explode(lvls).alias("level"),
@@ -151,22 +163,29 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(anc % 2 == 0, F.lit("R")).otherwise(F.lit("L")).alias("side"),
     )
     sib = nodes.select(
-        "group_key", "level", F.col("pos").alias("sib_pos"),
+        group, "level", F.col("pos").alias("sib_pos"),
         F.col("node_hash").alias("sib_hash"),
     )
-    # inner join: a missing sibling (promoted level) contributes no path
-    # element — refolding skips it, matching promotion-as-identity
-    steps = probes.join(sib, ["group_key", "level", "sib_pos"])
+    # LEFT join: a missing sibling (promoted level) contributes no path
+    # element — refolding skips it, matching promotion-as-identity. Kept
+    # left (not inner) so a leaf whose EVERY level misses — a
+    # single-leaf group — still reaches the aggregation and emits an
+    # empty path instead of vanishing from the output.
+    steps = probes.join(sib, [group, "level", "sib_pos"], "left")
     path_txt = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        "level",
-                        F.concat_ws(
-                            "", F.col("level").cast("string"),
-                            "side", F.lit(":"), "sib_hash",
-                        ).alias("txt"),
+                    # null struct (missed level) is skipped by collect_list
+                    F.when(
+                        F.col("sib_hash").isNotNull(),
+                        F.struct(
+                            "level",
+                            F.concat_ws(
+                                "", F.col("level").cast("string"),
+                                "side", F.lit(":"), "sib_hash",
+                            ).alias("txt"),
+                        ),
                     )
                 )
             ),
@@ -175,10 +194,10 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/",
     )
     paths = steps.groupBy(
-        "group_key", "c_custkey", F.col("pos").alias("leaf_pos"), "leaf_hash"
+        group, *entry_cols, F.col("pos").alias("leaf_pos"), "leaf_hash"
     ).agg(path_txt.alias("path"))
-    return paths.join(F.broadcast(roots), "group_key").select(
-        "group_key", "c_custkey", "leaf_pos", "leaf_hash", "path", "root"
+    return paths.join(F.broadcast(roots), group).select(
+        group, *entry_cols, "leaf_pos", "leaf_hash", "path", "root"
     )
 
 
@@ -225,12 +244,13 @@ probes AS (
 steps AS (
   SELECT p.*, n.node_hash AS sib_hash
   FROM probes p
-  JOIN nodes n ON n.group_key = p.group_key
-              AND n.level = p.level AND n.pos = p.sib_pos
+  LEFT JOIN nodes n ON n.group_key = p.group_key
+                   AND n.level = p.level AND n.pos = p.sib_pos
 )
 SELECT s.group_key, s.c_custkey, s.pos AS leaf_pos, s.leaf_hash,
-       string_agg(s.level::VARCHAR || s.side || ':' || s.sib_hash,
-                  '/' ORDER BY s.level) AS path,
+       COALESCE(string_agg(s.level::VARCHAR || s.side || ':' || s.sib_hash,
+                           '/' ORDER BY s.level)
+                FILTER (WHERE s.sib_hash IS NOT NULL), '') AS path,
        r.node_hash AS root
 FROM steps s
 JOIN l{levels} r ON r.group_key = s.group_key

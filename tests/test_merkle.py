@@ -9,7 +9,10 @@ import hashlib
 
 from tests.conftest import SF_SMOKE
 
-from euclid_spark.operators.merkle import merkle_membership_proof
+from euclid_spark.operators.merkle import (
+    merkle_membership_proof,
+    merkle_opening_paths,
+)
 
 
 def _sha(s: str) -> str:
@@ -59,6 +62,36 @@ def test_every_path_refolds_to_root(spark):
         leaves.sort()
         assert [p for p, _ in leaves] == list(range(len(leaves)))
         assert _reference_root([h for _, h in leaves]) == roots[g]
+
+
+def test_single_leaf_group_emits_empty_path(spark):
+    """A group with ONE leaf must still appear in the output: its leaf
+    hash IS the root and the opening path is empty (zero fold steps).
+    Groups of size 1, 2, 3 together in one frame exercise the promoted
+    and paired shapes side by side."""
+    rows = [
+        ("solo", 0, _sha("only")),
+        ("pair", 0, _sha("a")),
+        ("pair", 1, _sha("b")),
+        ("trio", 0, _sha("x")),
+        ("trio", 1, _sha("y")),
+        ("trio", 2, _sha("z")),
+    ]
+    leaves = spark.createDataFrame(
+        [(g, p, h, f"{g}#{p}") for g, p, h in rows],
+        "group_key string, pos int, node_hash string, entry_id string",
+    )
+    out = {
+        (r["group_key"], r["leaf_pos"]): r
+    for r in merkle_opening_paths(leaves, entry_cols=["entry_id"]).collect()}
+    assert len(out) == 6, "every leaf (incl. the single-leaf group) emits"
+    solo = out[("solo", 0)]
+    assert solo["path"] == ""
+    assert solo["root"] == solo["leaf_hash"] == _sha("only")
+    for key, r in out.items():
+        assert _refold(r["leaf_hash"], r["path"]) == r["root"], key
+    assert out[("pair", 0)]["root"] == _sha(_sha("a") + _sha("b"))
+    assert out[("trio", 0)]["root"] == _sha(_sha(_sha("x") + _sha("y")) + _sha("z"))
 
 
 def test_leaf_hash_is_the_documented_encoding(spark):
