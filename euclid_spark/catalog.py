@@ -34,13 +34,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
-def _utc_ns(date_str: str) -> int:
-    """Exact integer nanoseconds since epoch for an ISO date/datetime."""
-    import calendar
-    import datetime as dt
-
-    d = dt.datetime.fromisoformat(date_str)
-    return calendar.timegm(d.timetuple()) * 10**9 + d.microsecond * 1000
+def _ntz_lit(date_str: str):
+    """TIMESTAMP_NTZ literal from an ISO date/datetime string — compared
+    against the stored `ts` column as naive wall time, no zone shifts
+    (a Python-datetime literal would be interpreted in the JVM's local
+    zone; the string→NTZ cast is zone-independent)."""
+    return F.lit(date_str).cast("timestamp_ntz")
 
 
 def load_events(
@@ -49,22 +48,25 @@ def load_events(
     t_min: str | None = None,
     t_max: str | None = None,
 ) -> DataFrame:
-    """Load the events table, whose `ts` is a nanosecond parquet timestamp
-    (unsupported by Spark's vectorized reader — read as int64 ns via the
-    legacy conf, then converted to a microsecond TIMESTAMP).
+    """Load the events table. `ts` is stored as a microsecond
+    TIMESTAMP_NTZ parquet column (naive UTC wall time).
 
-    Range bounds are applied on the *raw int64* column BEFORE conversion:
-    the predicate pushes down to the parquet scan (row-group min/max
-    pruning), which is the block-range pruning of the reference's block DB
-    — `ts`-as-integer is the "block number".
+    Range bounds are applied on the stored column BEFORE any conversion:
+    timestamp min/max predicates push down to the parquet scan
+    (row-group pruning), which is the block-range pruning of the
+    reference's block DB — `ts` is the "block number".
+
+    The returned `ts` is cast to the session-zoned TIMESTAMP type; every
+    session this engine builds pins spark.sql.session.timeZone=UTC
+    (session.py / registry.py), so the cast is instant-preserving and
+    date_trunc/window semantics match the UTC-naive DuckDB oracles.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if t_min is not None:
-        df = df.filter(F.col("ts") >= F.lit(_utc_ns(t_min)))
+        df = df.filter(F.col("ts") >= _ntz_lit(t_min))
     if t_max is not None:
-        df = df.filter(F.col("ts") < F.lit(_utc_ns(t_max)))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.filter(F.col("ts") < _ntz_lit(t_max))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -38,12 +38,11 @@ def _with_session_confs(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the runtime confs results depend on, whatever session the
-    caller built: UTC (date truncation must match the UTC-naive oracle)
-    and int64 reading of nanosecond parquet timestamps."""
+    caller built: UTC (date truncation and NTZ→TIMESTAMP casts must
+    match the UTC-naive oracle)."""
 
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local-mode tuning only (results unaffected): a default 200
         # shuffle partitions over-parallelizes tiny local shuffles
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":

@@ -57,11 +57,6 @@ def get_session(app_name: str = "euclid_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # data-model requirement, not a per-operator tweak: the events
-        # table's `ts` is a nanosecond parquet timestamp, readable only
-        # as int64 (catalog.load_events converts to TIMESTAMP after
-        # range-pruning on the raw integer)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # transformWithState (streaming/tws.py) requires the RocksDB
         # state store; making it the session default is also the right
         # production choice (bounded executor memory for large state)

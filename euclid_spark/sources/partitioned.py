@@ -25,11 +25,8 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     """events → parquet partitioned by event day (one directory per
     day; Hive-style `day=YYYY-MM-DD` paths). At 100 TB add a coarser
     top level (month) if the file count per listing matters."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn(
-        "day", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = ev.withColumn("day", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("day").parquet(out_dir)
 
 

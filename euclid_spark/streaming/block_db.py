@@ -33,15 +33,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from euclid_spark.functions.hashing import DIGEST_PRIME, digest_agg, digest_term
 
-# events schema with ts as int64 nanoseconds (as stored in parquet)
+# events schema as stored in parquet (ts: microsecond TIMESTAMP_NTZ)
 EVENTS_NS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -53,13 +54,12 @@ EVENTS_NS_SCHEMA = StructType(
 def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream over a directory of event parquet files; new
     files are discovered per micro-batch (the append-only ingest path)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_NS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(stream: DataFrame) -> DataFrame:

@@ -104,12 +104,13 @@ class UserStateProcessor(StatefulProcessor):
 
 def user_state_stream_v2(events: DataFrame) -> DataFrame:
     """events: streaming (user_id, event_id, value) → one updated state
-    row per user per micro-batch."""
-    spark = events.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    row per user per micro-batch.
+
+    Requires the RocksDB state store provider, which session.py sets as
+    the session default (transformWithState rejects the HDFS-backed
+    one). Deliberately NOT set here: the conf is read at query START,
+    after this builder returns, and mutating the shared session as a
+    side effect would silently reconfigure unrelated streams."""
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserStateProcessor(),
         outputStructType=OUTPUT_SCHEMA,

@@ -52,10 +52,9 @@ def test_pruning_reads_fewer_files(spark, part_dir):
 
 
 def test_pruned_scan_matches_unpartitioned(spark, part_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("day", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))))
+        .withColumn("day", F.to_date("ts"))
         .filter((F.col("day") >= DAY_FROM) & (F.col("day") < DAY_TO))
     )
     got = read_events_range(spark, part_dir, DAY_FROM, DAY_TO)

@@ -67,7 +67,6 @@ def test_tws_plan_builds(spark, tmp_path):
 def test_tws_processor_fold_matches_batch(spark):
     """Drive handleInputRows directly: per user, feed the events in two
     arbitrary splits; final state must equal the batch aggregate."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
         "user_id", "event_id", "value"
     )
@@ -118,7 +117,6 @@ def test_tws_processor_fold_matches_batch(spark):
     "(not in this container); fold logic + plan wiring covered above",
 )
 def test_tws_state_matches_batch_aggregate(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     pdf = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
     src = tmp_path / "src"
     src.mkdir()
