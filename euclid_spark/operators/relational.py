@@ -612,6 +612,210 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B26-B32: the remaining TPC-H query shapes -------------------------------
+# The testdata schema is TPC-H-ish but reduced (no partsupp table; lineitem
+# has no commitdate/receiptdate/shipmode; customer has no phone). Queries
+# whose predicates touch missing columns are adapted on documented
+# stand-ins that preserve the OPERATOR SHAPE the original exercises —
+# that shape (decorrelated subquery, disjunctive join predicate,
+# multi-way EXISTS) is what the engine must support at 100 TB.
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + per-priority count. Stand-in
+    for the missing l_commitdate < l_receiptdate: a lineitem shipped
+    AFTER its order date + 90 days (a "late" line). Plan: lineitem is
+    filtered then semi-joins orders — no fact-side aggregation state."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + dual conditional count per class.
+    l_returnflag stands in for the missing l_shipmode; the "late
+    delivery" predicate is shipdate > orderdate + 60 days. One join,
+    map-side-combinable CASE sums."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view per supplier over a quarter, then the
+    supplier(s) whose revenue equals the global max — a scalar subquery
+    against an aggregated view. The one-row max is crossed (broadcast)
+    into the per-supplier frame; no second scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated AVG subquery per part, decorrelated into an
+    aggregate + self-join — yearly revenue lost to small orders. Brand +
+    type filters stand in for brand + container. The per-part avg is a
+    SECOND aggregation over the same filtered lineitem; Spark reuses the
+    shuffle via the exchange-reuse rule."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "PROMO")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_of_part = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    avg_qty = li_of_part.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li_of_part.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: a join whose predicate is a DISJUNCTION of three
+    brand/size/quantity conjunct groups — the optimizer must extract the
+    common equi-key (partkey) and evaluate the residual OR post-join
+    rather than falling back to a nested-loop cross product."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact at
+    different correlation — suppliers whose line was the ONLY late one
+    on a multi-supplier order. "Late" = shipped > 60 days after the
+    order date (commit/receipt stand-in, as in q4/q12). Both
+    quantifiers are semi/anti joins on l_orderkey — same shuffle key,
+    one exchange reused three ways."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    l1 = li.filter(late).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = li.filter(late).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    alone = cand.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        alone.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: anti-join customers with no RECENT orders, kept only
+    when their balance beats the global positive-balance average (scalar
+    subquery, broadcast as a 1-row frame). c_nationkey stands in for
+    the missing phone country code; "no orders since 2001" stands
+    in for "no orders ever" (this generator gives every customer at
+    least one order, which would make the anti-join vacuous)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "rel_bloom_join_prune": bloom_join_prune,
@@ -639,6 +843,13 @@ QUERIES = {
     "rel_sessionize": sessionize,
     "rel_set_ops": set_ops,
     "rel_exploded_agg": exploded_agg,
+    "tpch_q4_order_priority": q4_order_priority,
+    "tpch_q12_ship_priority": q12_ship_priority,
+    "tpch_q15_top_supplier": q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "tpch_q19_disjunctive_join": q19_disjunctive_join,
+    "tpch_q21_waiting_supplier": q21_waiting_supplier,
+    "tpch_q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -918,5 +1129,108 @@ ORACLES = {
             FROM documents
         ) WHERE word <> ''
         GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q12_ship_priority": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "tpch_q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey, ROUND(SUM({_REV}), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17_small_quantity_revenue": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_type = 'PROMO'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+            JOIN part p2 ON p2.p_partkey = l2.l_partkey
+            WHERE p2.p_brand = 'Brand#1' AND p2.p_type = 'PROMO'
+              AND l2.l_partkey = lineitem.l_partkey
+          )
+    """,
+    "tpch_q19_disjunctive_join": f"""
+        SELECT ROUND(SUM({_REV}), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q21_waiting_supplier": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM li l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM li l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "tpch_q22_global_sales_opportunity": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+          AND c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """,
 }
