@@ -43,6 +43,7 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
     "rel_bloom_join_prune",
     "euclid_merkle_proof",
     "rel_window_running_agg",
