@@ -1,0 +1,162 @@
+"""Incremental view maintenance (SURVEY.md §2.D19): a materialized
+aggregate kept current per micro-batch by ADDITIVE MERGE, never by
+recomputation.
+
+This is the engine-level shape of the reference's whole design: its
+block DB is IVC — proof_{n+1} = step(proof_n, block_{n+1}) — so every
+commitment over "all data so far" is maintained incrementally
+(mr-plonky2-circuits/src/block/mod.rs). The relational analog is a
+standing GROUP BY whose aggregates form a commutative monoid
+(count/sum — and the order-independent digest, same as A9's chain):
+
+    view' = merge_by_key(view, partial_agg(batch))
+
+Scale design (what makes this 100 TB-shaped):
+
+- The view is stored partitioned by its `day` grouping key. A batch
+  touches only the days its rows fall in, so the merge reads ONLY those
+  partitions (partition pruning) and rewrites ONLY those partitions
+  (`partitionOverwriteMode=dynamic`, set as a WRITER option so no
+  session conf is mutated). Steady-state cost per batch is
+  O(batch + touched-day partitions), independent of view size.
+- Partials are map-side-combinable aggregates of the batch alone;
+  the merge re-aggregates (old ∪ partial) with the same monoid — no
+  window, no global shuffle wider than the touched keys.
+- Exactly-once across restarts: micro-batch ids from a checkpoint are
+  strictly increasing, so an applied-watermark file (atomic
+  write-then-rename, the IncrementalDigest pattern) makes replayed
+  batches no-ops — re-merging a sum partial twice would double-count.
+
+The maintained view equals the batch aggregate over everything
+ingested (tests/test_streaming_ivm.py proves it per batch count and
+against a replay)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from euclid_spark.functions.hashing import DIGEST_PRIME, digest_agg, digest_term
+
+# The maintained query: per (user, day) event count, value total, and
+# order-independent digest — the state-DB row shape of A7/A9.
+VIEW_KEYS = ["user_id", "day"]
+
+
+def _partial(events: DataFrame) -> DataFrame:
+    """Monoid partials for one micro-batch (or for the whole table —
+    the same expression defines the batch oracle)."""
+    term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy(*VIEW_KEYS)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            digest_agg(term).alias("digest"),
+        )
+    )
+
+
+def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    """merge_by_key: re-aggregate the union with the same monoid.
+    count/sum add; the mod-P digest adds mod P."""
+    return (
+        old.unionByName(partial)
+        .groupBy(*VIEW_KEYS)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+            (F.sum("digest") % F.lit(DIGEST_PRIME)).alias("digest"),
+        )
+    )
+
+
+@dataclass
+class MaintainedAggregate:
+    """foreachBatch sink maintaining the day-partitioned view at
+    `view_path`. `state_path` persists the applied-batch watermark."""
+
+    view_path: str
+    state_path: str | None = None
+    last_batch_id: int = -1
+
+    def __post_init__(self) -> None:
+        if self.state_path and os.path.exists(self.state_path):
+            with open(self.state_path) as fh:
+                self.last_batch_id = json.load(fh)["last_batch_id"]
+
+    def _save(self) -> None:
+        if not self.state_path:
+            return
+        tmp = f"{self.state_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_batch_id": self.last_batch_id}, fh)
+        os.replace(tmp, self.state_path)
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return  # checkpoint replay after restart — already merged
+        spark = batch_df.sparkSession
+        partial = _partial(batch_df)
+
+        if os.path.exists(self.view_path):
+            # read ONLY the partitions this batch touches: collect the
+            # touched day list (small — days per batch, not rows) and
+            # prune with an IN filter on the partition column. The
+            # partial is pinned first so the day list and the merged
+            # rows come from ONE evaluation of the batch frame.
+            partial = partial.localCheckpoint(eager=True)
+            days = [r["day"] for r in partial.select("day").distinct().collect()]
+            old = spark.read.parquet(self.view_path).filter(F.col("day").isin(days))
+            merged = _merge(old, partial)
+        else:
+            merged = partial
+
+        # pin the merge result BEFORE the write: the plan reads the very
+        # parquet directory the write below replaces (self-overwrite)
+        merged = merged.localCheckpoint(eager=True)
+
+        # dynamic partition overwrite: only the day= directories present
+        # in `merged` are replaced; untouched days are left as-is.
+        # Writer-level option — the session conf is NOT mutated.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(self.view_path)
+        )
+        self.last_batch_id = batch_id
+        self._save()
+
+
+def run_maintained_aggregate(
+    stream: DataFrame, view_path: str, checkpoint: str
+) -> tuple[StreamingQuery, MaintainedAggregate]:
+    """Attach the IVM sink to a streaming events frame."""
+    os.makedirs(checkpoint, exist_ok=True)
+    sink = MaintainedAggregate(
+        view_path=view_path,
+        state_path=os.path.join(checkpoint, "ivm_state.json"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
+
+
+def batch_oracle(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The same aggregate computed from scratch over every ingested file
+    — what the maintained view must equal at any quiescent point."""
+    from euclid_spark.streaming.block_db import EVENTS_NS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_NS_SCHEMA).parquet(src_dir)
+    return _partial(ev.withColumn("ts", F.col("ts").cast("timestamp")))

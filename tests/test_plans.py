@@ -23,10 +23,10 @@ def test_q6_filters_push_to_parquet(spark):
     assert "l_shipdate" in pushed[:400] or "l_discount" in pushed[:400]
 
 
-def test_block_range_scan_pushes_ns_range(spark):
+def test_block_range_scan_pushes_ts_range(spark):
     plan = _plan(euclid.block_range_scan(spark, SF_SMOKE))
     pushed = plan.split("PushedFilters:")[1]
-    assert "ts" in pushed[:300], "raw int64 ns range filter must push down"
+    assert "ts" in pushed[:300], "timestamp range filter must push down"
 
 
 def test_q5_broadcasts_dimensions(spark):
@@ -69,3 +69,44 @@ def test_codegen_in_q1(spark):
 def test_topn_uses_take_ordered(spark, fn):
     plan = _plan(fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, "LIMIT+ORDER BY must not global-sort"
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    """The OR of three conjunct arms shares the p_partkey equi-key; the
+    planner must extract it and keep a hash join (the residual OR is a
+    post-join filter). A nested-loop/cartesian fallback here would scan
+    part × lineitem — instant death at 100 TB."""
+    plan = _plan(relational.q19_disjunctive_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_quantifiers_are_semi_anti_hash_joins(spark):
+    """EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti hash-family
+    joins on the shared l_orderkey key — never a cartesian product
+    (the non-equi suppkey inequality is a join residual)."""
+    plan = _plan(relational.q21_waiting_supplier(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_left_semi(spark):
+    plan = _plan(relational.q4_order_priority(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_tpch_stay_on_jvm(spark):
+    for fn in [
+        relational.q4_order_priority,
+        relational.q12_ship_priority,
+        relational.q15_top_supplier,
+        relational.q17_small_quantity_revenue,
+        relational.q19_disjunctive_join,
+        relational.q21_waiting_supplier,
+        relational.q22_global_sales_opportunity,
+    ]:
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{fn.__name__} uses a pandas UDF"
