@@ -45,6 +45,7 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
     "rel_bloom_join_prune",
+    "rel_range_join_bucketed",
     "euclid_merkle_proof",
     "rel_window_running_agg",
     "rel_sessionize",

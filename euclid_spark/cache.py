@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+# (scala SparkContext, rdd id) pairs created by local_checkpoint_tracked
+_CKPT_IDS: list[tuple[object, int]] = []
 
 
 def persist_tracked(
@@ -28,6 +30,45 @@ def persist_tracked(
     df.persist(level)
     _TRACKED.append(df)
     return df
+
+
+def _persistent_ids(jsc) -> set[int]:
+    ids = set()
+    it = jsc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def local_checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """`df.localCheckpoint(eager=True)` with deterministic release.
+
+    A local checkpoint persists its RDD outside the DataFrame cache
+    manager; nothing unpersists it until JVM GC + ContextCleaner get
+    around to it, so iterative operators (components, merkle levels,
+    trie walks) would strand one persisted RDD per round for the life
+    of a long session. Record the RDD ids the checkpoint creates (the
+    driver is single-threaded through an operator build, so the
+    before/after diff is exactly this checkpoint) and unpersist them in
+    release_all()."""
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+    before = _persistent_ids(jsc)
+    out = df.localCheckpoint(eager=True)
+    for rid in _persistent_ids(jsc) - before:
+        _CKPT_IDS.append((jsc, rid))
+    return out
+
+
+def release_checkpoints() -> None:
+    """Unpersist every tracked local-checkpoint RDD (newest first)."""
+    while _CKPT_IDS:
+        jsc, rid = _CKPT_IDS.pop()
+        try:
+            opt = jsc.getPersistentRDDs().get(rid)
+            if opt.isDefined():
+                opt.get().unpersist(False)
+        except Exception:  # session already stopped — nothing to release
+            pass
 
 
 def release_all() -> None:
@@ -40,6 +81,7 @@ def release_all() -> None:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
+    release_checkpoints()
 
 
 def n_tracked() -> int:

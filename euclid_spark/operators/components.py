@@ -38,7 +38,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from euclid_spark.cache import persist_tracked
+from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 
 MAX_ROUNDS = 20
 
@@ -62,7 +62,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     _ckpt = (
         (lambda df: df.checkpoint(eager=True))
         if sym.sparkSession.sparkContext.getCheckpointDir()
-        else (lambda df: df.localCheckpoint(eager=True))
+        else local_checkpoint_tracked
     )
 
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
@@ -80,6 +80,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             labels.join(neigh_min, labels.doc_id == neigh_min.src, "left")
             .select(
                 "doc_id",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("neigh_component"), F.col("component")),
@@ -93,22 +94,23 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         ptr = one_hop.select(
             F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
         )
+        # the pre-round label is carried through the round as a column,
+        # so convergence is a filter-count on the (already materialized)
+        # checkpoint — no extra old⋈new shuffle join per round
         new_labels = _ckpt(
             one_hop.join(ptr, one_hop.component == ptr.p_id, "left").select(
                 "doc_id",
+                "old_component",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("old_component")
+        ).count()
+        labels = new_labels.select("doc_id", "component")
         if changed == 0:
             converged = True
             break

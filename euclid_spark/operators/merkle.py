@@ -48,7 +48,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from euclid_spark.cache import persist_tracked
+from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 
 # Supports groups up to 2^16 = 65,536 entries; raise for bigger groups
 # (the builder is O(log n) rounds either way — extra levels past the
@@ -75,7 +75,7 @@ def merkle_levels(
     far longer than the (tiny, geometrically-shrinking) jobs themselves.
     On a real cluster prefer reliable checkpoint() (survives executor
     loss) exactly as in operators/components.py."""
-    lvl = leaves.select(group, "pos", "node_hash").localCheckpoint(eager=True)
+    lvl = local_checkpoint_tracked(leaves.select(group, "pos", "node_hash"))
     if levels is None:
         mx = (
             lvl.groupBy(group).count().agg(F.max("count").alias("m")).collect()
@@ -101,8 +101,8 @@ def merkle_levels(
                 .otherwise(F.coalesce("lh", "rh"))
                 .alias("node_hash"),
             )
-            .localCheckpoint(eager=True)
         )
+        lvl = local_checkpoint_tracked(lvl)
         out.append(lvl.withColumn("level", F.lit(k)))
     nodes = out[0]
     for o in out[1:]:

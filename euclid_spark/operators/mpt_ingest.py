@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from euclid_spark.cache import persist_tracked
+from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 from euclid_spark.operators.euclid import _range, _token_id
 
 NODE_SCHEMA = (
@@ -176,7 +176,7 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
     _ckpt = (
         (lambda df: df.checkpoint(eager=True))
         if spark.sparkContext.getCheckpointDir()
-        else (lambda df: df.localCheckpoint(eager=True))
+        else local_checkpoint_tracked
     )
 
     # caller-owned lifecycle (cache.release_all): the emitted frames read

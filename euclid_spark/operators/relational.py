@@ -816,6 +816,103 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B33: bucketized range (interval) join -----------------------------------
+
+RANGE_DAYS = 30  # interval width AND bucket width (one bucket ≈ one interval)
+RANGE_EPOCH = "1995-01-01"
+RANGE_PRICE_CUT = 490_000.0
+
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 — point-in-interval join, the shape Spark has no native
+    operator for (a naive `ON p BETWEEN lo AND hi` plans as a
+    broadcast-nested-loop: build × probe work, dead at 100 TB).
+
+    The scalable rewrite: quantize time into fixed BUCKET-wide cells;
+    an interval overlaps ≤ ⌈w/BUCKET⌉+1 cells, so EXPLODE the interval
+    to its covered cells (bounded fan-out), map each point to its one
+    cell, equi-join on the cell id (plain shuffle hash join — AQE
+    handles skew), then re-check the exact bounds as a residual filter.
+    Neither side is broadcast: both scale with the corpus, and the
+    bucket key gives the join locality a range condition can't.
+
+    Here: lineitems shipped within 30 days of a top-price order's date,
+    aggregated per order. Oracle = the direct inequality join (DuckDB
+    plans it as an IEJoin)."""
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > RANGE_PRICE_CUT)
+        .select("o_orderkey", "o_orderdate")
+    )
+    bucket_of = lambda c: F.floor(  # noqa: E731
+        F.datediff(c, F.lit(RANGE_EPOCH)) / RANGE_DAYS
+    )
+    intervals = big.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(
+            F.sequence(
+                bucket_of(F.col("o_orderdate")),
+                bucket_of(F.date_add(F.col("o_orderdate"), RANGE_DAYS - 1)),
+            )
+        ).alias("cell"),
+    )
+    points = _t(spark, sf_dir, "lineitem").withColumn(
+        "cell", bucket_of(F.col("l_shipdate"))
+    )
+    return (
+        points.join(intervals, "cell")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), RANGE_DAYS))
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            # sum in DECIMAL: with ~1000 double terms per group the float
+            # sum's accumulation order can straddle a cent boundary
+            # between engines; casting each term once and summing exactly
+            # makes the result order-independent (and the round stable)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(24,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- B34: rank-function window coverage --------------------------------------
+
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 — the rank family over one window pass: dense_rank, ntile,
+    percent_rank, cume_dist per nation by account balance. Ties are
+    broken by c_custkey so every function is deterministic (and the
+    oracle's ORDER BY matches byte-for-byte)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal"),
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("drank") <= 10)
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "rel_bloom_join_prune": bloom_join_prune,
@@ -850,6 +947,8 @@ QUERIES = {
     "tpch_q19_disjunctive_join": q19_disjunctive_join,
     "tpch_q21_waiting_supplier": q21_waiting_supplier,
     "tpch_q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "rel_range_join_bucketed": range_join_bucketed,
+    "rel_window_rank_stats": window_rank_stats,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -1232,5 +1331,32 @@ ORACLES = {
           )
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+    """,
+    "rel_range_join_bucketed": f"""
+        SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST({_REV} AS DECIMAL(24,8))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem
+          ON l_shipdate >= o_orderdate
+         AND l_shipdate < o_orderdate + INTERVAL {RANGE_DAYS} DAY
+        WHERE o_totalprice > {RANGE_PRICE_CUT}
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey
+    """,
+    "rel_window_rank_stats": """
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               drank, quartile, ROUND(pct_rank, 6) AS pct_rank,
+               ROUND(cume, 6) AS cume
+        FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 DENSE_RANK() OVER w AS drank,
+                 NTILE(4) OVER w AS quartile,
+                 PERCENT_RANK() OVER w AS pct_rank,
+                 CUME_DIST() OVER w AS cume
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey)
+        )
+        WHERE drank <= 10
     """,
 }

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from euclid_spark.cache import local_checkpoint_tracked, release_checkpoints
 from euclid_spark.functions.hashing import DIGEST_PRIME, digest_agg, digest_term
 
 # The maintained query: per (user, day) event count, value total, and
@@ -111,7 +112,7 @@ class MaintainedAggregate:
             # prune with an IN filter on the partition column. The
             # partial is pinned first so the day list and the merged
             # rows come from ONE evaluation of the batch frame.
-            partial = partial.localCheckpoint(eager=True)
+            partial = local_checkpoint_tracked(partial)
             days = [r["day"] for r in partial.select("day").distinct().collect()]
             old = spark.read.parquet(self.view_path).filter(F.col("day").isin(days))
             merged = _merge(old, partial)
@@ -120,7 +121,7 @@ class MaintainedAggregate:
 
         # pin the merge result BEFORE the write: the plan reads the very
         # parquet directory the write below replaces (self-overwrite)
-        merged = merged.localCheckpoint(eager=True)
+        merged = local_checkpoint_tracked(merged)
 
         # dynamic partition overwrite: only the day= directories present
         # in `merged` are replaced; untouched days are left as-is.
@@ -133,6 +134,9 @@ class MaintainedAggregate:
         )
         self.last_batch_id = batch_id
         self._save()
+        # the pinned partial/merge frames are on disk in the view now —
+        # release their checkpoint RDDs rather than stranding them
+        release_checkpoints()
 
 
 def run_maintained_aggregate(

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from euclid_spark.cache import local_checkpoint_tracked, release_checkpoints
 from euclid_spark.operators.mpt_ingest import (
     MAX_DEPTH,
     NODE_SCHEMA,
@@ -123,8 +124,8 @@ class IncrementalMptReassembly:
                 ["owner", "node_hash"],
                 "left_anti",
             )
-            .localCheckpoint(eager=True)
         )
+        dec_new = local_checkpoint_tracked(dec_new)
         if not dec_new.isEmpty():
             dec_new.write.mode("append").parquet(self.nodes_path)
         # re-read AFTER append so this batch's nodes are visible to the walk
@@ -155,11 +156,10 @@ class IncrementalMptReassembly:
                 "left_anti",
             )
         )
-        active = (
+        active = local_checkpoint_tracked(
             self._read_or_empty(self.frontier_path, FRONTIER_SCHEMA)
             .unionByName(new_roots)
             .dropDuplicates(["owner", "node_hash", "prefix"])
-            .localCheckpoint(eager=True)
         )
 
         parked: list[DataFrame] = []
@@ -170,9 +170,10 @@ class IncrementalMptReassembly:
             j = active.join(store, ["owner", "node_hash"], "left")
             # node not arrived yet → park until a later batch delivers it
             parked.append(
-                j.filter(F.col("node_type").isNull())
-                .select("owner", "node_hash", "prefix")
-                .localCheckpoint(eager=True)
+                local_checkpoint_tracked(
+                    j.filter(F.col("node_type").isNull())
+                    .select("owner", "node_hash", "prefix")
+                )
             )
             cur = j.filter(F.col("node_type").isNotNull())
             leaves = cur.filter(F.col("node_type") == "leaf").select(
@@ -196,7 +197,7 @@ class IncrementalMptReassembly:
                     F.concat("prefix", F.array(F.col("c.idx"))).alias("prefix"),
                 )
             )
-            active = ext_next.unionAll(branch_next).localCheckpoint(eager=True)
+            active = local_checkpoint_tracked(ext_next.unionAll(branch_next))
         else:
             raise RuntimeError(
                 "incremental MPT walk exceeded max trie depth — cyclic refs?"
@@ -212,7 +213,8 @@ class IncrementalMptReassembly:
                 .cast("long")
                 .alias("token_id"),
                 F.lower(F.hex("value")).alias("value_hex"),
-            ).localCheckpoint(eager=True)
+            )
+            ent = local_checkpoint_tracked(ent)
             if not ent.isEmpty():
                 ent.write.mode("append").parquet(self.entries_path)
 
@@ -221,11 +223,15 @@ class IncrementalMptReassembly:
             frontier = frontier.unionByName(p)
         # already materialized (each parked frame is checkpointed), so
         # overwriting the directory it was read from is safe
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = local_checkpoint_tracked(frontier)
         frontier.write.mode("overwrite").parquet(self.frontier_path)
 
         self.last_batch_id = batch_id
         self._save_meta()
+        # this batch's pinned temporaries (decoded nodes, walk frontiers,
+        # emit frames) are all flushed to parquet above — release their
+        # checkpoint RDDs instead of stranding them for the session life
+        release_checkpoints()
 
     def entries(self) -> DataFrame:
         return self._read_or_empty(self.entries_path, ENTRIES_SCHEMA)
