@@ -10,6 +10,7 @@ from euclid_spark.operators.similarity import (
     TOP_K,
     sim_ann_lsh,
     sim_ivf_topk,
+    sim_quantized_topk,
     sim_topk_cosine,
 )
 from tests.conftest import SF_ORACLE
@@ -50,6 +51,17 @@ def test_ivf_recall_floor(spark):
     # neighbors — if centroid training or list assignment breaks,
     # recall drops toward n_probe/n_centroids = 0.25.
     assert r >= 0.5, f"IVF recall@{TOP_K} collapsed: {r:.3f}"
+
+
+def test_quantized_recall_floor(spark):
+    exact = _topk_sets(sim_topk_cosine(spark, SF_ORACLE))
+    quant = _topk_sets(sim_quantized_topk(spark, SF_ORACLE))
+    r = _recall_at_k(quant, exact)
+    print(f"\nint8-quantized recall@{TOP_K}: {r:.3f}")
+    # int8 keeps ~7 bits of per-component precision — cosine error is
+    # O(1/127) relative, so only genuine near-ties may reorder. Well
+    # below 0.8 means the quantization or the integer dot is broken.
+    assert r >= 0.8, f"quantized recall@{TOP_K} collapsed: {r:.3f}"
 
 
 def test_ivf_probes_fraction_of_corpus(spark):
