@@ -820,7 +820,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_DAYS = 30  # interval width AND bucket width (one bucket ≈ one interval)
 RANGE_EPOCH = "1995-01-01"
-RANGE_PRICE_CUT = 490_000.0
+# interval side = orders of a FIXED customer watchlist: the interval
+# count stays ~200 at every SF, so the join result grows linearly with
+# the corpus (points), never quadratically (intervals × points). An
+# interval side that is a corpus FRACTION (e.g. a price cut) makes the
+# true result itself O(corpus²) — no join strategy can save a query
+# whose answer is quadric-sized.
+RANGE_WATCHLIST = 20
 
 
 def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,15 +839,16 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its covered cells (bounded fan-out), map each point to its one
     cell, equi-join on the cell id (plain shuffle hash join — AQE
     handles skew), then re-check the exact bounds as a residual filter.
-    Neither side is broadcast: both scale with the corpus, and the
-    bucket key gives the join locality a range condition can't.
+    Neither side is broadcast-REQUIRED: the rewrite stays a shuffle
+    hash join however large both sides grow, and the bucket key gives
+    the join locality a range condition can't.
 
-    Here: lineitems shipped within 30 days of a top-price order's date,
-    aggregated per order. Oracle = the direct inequality join (DuckDB
-    plans it as an IEJoin)."""
+    Here: lineitems shipped within 30 days of a watchlist customer's
+    order date, aggregated per order. Oracle = the direct inequality
+    join (DuckDB plans it as an IEJoin)."""
     big = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > RANGE_PRICE_CUT)
+        .filter(F.col("o_custkey") < RANGE_WATCHLIST)
         .select("o_orderkey", "o_orderdate")
     )
     bucket_of = lambda c: F.floor(  # noqa: E731
@@ -1339,7 +1346,7 @@ ORACLES = {
         FROM orders JOIN lineitem
           ON l_shipdate >= o_orderdate
          AND l_shipdate < o_orderdate + INTERVAL {RANGE_DAYS} DAY
-        WHERE o_totalprice > {RANGE_PRICE_CUT}
+        WHERE o_custkey < {RANGE_WATCHLIST}
         GROUP BY o_orderkey
         ORDER BY o_orderkey
     """,
