@@ -690,11 +690,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: correlated AVG subquery per part, decorrelated into an
-    aggregate + self-join — yearly revenue lost to small orders. Brand +
-    type filters stand in for brand + container. The per-part avg is a
-    SECOND aggregation over the same filtered lineitem; Spark reuses the
-    shuffle via the exchange-reuse rule."""
+    """TPC-H Q17: correlated AVG subquery per part — yearly revenue
+    lost to small orders. Brand + type filters stand in for brand +
+    container. Decorrelated as an UNBOUNDED WINDOW avg over l_partkey:
+    one scan of the (part-pruned) fact and one shuffle, where the
+    aggregate-then-self-join form scans lineitem twice (Spark's
+    exchange reuse does not fire across an aggregate boundary —
+    verified on the executed plan)."""
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "PROMO")
     )
@@ -702,11 +704,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_of_part = li.join(
         F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
     )
-    avg_qty = li_of_part.groupBy("l_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_cut")
-    )
+    qty_cut = 0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
-        li_of_part.join(avg_qty, "l_partkey")
+        li_of_part.withColumn("qty_cut", qty_cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
