@@ -670,14 +670,21 @@ def q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: revenue view per supplier over a quarter, then the
     supplier(s) whose revenue equals the global max — a scalar subquery
-    against an aggregated view. The one-row max is crossed (broadcast)
-    into the per-supplier frame; no second scan of lineitem."""
+    against an aggregated view. The view is PERSISTED (supplier-sized,
+    not fact-sized) because both its consumers — the one-row max and
+    the equality join — would otherwise each re-scan lineitem: exchange
+    reuse does not fire across an aggregate boundary. The one-row max
+    is broadcast into the per-supplier frame."""
+    from euclid_spark.cache import persist_tracked
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    revenue = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("total_revenue")
+    revenue = persist_tracked(
+        li.groupBy("l_suppkey").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_revenue")
+        )
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     sup = _t(spark, sf_dir, "supplier")
