@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_keep_list",
     "sim_topk_cosine",
+    "sim_quantized_topk",
     "sim_ivf_topk",
     "text_fingerprint",
 ]
