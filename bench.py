@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_keep_list",
+    "curation_pipeline",
     "sim_topk_cosine",
     "sim_quantized_topk",
     "sim_ivf_topk",

@@ -301,14 +301,20 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- C23: benchmark-contamination screen --------------------------------------
 
 BENCH_SOURCES = ("src0", "src1")  # the held-out eval set stand-in
-CONTAM_MIN_SHARED = 3
+CONTAM_MIN_SHARED = 2
+# GPT-3 app. C flags on LONG n-gram collisions (13-grams) because short
+# shingles saturate: with this synthetic vocabulary, 3-word shingles
+# mark ~100% of a sf0.1 corpus as contaminated (measured) while 8-word
+# shingles isolate the ~1% of docs genuinely overlapping the benchmark.
+CONTAM_SHINGLE_K = 8
 
 
 def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C23 — train/test contamination screen (the n-gram overlap check of
     GPT-3/PaLM data cards, public: Brown et al. 2020 app. C): flag
-    training documents sharing ≥ CONTAM_MIN_SHARED distinct 3-word
-    shingles with a benchmark set (here: sources {src0, src1}).
+    training documents sharing ≥ CONTAM_MIN_SHARED distinct
+    CONTAM_SHINGLE_K-word shingles with a benchmark set (here: sources
+    {src0, src1}).
     Inverted-index join on the shingle — the benchmark side is
     fixed-size (scale-invariant), the train side streams through one
     shuffle; never all-pairs."""
@@ -317,7 +323,11 @@ def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = (
         docs.select("doc_id", "source", words_of("text").alias("ws"))
-        .select("doc_id", "source", F.explode(shingles(F.col("ws"), k=3)).alias("shingle"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles(F.col("ws"), k=CONTAM_SHINGLE_K)).alias("shingle"),
+        )
         .distinct()
     )
     is_bench = F.col("source").isin(*BENCH_SOURCES)
@@ -420,10 +430,12 @@ ORACLES = {
                                 'g')), ' ') AS ws
             FROM documents),
         sh AS (SELECT DISTINCT doc_id, source,
-                      unnest(list_transform(range(1, len(ws) - 1),
-                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                      unnest(list_transform(
+                          range(1, len(ws) - {CONTAM_SHINGLE_K - 2}),
+                          i -> list_aggregate(ws[i:i+{CONTAM_SHINGLE_K - 1}],
+                                              'string_agg', ' ')))
                           AS shingle
-               FROM w WHERE len(ws) >= 3),
+               FROM w WHERE len(ws) >= {CONTAM_SHINGLE_K}),
         bench AS (SELECT DISTINCT shingle FROM sh
                   WHERE source IN ({_BENCH_IN})),
         train AS (SELECT doc_id, shingle FROM sh

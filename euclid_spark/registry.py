@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from euclid_spark.operators import (
     components,
+    curation,
     dedup,
     euclid,
     merkle,
@@ -32,6 +33,7 @@ _MODULES = [
     components,
     mpt_ingest,
     merkle,
+    curation,
 ]
 
 def _with_session_confs(
