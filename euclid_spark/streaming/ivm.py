@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,11 +82,19 @@ def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
 @dataclass
 class MaintainedAggregate:
     """foreachBatch sink maintaining the day-partitioned view at
-    `view_path`. `state_path` persists the applied-batch watermark."""
+    `view_path`. `state_path` persists the applied-batch watermark.
+
+    `partial_fn` / `merge_fn` define the maintained query: any pair
+    where merge_fn(partial(A), partial(B)) == partial(A ∪ B) — i.e. the
+    aggregates form a commutative monoid — maintains correctly. The
+    defaults are the count/sum/digest view; `run_maintained_state_rollup`
+    plugs in the A7 last-value (argmax-by-event-id) merge."""
 
     view_path: str
     state_path: str | None = None
     last_batch_id: int = -1
+    partial_fn: "Callable[[DataFrame], DataFrame] | None" = None
+    merge_fn: "Callable[[DataFrame, DataFrame], DataFrame] | None" = None
 
     def __post_init__(self) -> None:
         if self.state_path and os.path.exists(self.state_path):
@@ -104,7 +113,7 @@ class MaintainedAggregate:
         if batch_id <= self.last_batch_id:
             return  # checkpoint replay after restart — already merged
         spark = batch_df.sparkSession
-        partial = _partial(batch_df)
+        partial = (self.partial_fn or _partial)(batch_df)
 
         if os.path.exists(self.view_path):
             # read ONLY the partitions this batch touches: collect the
@@ -115,7 +124,7 @@ class MaintainedAggregate:
             partial = local_checkpoint_tracked(partial)
             days = [r["day"] for r in partial.select("day").distinct().collect()]
             old = spark.read.parquet(self.view_path).filter(F.col("day").isin(days))
-            merged = _merge(old, partial)
+            merged = (self.merge_fn or _merge)(old, partial)
         else:
             merged = partial
 
@@ -155,6 +164,65 @@ def run_maintained_aggregate(
         .start()
     )
     return q, sink
+
+
+def _rollup_partial(events: DataFrame) -> DataFrame:
+    """A7 state-rollup partials: latest value per (user, day). The
+    argmax-by-event-id state IS a monoid — merging two states keeps the
+    one with the larger last_event_id — so the reference's per-block
+    account-state DB (state/lpn/) maintains incrementally exactly like
+    a sum."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy(*VIEW_KEYS)
+        .agg(
+            F.max_by("value", "event_id").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _rollup_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy(*VIEW_KEYS)
+        .agg(
+            F.max_by("last_value", "last_event_id").alias("last_value"),
+            F.max("last_event_id").alias("last_event_id"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def run_maintained_state_rollup(
+    stream: DataFrame, view_path: str, checkpoint: str
+) -> tuple[StreamingQuery, MaintainedAggregate]:
+    """The A7 state rollup (latest per-account state per day) as an
+    incrementally maintained view — the streaming form of the
+    reference's state DB append."""
+    os.makedirs(checkpoint, exist_ok=True)
+    sink = MaintainedAggregate(
+        view_path=view_path,
+        state_path=os.path.join(checkpoint, "ivm_state.json"),
+        partial_fn=_rollup_partial,
+        merge_fn=_rollup_merge,
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
+
+
+def rollup_batch_oracle(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The A7 aggregate computed from scratch over every ingested file."""
+    from euclid_spark.streaming.block_db import EVENTS_NS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_NS_SCHEMA).parquet(src_dir)
+    return _rollup_partial(ev.withColumn("ts", F.col("ts").cast("timestamp")))
 
 
 def batch_oracle(spark: SparkSession, src_dir: str) -> DataFrame:

@@ -16,7 +16,9 @@ from euclid_spark.streaming.block_db import read_event_stream
 from euclid_spark.streaming.ivm import (
     MaintainedAggregate,
     batch_oracle,
+    rollup_batch_oracle,
     run_maintained_aggregate,
+    run_maintained_state_rollup,
 )
 from tests.conftest import SF_SMOKE
 
@@ -62,6 +64,46 @@ def test_maintained_view_matches_batch_aggregate(spark, tmp_path):
     assert sink.last_batch_id >= 2  # one file per trigger → ≥3 batches
 
     assert _view_as_dict(spark, view) == _oracle_as_dict(spark, str(src))
+
+
+def test_maintained_state_rollup_matches_batch(spark, tmp_path):
+    """The A7 last-value rollup (argmax-by-event-id — a non-sum monoid)
+    maintained incrementally must equal the batch aggregate."""
+    src = tmp_path / "src"
+    src.mkdir()
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+
+    pdf = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # adversarial split for argmax: NOT time-ordered — shuffle rows so
+    # later batches carry earlier event_ids and the merge must still
+    # keep the globally-latest value
+    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    third = len(pdf) // 3
+    for i in range(3):
+        lo, hi = i * third, (i + 1) * third if i < 2 else len(pdf)
+        pdf.iloc[lo:hi].to_parquet(str(src / f"b{i}.parquet"), index=False)
+
+    q, sink = run_maintained_state_rollup(
+        read_event_stream(spark, str(src)), view, ck
+    )
+    q.awaitTermination(240)
+    assert sink.last_batch_id >= 2
+
+    got = {
+        (r["user_id"], str(r["day"])): (
+            round(r["last_value"], 6), r["last_event_id"], r["n_events"]
+        )
+        for r in spark.read.parquet(view).collect()
+    }
+    exp = {
+        (r["user_id"], str(r["day"])): (
+            round(r["last_value"], 6), r["last_event_id"], r["n_events"]
+        )
+        for r in rollup_batch_oracle(spark, str(src)).collect()
+    }
+    assert got == exp
 
 
 def test_replayed_batch_is_noop(spark, tmp_path):
