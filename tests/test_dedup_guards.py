@@ -58,6 +58,50 @@ def test_cap_drops_from_numerator_and_denominator(spark, tmp_path):
     assert got == {(1, 2): 0.5}
 
 
+def test_simhash_degenerate_bucket_capped(spark, tmp_path):
+    """VERDICT r4 #1: a degenerate simhash chunk bucket (many identical
+    short docs collapsing to the same 16-bit chunks) must be dropped
+    before the self-join — bounded pairs, not m². A genuine near-dup
+    pair with distinctive text still survives."""
+    from euclid_spark.operators.dedup import MAX_CHUNK_BUCKET, dedup_simhash
+
+    m = MAX_CHUNK_BUCKET + 50  # one bucket of identical docs, over cap
+    rows = [(i, "tiny doc") for i in range(m)]
+    rows += [
+        (9001, "a genuinely distinctive sentence about distributed tries"),
+        (9002, "a genuinely distinctive sentence about distributed tries"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+
+    got = dedup_simhash(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # without the cap this would be m*(m-1)/2 ≈ 11k pairs from the
+    # degenerate bucket alone; with it, only the distinctive pair remains
+    assert pairs == {(9001, 9002)}
+
+
+def test_simhash_recall_unaffected_below_cap(spark, tmp_path):
+    """The cap must not change results on a normal corpus: near-identical
+    docs are still paired, unrelated docs are not."""
+    from euclid_spark.operators.dedup import dedup_simhash
+
+    base = " ".join(f"word{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base),  # identical → hamming 0
+        (3, base.replace("word29", "changed")),  # near-dup
+        (4, "completely different text about oceanic navigation charts"),
+        (5, "unrelated prose describing compiler construction techniques"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup_simhash(
+        spark, str(tmp_path)
+    ).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got
+    assert all(4 not in p and 5 not in p for p in got)
+
+
 def test_embedding_cosine_captures_known_near_dups(spark, tmp_path):
     """Signed feature hashing must score identical docs at 1.0 and keep
     unrelated docs out (the r2 regression: unsigned 16-dim counts scored

@@ -97,6 +97,20 @@ def test_q4_exists_is_left_semi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_merkle_roots_join_has_no_static_broadcast_hint(spark):
+    """VERDICT r4 #2: merkle_opening_paths is a generic operator — roots
+    has one row per group, so a *forced* broadcast would OOM with a
+    high-cardinality group key. The logical plan must carry no broadcast
+    hint on the roots join; AQE may still pick a broadcast join at
+    runtime when roots is genuinely small (that is the desired
+    behavior, and not what this test forbids)."""
+    from euclid_spark.operators import merkle
+
+    df = merkle.merkle_membership_proof(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
 def test_new_tpch_stay_on_jvm(spark):
     for fn in [
         relational.q4_order_priority,
