@@ -1,4 +1,4 @@
-"""Session-wide cache lifecycle (ADVICE r1).
+"""Session-wide cache lifecycle (ADVICE r1; owner scoping ADVICE r4).
 
 Operators persist intermediates that are read more than once inside one
 query (LSH signature tables, shingle inverted indexes, per-round labels).
@@ -9,18 +9,41 @@ session lifetime. Rule here: operators register every persist through
 (bench.py per query, tests per test via an autouse fixture) calls
 `release_all()` once the results are materialized.
 
-Double-unpersist is harmless (Spark no-ops), so releasing a frame the
-operator already unpersisted (per-round loop frames) is safe.
+Concurrency (ADVICE r4): foreachBatch sinks (streaming/ivm.py,
+streaming/mpt_stream.py) run on streaming-query threads, concurrently
+with each other and with driver-thread operator builds. Two rules make
+that safe:
+
+- local-checkpoint RDD ids are read DIRECTLY off the checkpointed
+  DataFrame's LogicalRDD plan node — no before/after diff of the
+  persistent-RDD registry, so a concurrent checkpoint on another thread
+  cannot be misattributed;
+- checkpoint tracking is scoped per OWNER key: a sink passes its own
+  key and releases only its own checkpoints
+  (`release_checkpoints(owner)`), so it can never unpersist a
+  still-needed truncated-lineage RDD belonging to a concurrent query.
+  `release_all()` / `release_checkpoints(None)` keep the
+  drain-everything semantics for single-threaded terminal callers
+  (bench loop, test teardown).
+
+All registry mutation is behind a lock. Double-unpersist is harmless
+(Spark no-ops), so releasing a frame the operator already unpersisted
+(per-round loop frames) is safe.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+DEFAULT_OWNER = "__default__"
+
+_LOCK = threading.RLock()
 _TRACKED: list[DataFrame] = []
-# (scala SparkContext, rdd id) pairs created by local_checkpoint_tracked
-_CKPT_IDS: list[tuple[object, int]] = []
+# owner key → [(scala SparkContext, rdd id), ...] from local_checkpoint_tracked
+_CKPT_IDS: dict[str, list[tuple[object, int]]] = {}
 
 
 def persist_tracked(
@@ -28,41 +51,42 @@ def persist_tracked(
 ) -> DataFrame:
     """Persist `df` and register it for later release_all()."""
     df.persist(level)
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
-def _persistent_ids(jsc) -> set[int]:
-    ids = set()
-    it = jsc.getPersistentRDDs().iterator()
-    while it.hasNext():
-        ids.add(it.next()._1())
-    return ids
-
-
-def local_checkpoint_tracked(df: DataFrame) -> DataFrame:
+def local_checkpoint_tracked(df: DataFrame, owner: str = DEFAULT_OWNER) -> DataFrame:
     """`df.localCheckpoint(eager=True)` with deterministic release.
 
     A local checkpoint persists its RDD outside the DataFrame cache
     manager; nothing unpersists it until JVM GC + ContextCleaner get
     around to it, so iterative operators (components, merkle levels,
     trie walks) would strand one persisted RDD per round for the life
-    of a long session. Record the RDD ids the checkpoint creates (the
-    driver is single-threaded through an operator build, so the
-    before/after diff is exactly this checkpoint) and unpersist them in
-    release_all()."""
+    of a long session. The checkpointed DataFrame's analyzed plan is a
+    LogicalRDD wrapping exactly the persisted RDD — record that id under
+    `owner` and unpersist it in release_checkpoints(owner)."""
     jsc = df.sparkSession.sparkContext._jsc.sc()
-    before = _persistent_ids(jsc)
     out = df.localCheckpoint(eager=True)
-    for rid in _persistent_ids(jsc) - before:
-        _CKPT_IDS.append((jsc, rid))
+    rid = out._jdf.queryExecution().analyzed().rdd().id()
+    with _LOCK:
+        _CKPT_IDS.setdefault(owner, []).append((jsc, rid))
     return out
 
 
-def release_checkpoints() -> None:
-    """Unpersist every tracked local-checkpoint RDD (newest first)."""
-    while _CKPT_IDS:
-        jsc, rid = _CKPT_IDS.pop()
+def release_checkpoints(owner: str | None = None) -> None:
+    """Unpersist tracked local-checkpoint RDDs (newest first).
+
+    `owner=None` drains EVERY owner — session-teardown semantics for
+    single-threaded terminal callers only. A concurrent owner (streaming
+    sink) must pass its own key."""
+    with _LOCK:
+        if owner is None:
+            items = [e for lst in _CKPT_IDS.values() for e in lst]
+            _CKPT_IDS.clear()
+        else:
+            items = _CKPT_IDS.pop(owner, [])
+    for jsc, rid in reversed(items):
         try:
             opt = jsc.getPersistentRDDs().get(rid)
             if opt.isDefined():
@@ -75,8 +99,11 @@ def release_all() -> None:
     """Unpersist every tracked frame (newest first). Call after the
     terminal action of a query, not before — unpersisting a lazy result's
     inputs early just forfeits the reuse the persist bought."""
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
@@ -85,4 +112,5 @@ def release_all() -> None:
 
 
 def n_tracked() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return len(_TRACKED)

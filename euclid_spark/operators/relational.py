@@ -682,7 +682,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = persist_tracked(
         li.groupBy("l_suppkey").agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            # DECIMAL accumulation (ADVICE r4): the argmax below compares
+            # ROUND(total, 2) for EQUALITY with the max — a float sum's
+            # accumulation-order noise at a cent boundary could change
+            # which suppliers tie. Exact decimal sums make the rounded
+            # total (and so the argmax set) order-independent, the same
+            # hazard range_join_bucketed already fixes.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(24,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
             .alias("total_revenue")
         )
     )
@@ -1271,7 +1285,9 @@ ORACLES = {
     """,
     "tpch_q15_top_supplier": f"""
         WITH revenue AS (
-          SELECT l_suppkey, ROUND(SUM({_REV}), 2) AS total_revenue
+          SELECT l_suppkey,
+                 CAST(ROUND(SUM(CAST({_REV} AS DECIMAL(24,8))), 2)
+                      AS DOUBLE) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1996-04-01'

@@ -296,8 +296,14 @@ def quantize_int8(vec: F.Column) -> F.Column:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
+    # mx == 0 guard (ADVICE r4): an all-zero embedding would divide by
+    # zero → NaN → null components and a null cosine that silently sinks
+    # the vector in the ranking. Emit the all-zero quantized vector
+    # instead — its dot products are 0 and its behavior deterministic.
     return F.transform(
-        vec, lambda x: F.round(x * 127.0 / mx).cast("int")
+        vec,
+        lambda x: F.when(mx == 0.0, F.lit(0))
+        .otherwise(F.round(x * 127.0 / mx).cast("int")),
     )
 
 

@@ -22,10 +22,16 @@ Scale design (what makes this 100 TB-shaped):
 - Partials are map-side-combinable aggregates of the batch alone;
   the merge re-aggregates (old ∪ partial) with the same monoid — no
   window, no global shuffle wider than the touched keys.
-- Exactly-once across restarts: micro-batch ids from a checkpoint are
-  strictly increasing, so an applied-watermark file (atomic
-  write-then-rename, the IncrementalDigest pattern) makes replayed
-  batches no-ops — re-merging a sum partial twice would double-count.
+- Exactly-once across restarts (ADVICE r4): the applied-batch watermark
+  lives IN the view rows — every row of a day partition carries the
+  `applied_batch_id` that last rewrote that partition, committed
+  atomically with the data because it IS the data. A replayed batch
+  (after any crash point, including mid-write across day partitions —
+  dynamic partition overwrite is atomic per day directory but not
+  across them) re-merges ONLY the days whose partition watermark is
+  still behind the batch id; days already carrying the batch are
+  skipped. The side watermark file is a fast-path short-circuit only —
+  correctness never depends on its write ordering.
 
 The maintained view equals the batch aggregate over everything
 ingested (tests/test_streaming_ivm.py proves it per batch count and
@@ -100,6 +106,9 @@ class MaintainedAggregate:
         if self.state_path and os.path.exists(self.state_path):
             with open(self.state_path) as fh:
                 self.last_batch_id = json.load(fh)["last_batch_id"]
+        # checkpoint owner key: this sink runs on a streaming-query
+        # thread — release only its OWN pinned RDDs (cache owner scoping)
+        self._owner = f"ivm:{id(self)}"
 
     def _save(self) -> None:
         if not self.state_path:
@@ -111,7 +120,7 @@ class MaintainedAggregate:
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id:
-            return  # checkpoint replay after restart — already merged
+            return  # fast path: watermark file says already merged
         spark = batch_df.sparkSession
         partial = (self.partial_fn or _partial)(batch_df)
 
@@ -121,16 +130,42 @@ class MaintainedAggregate:
             # prune with an IN filter on the partition column. The
             # partial is pinned first so the day list and the merged
             # rows come from ONE evaluation of the batch frame.
-            partial = local_checkpoint_tracked(partial)
+            partial = local_checkpoint_tracked(partial, owner=self._owner)
             days = [r["day"] for r in partial.select("day").distinct().collect()]
-            old = spark.read.parquet(self.view_path).filter(F.col("day").isin(days))
-            merged = (self.merge_fn or _merge)(old, partial)
+            view = spark.read.parquet(self.view_path).filter(F.col("day").isin(days))
+            if "applied_batch_id" not in view.columns:  # pre-watermark view
+                view = view.withColumn("applied_batch_id", F.lit(-1))
+            # per-day applied watermark (the exactly-once gate): a crash
+            # between the partition write and _save() leaves some days
+            # already carrying this batch_id — on replay those days are
+            # skipped, the rest are merged. One tiny aggregate over the
+            # touched days only.
+            applied = {
+                r["day"]: r["mx"]
+                for r in view.groupBy("day")
+                .agg(F.max("applied_batch_id").alias("mx"))
+                .collect()
+            }
+            todo = [d for d in days if applied.get(d, -1) < batch_id]
+            if not todo:
+                self.last_batch_id = batch_id
+                self._save()
+                release_checkpoints(self._owner)
+                return
+            old = view.filter(F.col("day").isin(todo)).drop("applied_batch_id")
+            merged = (self.merge_fn or _merge)(
+                old, partial.filter(F.col("day").isin(todo))
+            )
         else:
             merged = partial
 
+        # stamp the watermark INTO the rows: it commits atomically with
+        # the data of each day partition (it is the data)
+        merged = merged.withColumn("applied_batch_id", F.lit(batch_id))
+
         # pin the merge result BEFORE the write: the plan reads the very
         # parquet directory the write below replaces (self-overwrite)
-        merged = local_checkpoint_tracked(merged)
+        merged = local_checkpoint_tracked(merged, owner=self._owner)
 
         # dynamic partition overwrite: only the day= directories present
         # in `merged` are replaced; untouched days are left as-is.
@@ -145,7 +180,13 @@ class MaintainedAggregate:
         self._save()
         # the pinned partial/merge frames are on disk in the view now —
         # release their checkpoint RDDs rather than stranding them
-        release_checkpoints()
+        # (owner-scoped: concurrent queries' checkpoints untouched)
+        release_checkpoints(self._owner)
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        """The maintained view WITHOUT the applied_batch_id bookkeeping
+        column — what consumers (and the batch-parity tests) read."""
+        return spark.read.parquet(self.view_path).drop("applied_batch_id")
 
 
 def run_maintained_aggregate(

@@ -90,6 +90,10 @@ class IncrementalMptReassembly:
         self.entries_path = os.path.join(state_dir, "entries")
         self.meta_path = os.path.join(state_dir, "meta.json")
         os.makedirs(state_dir, exist_ok=True)
+        # checkpoint owner key: this sink runs on a streaming-query
+        # thread, concurrently with other queries — it must release only
+        # its OWN pinned RDDs (cache.py owner scoping, ADVICE r4)
+        self._owner = f"mpt_stream:{id(self)}"
         self.last_batch_id = -1
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as fh:
@@ -125,7 +129,7 @@ class IncrementalMptReassembly:
                 "left_anti",
             )
         )
-        dec_new = local_checkpoint_tracked(dec_new)
+        dec_new = local_checkpoint_tracked(dec_new, owner=self._owner)
         if not dec_new.isEmpty():
             dec_new.write.mode("append").parquet(self.nodes_path)
         # re-read AFTER append so this batch's nodes are visible to the walk
@@ -159,7 +163,8 @@ class IncrementalMptReassembly:
         active = local_checkpoint_tracked(
             self._read_or_empty(self.frontier_path, FRONTIER_SCHEMA)
             .unionByName(new_roots)
-            .dropDuplicates(["owner", "node_hash", "prefix"])
+            .dropDuplicates(["owner", "node_hash", "prefix"]),
+            owner=self._owner,
         )
 
         parked: list[DataFrame] = []
@@ -172,7 +177,8 @@ class IncrementalMptReassembly:
             parked.append(
                 local_checkpoint_tracked(
                     j.filter(F.col("node_type").isNull())
-                    .select("owner", "node_hash", "prefix")
+                    .select("owner", "node_hash", "prefix"),
+                    owner=self._owner,
                 )
             )
             cur = j.filter(F.col("node_type").isNotNull())
@@ -197,7 +203,9 @@ class IncrementalMptReassembly:
                     F.concat("prefix", F.array(F.col("c.idx"))).alias("prefix"),
                 )
             )
-            active = local_checkpoint_tracked(ext_next.unionAll(branch_next))
+            active = local_checkpoint_tracked(
+                ext_next.unionAll(branch_next), owner=self._owner
+            )
         else:
             raise RuntimeError(
                 "incremental MPT walk exceeded max trie depth — cyclic refs?"
@@ -214,7 +222,7 @@ class IncrementalMptReassembly:
                 .alias("token_id"),
                 F.lower(F.hex("value")).alias("value_hex"),
             )
-            ent = local_checkpoint_tracked(ent)
+            ent = local_checkpoint_tracked(ent, owner=self._owner)
             if not ent.isEmpty():
                 ent.write.mode("append").parquet(self.entries_path)
 
@@ -223,15 +231,17 @@ class IncrementalMptReassembly:
             frontier = frontier.unionByName(p)
         # already materialized (each parked frame is checkpointed), so
         # overwriting the directory it was read from is safe
-        frontier = local_checkpoint_tracked(frontier)
+        frontier = local_checkpoint_tracked(frontier, owner=self._owner)
         frontier.write.mode("overwrite").parquet(self.frontier_path)
 
         self.last_batch_id = batch_id
         self._save_meta()
         # this batch's pinned temporaries (decoded nodes, walk frontiers,
         # emit frames) are all flushed to parquet above — release their
-        # checkpoint RDDs instead of stranding them for the session life
-        release_checkpoints()
+        # checkpoint RDDs instead of stranding them for the session life.
+        # Owner-scoped: a concurrent query's still-needed checkpoints are
+        # untouched (truncated lineage cannot be recomputed).
+        release_checkpoints(self._owner)
 
     def entries(self) -> DataFrame:
         return self._read_or_empty(self.entries_path, ENTRIES_SCHEMA)

@@ -105,3 +105,20 @@ def test_ivf_probes_fraction_of_corpus(spark):
     frac = worst_scored / brute_pairs
     print(f"\nIVF worst-case scored fraction: {frac:.3f}")
     assert frac < 0.8, "inverted lists are degenerate — IVF scores ~everything"
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    """ADVICE r4: an all-zero embedding must quantize to an all-zero int
+    vector (deterministic), not NaN→null components."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [3.0, -4.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    got = {r["vec_id"]: r["q"] for r in df.collect()}
+    assert got[0] == [0, 0, 0]
+    assert got[1] == [95, -127, 16]
+    assert all(v is not None for q in got.values() for v in q)

@@ -128,6 +128,34 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert _view_as_dict(spark, view) == before
 
 
+def test_crash_between_view_write_and_watermark_save(spark, tmp_path):
+    """ADVICE r4 (medium): a crash AFTER the view partition write but
+    BEFORE the watermark-file save used to double-merge the replayed
+    batch. The per-day applied_batch_id stamped into the view rows must
+    make the replay a no-op even with a stale watermark file."""
+    import json
+
+    src_view = str(tmp_path / "view")
+    state = str(tmp_path / "state.json")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(600)
+
+    sink = MaintainedAggregate(view_path=src_view, state_path=state)
+    sink.process(ev.limit(300), 0)
+    sink.process(ev, 1)  # batch 1 fully applied: view AND watermark
+    before = _view_as_dict(spark, src_view)
+
+    # simulate the crash window: roll the watermark FILE back to batch 0
+    # (view partitions still carry applied_batch_id=1), restart, replay
+    with open(state, "w") as fh:
+        json.dump({"last_batch_id": 0}, fh)
+    sink2 = MaintainedAggregate(view_path=src_view, state_path=state)
+    assert sink2.last_batch_id == 0  # stale file loaded — fast path open
+    sink2.process(ev, 1)  # checkpoint replay of batch 1
+
+    assert _view_as_dict(spark, src_view) == before, "replay double-counted"
+    assert sink2.last_batch_id == 1  # watermark file healed
+
+
 def test_append_rewrites_only_touched_day_partitions(spark, tmp_path):
     """Dynamic partition overwrite: merging a batch confined to one day
     must leave every other day= directory untouched on disk."""
