@@ -18,6 +18,7 @@ from euclid_spark.operators import (
     merkle,
     mpt_ingest,
     multimodal,
+    preprocessing,
     relational,
     similarity,
     textops,
@@ -34,6 +35,7 @@ _MODULES = [
     mpt_ingest,
     merkle,
     curation,
+    preprocessing,
 ]
 
 def _with_session_confs(

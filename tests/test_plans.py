@@ -111,6 +111,19 @@ def test_merkle_roots_join_has_no_static_broadcast_hint(spark):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
 
 
+def test_preprocessing_pipeline_plan_shape(spark):
+    """A19 composes five stages: the whole chain must stay JVM-side,
+    push the range filter to the scan, and never collapse the history
+    into a single partition (the chain prefix-sum is two-level)."""
+    from euclid_spark.operators import preprocessing
+
+    df = preprocessing.preprocessing_pipeline(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_new_tpch_stay_on_jvm(spark):
     for fn in [
         relational.q4_order_priority,
