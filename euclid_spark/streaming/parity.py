@@ -1,0 +1,202 @@
+"""Batch ≡ incremental parity harness (SURVEY.md §2.D20, VERDICT r4 #2).
+
+The reference's IVC construction makes "incremental result ==
+recomputed-from-scratch result" true BY PROOF: appending block n+1 to
+the block DB carries a proof that the new commitment extends the old one
+(mr-plonky2-circuits/src/block/mod.rs), so the maintained structure can
+never drift from what a full recomputation would produce. An analytics
+engine cannot prove that, but it can TEST it systematically — this
+module is that harness.
+
+For any maintained aggregate (a (partial_fn, merge_fn) monoid pair, the
+D19 machinery), `run_parity`:
+
+  1. splits an event corpus into n ingest files (optionally TIME-SHUFFLED
+     — the adversarial case: later batches carry earlier timestamps and
+     event ids, so merges must be genuinely order-independent);
+  2. lands one file per quiescent point and drives the maintained view
+     forward with an availableNow stream run — each point RESTARTS the
+     stream from its checkpoint, so recovery is exercised at every step,
+     not just once;
+  3. at every quiescent point recomputes the same aggregate FROM SCRATCH
+     over everything ingested so far and asserts the maintained view
+     equals it (after an optional `finalize` transform on both sides —
+     e.g. folding per-day digests into the A9 running chain).
+
+A ParityResult per point records row counts and equality; any mismatch
+carries the differing frames for diagnosis. tests/
+test_batch_incremental_parity.py runs the A7 state rollup, the A9
+day-digest chain, and the D19 count/sum/digest view through this
+harness under both ordered and shuffled splits.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark.functions.hashing import DIGEST_PRIME, digest_agg, digest_term
+from euclid_spark.streaming.block_db import EVENTS_NS_SCHEMA, read_event_stream
+from euclid_spark.streaming.ivm import (
+    MaintainedAggregate,
+    _merge,
+    _partial,
+    _rollup_merge,
+    _rollup_partial,
+)
+
+
+@dataclass(frozen=True)
+class ParitySpec:
+    """A maintained query under parity test: the (partial, merge) monoid
+    pair plus an optional finalize applied to BOTH sides before compare
+    (for derived results like the cumulative chain)."""
+
+    name: str
+    partial_fn: Callable[[DataFrame], DataFrame]
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame]
+    finalize: Callable[[pd.DataFrame], pd.DataFrame] | None = None
+
+
+@dataclass
+class ParityResult:
+    point: int
+    n_rows: int
+    matched: bool
+    view: pd.DataFrame = field(repr=False, default=None)
+    batch: pd.DataFrame = field(repr=False, default=None)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: stringify objects/dates, round
+    floats, sort columns then rows — the crosscheck gate's compare."""
+    out = pdf.copy()
+    for c in out.columns:
+        if pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].round(6)
+        elif not pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype(str)
+    out = out.reindex(sorted(out.columns), axis=1)
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def run_parity(
+    spark: SparkSession,
+    events_pdf: pd.DataFrame,
+    spec: ParitySpec,
+    workdir: str,
+    n_splits: int = 3,
+    shuffle_seed: int | None = None,
+) -> list[ParityResult]:
+    """Drive `spec` through n_splits quiescent points; return a
+    ParityResult per point. The stream is restarted from its checkpoint
+    at every point (recovery exercised each step)."""
+    src = os.path.join(workdir, "src")
+    view = os.path.join(workdir, "view")
+    ck = os.path.join(workdir, "ck")
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(ck, exist_ok=True)
+
+    pdf = events_pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark's µs NTZ reader
+    if shuffle_seed is not None:
+        pdf = pdf.sample(frac=1.0, random_state=shuffle_seed).reset_index(drop=True)
+    bounds = [round(i * len(pdf) / n_splits) for i in range(n_splits + 1)]
+
+    results: list[ParityResult] = []
+    for point in range(n_splits):
+        pdf.iloc[bounds[point] : bounds[point + 1]].to_parquet(
+            os.path.join(src, f"split_{point}.parquet"), index=False
+        )
+        # fresh sink per point = a restart: watermark + checkpoint reload
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=spec.partial_fn,
+            merge_fn=spec.merge_fn,
+        )
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+        # from-scratch recompute over everything ingested so far
+        all_ev = (
+            spark.read.schema(EVENTS_NS_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        batch_pd = _canon(spec.partial_fn(all_ev).toPandas())
+        view_pd = _canon(sink.view(spark).toPandas())
+        if spec.finalize is not None:
+            batch_pd = _canon(spec.finalize(batch_pd))
+            view_pd = _canon(spec.finalize(view_pd))
+        results.append(
+            ParityResult(
+                point=point,
+                n_rows=len(view_pd),
+                matched=view_pd.equals(batch_pd),
+                view=view_pd,
+                batch=batch_pd,
+            )
+        )
+    return results
+
+
+# --- the A9 day-digest chain as a maintained aggregate -----------------------
+
+def _day_digest_partial(events: DataFrame) -> DataFrame:
+    """A9's per-day block digest (block/mod.rs append unit) as a monoid
+    partial: digest + row count per day."""
+    term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(digest_agg(term).alias("day_digest"), F.count("*").alias("n"))
+    )
+
+
+def _day_digest_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day")
+        .agg(
+            F.pmod(F.sum("day_digest"), F.lit(DIGEST_PRIME))
+            .cast("long")
+            .alias("day_digest"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def _chain_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fold per-day digests into the A9 running chain commitment — the
+    derived result whose batch/incremental equality is the IVC property.
+    Day-level frame: pandas cumsum is exact (int64 · #days ≪ 2⁶³)."""
+    out = pdf.sort_values("day").reset_index(drop=True)
+    out["day_digest"] = out["day_digest"].astype("int64")
+    out["chain_digest"] = out["day_digest"].cumsum() % DIGEST_PRIME
+    return out
+
+
+SPECS = {
+    "ivm_count_sum_digest": ParitySpec(
+        "ivm_count_sum_digest", _partial, _merge
+    ),
+    "state_rollup_a7": ParitySpec(
+        "state_rollup_a7", _rollup_partial, _rollup_merge
+    ),
+    "block_db_chain_a9": ParitySpec(
+        "block_db_chain_a9", _day_digest_partial, _day_digest_merge, _chain_finalize
+    ),
+}
