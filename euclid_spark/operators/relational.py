@@ -941,6 +941,230 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B35-B39: the partsupp-blocked TPC-H queries (VERDICT r4 #5) -------------
+#
+# The testdata ships no partsupp table; it is SYNTHESIZED deterministically
+# from the fact table — the distinct (l_partkey, l_suppkey) pairs that
+# actually traded, with availqty/supplycost derived by exact integer
+# arithmetic on the keys. The identical derivation runs as a Spark frame
+# and as a DuckDB CTE (oracle), so all five queries are hash-checkable.
+# At scale the distinct-pairs aggregation is a one-time indexing artifact
+# (like the IVF centroids), not a per-query cost.
+
+_PS_AVAIL = "(ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1"
+_PS_COST = "((ps_partkey * 31 + ps_suppkey * 17) % 100000) / 100.0 + 1.0"
+_PARTSUPP_CTE = f"""partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               {_PS_AVAIL} AS ps_availqty,
+               {_PS_COST} AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                              l_suppkey AS ps_suppkey FROM lineitem))"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized partsupp: one row per distinct (part, supplier)
+    pair in lineitem, costs/quantities a pure function of the keys."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000)
+            / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 / TPC-H Q2: for each ECONOMY part of size ≤ 15, the EUROPE
+    supplier(s) offering the minimum supply cost — the correlated-MIN
+    subquery shape. Decorrelated as a groupBy-min over the
+    region-filtered partsupp + an equality join back (one shuffle on
+    ps_partkey for both the min and the join — no per-part subquery
+    execution). nation/region broadcast; supplier joins by key via AQE."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_ps = (
+        _partsupp(spark, sf_dir)
+        .join(sup, F.col("ps_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    from euclid_spark.cache import persist_tracked
+
+    eu_ps = persist_tracked(
+        eu_ps.select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_acctbal", "s_name", "n_name",
+        )
+    )
+    min_cost = eu_ps.groupBy(
+        F.col("ps_partkey").alias("mc_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    return (
+        parts.join(eu_ps, parts.p_partkey == eu_ps.ps_partkey)
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round("ps_supplycost", 2).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 / TPC-H Q9: profit per supplier-nation per year over 'red'
+    parts — the multi-fact join (lineitem × partsupp on the COMPOSITE
+    (partkey, suppkey) key, plus orders/part/supplier/nation). Profit
+    terms accumulate in DECIMAL so the rounded totals are
+    order-independent (the q15 hazard). Part filter reaches the scan;
+    nation broadcasts; everything else shuffles on its join key."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(24,8)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 / TPC-H Q11: per-part stock value in one nation, HAVING value
+    above a fraction of the GLOBAL total — the global-scalar-threshold
+    shape. The nation-filtered partsupp is pinned (both the per-part agg
+    and the one-row total read it); the total broadcasts into the
+    filter. DECIMAL accumulation end-to-end: the > comparison against
+    0.001·total must not depend on float summation order."""
+    from euclid_spark.cache import persist_tracked
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(24,8)")
+    ps = persist_tracked(
+        _partsupp(spark, sf_dir)
+        .join(sup, F.col("ps_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("ps_partkey", val.alias("val"))
+    )
+    per_part = ps.groupBy("ps_partkey").agg(F.sum("val").alias("value_d"))
+    total = ps.agg(F.sum("val").alias("total_d"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("total_d") * F.lit(0.0001))
+        .select(
+            "ps_partkey",
+            F.round(F.col("value_d"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38 / TPC-H Q16: supplier count per (brand, type, size) bucket,
+    excluding one brand, a type prefix, and a supplier deny-list — the
+    NOT-IN shape (planned as an anti join; the deny-list stands in for
+    the reference's complaints filter with the deterministic
+    s_acctbal < 0 predicate since the testdata has no s_comment)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .join(bad_supp, F.col("ps_suppkey") == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 / TPC-H Q20: suppliers in one nation holding excess stock of
+    'red' parts — availqty above half of what that (part, supplier)
+    pair actually shipped in 1996. The nested-EXISTS chain planned as
+    semi joins: shipped-quantity agg → partsupp threshold filter →
+    supplier semi join. Every join is an equi-join on the composite
+    key; nothing correlated executes per row."""
+    li96 = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li96.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum("l_quantity") * 0.5).alias("half_qty")
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(red_parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == shipped.l_partkey)
+            & (F.col("ps_suppkey") == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
+    )
+    return (
+        sup.join(excess, F.col("s_suppkey") == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "rel_bloom_join_prune": bloom_join_prune,
@@ -977,6 +1201,11 @@ QUERIES = {
     "tpch_q22_global_sales_opportunity": q22_global_sales_opportunity,
     "rel_range_join_bucketed": range_join_bucketed,
     "rel_window_rank_stats": window_rank_stats,
+    "tpch_q2_min_cost_supplier": q2_min_cost_supplier,
+    "tpch_q9_product_type_profit": q9_product_type_profit,
+    "tpch_q11_important_stock": q11_important_stock,
+    "tpch_q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "tpch_q20_potential_promotion": q20_potential_promotion,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -1388,5 +1617,101 @@ ORACLES = {
                        ORDER BY c_acctbal DESC, c_custkey)
         )
         WHERE drank <= 10
+    """,
+    "tpch_q2_min_cost_supplier": f"""
+        WITH {_PARTSUPP_CTE},
+        eu AS (
+            SELECT ps_partkey, ps_suppkey, ps_supplycost,
+                   s_acctbal, s_name, n_name
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        mc AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+               FROM eu GROUP BY ps_partkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               ROUND(e.ps_supplycost, 2) AS ps_supplycost
+        FROM part
+        JOIN eu e ON p_partkey = e.ps_partkey
+        JOIN mc   ON e.ps_partkey = mc.ps_partkey
+               AND e.ps_supplycost = mc.min_cost
+        WHERE p_type = 'ECONOMY' AND p_size <= 15
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q9_product_type_profit": f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   - ps_supplycost * l_quantity
+                                   AS DECIMAL(24,8))), 2) AS DOUBLE)
+                   AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11_important_stock": f"""
+        WITH {_PARTSUPP_CTE},
+        natps AS (
+            SELECT ps_partkey,
+                   CAST(ps_supplycost * ps_availqty AS DECIMAL(24,8)) AS val
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        SELECT ps_partkey,
+               CAST(ROUND(SUM(val), 2) AS DOUBLE) AS value
+        FROM natps
+        GROUP BY ps_partkey
+        HAVING SUM(val) > (SELECT SUM(val) * 0.0001 FROM natps)
+        ORDER BY value DESC, ps_partkey
+    """,
+    "tpch_q16_parts_supplier_relationship": f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q20_potential_promotion": f"""
+        WITH {_PARTSUPP_CTE},
+        shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) * 0.5 AS half_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        excess AS (
+            SELECT DISTINCT ps_suppkey
+            FROM partsupp
+            JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            WHERE ps_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+              AND ps_availqty > half_qty
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+          AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+        ORDER BY s_name
     """,
 }

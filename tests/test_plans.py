@@ -124,6 +124,20 @@ def test_preprocessing_pipeline_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q20_exists_chain_is_semi_joins(spark):
+    """Q20's nested quantifiers must plan as LeftSemi hash joins on
+    equi-keys — never a correlated per-row execution or cartesian."""
+    plan = _plan(relational.q20_potential_promotion(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = _plan(relational.q16_parts_supplier_relationship(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_new_tpch_stay_on_jvm(spark):
     for fn in [
         relational.q4_order_priority,
@@ -133,6 +147,11 @@ def test_new_tpch_stay_on_jvm(spark):
         relational.q19_disjunctive_join,
         relational.q21_waiting_supplier,
         relational.q22_global_sales_opportunity,
+        relational.q2_min_cost_supplier,
+        relational.q9_product_type_profit,
+        relational.q11_important_stock,
+        relational.q16_parts_supplier_relationship,
+        relational.q20_potential_promotion,
     ]:
         plan = _plan(fn(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, f"{fn.__name__} fell off the JVM path"
