@@ -6,11 +6,13 @@ Arrow-batched `mapInPandas` so each task streams record batches without
 materializing a partition, and the pre-decode projection prunes to only
 the columns the extractor needs.
 
-The container has no image/audio codecs, so `decode_real` is an explicit
-NotImplementedError stub; `FAKE_FEATURES` is the deterministic stand-in
-that keeps the Spark-side plumbing (schema, batching, partitioning) real
-and testable. Swap `_extract` for a real decoder without touching the
-plan.
+Decode: BMP and PPM payloads decode FOR REAL (stdlib-only parsers,
+functions/imaging.py — their specs are header + raw pixels, no codec
+needed), and features run over the decoded pixel buffer. Every other
+modality (JPEG/PNG/audio/video need codecs this container does not
+ship) stays on the deterministic byte-stat path over the raw payload —
+the plumbing (schema, batching, partitioning) is identical either way,
+so a real codec slots into `decode_real` without touching the plan.
 """
 
 from __future__ import annotations
@@ -23,28 +25,40 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from euclid_spark.functions.imaging import decode_image
+
 FEATURE_SCHEMA = (
     "doc_id long, modality string, n_bytes int, payload_md5 string, "
     "f_mean double, f_head double, f_tail double, f_spread double"
 )
 
-
-def decode_real(payload: bytes) -> bytes:  # pragma: no cover - documented stub
-    """Real media decode (PIL/librosa/ffmpeg) — not available in this
-    environment by design."""
-    raise NotImplementedError(
-        "media codecs are not installed; use the deterministic fake extractor"
-    )
+# modalities with a real decoder in this environment
+_DECODABLE = {"image/bmp", "image/x-portable-pixmap"}
 
 
-def _extract_batch(payloads: "list[bytes | None]") -> "dict[str, np.ndarray]":
-    """Deterministic fake feature extractor over raw bytes (byte-level
-    stats); stands in for a decoded-media embedding. VECTORIZED across
-    the whole Arrow batch: all payloads are laid into one contiguous
-    uint8 buffer and every per-row statistic is a segmented numpy
-    reduction (`np.add.reduceat` over the segment offsets) — no per-row
-    Python. This is the batch shape a real decoder should follow: touch
-    the bytes once, reduce per segment."""
+def decode_real(payload: bytes) -> np.ndarray:
+    """REAL media decode: BMP/PPM → (h, w, 3) uint8 RGB pixels
+    (functions/imaging.py). Formats needing actual codecs (JPEG, PNG,
+    audio, video) raise NotImplementedError — PIL/ffmpeg are not in this
+    container; they would slot in here."""
+    return decode_image(payload)
+
+
+def _extract_batch(
+    payloads: "list[bytes | None]",
+    modalities: "list[str] | None" = None,
+) -> "dict[str, np.ndarray]":
+    """Feature extractor over the DECODED content: image modalities
+    (BMP/PPM) decode to pixel buffers via decode_real; everything else
+    uses its raw bytes. Decode is per-row (that is what real decoders
+    are), but every statistic is then a segmented numpy reduction over
+    ONE contiguous uint8 buffer (`np.add.reduceat` over segment
+    offsets) — no per-row Python in the reduction."""
+    if modalities is not None:
+        payloads = [
+            decode_real(p).tobytes() if (p and m in _DECODABLE) else p
+            for p, m in zip(payloads, modalities)
+        ]
     n = len(payloads)
     lens = np.fromiter(
         (len(p) if p is not None else 0 for p in payloads), np.int64, count=n
@@ -85,7 +99,7 @@ def _extract_batch(payloads: "list[bytes | None]") -> "dict[str, np.ndarray]":
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        feats = _extract_batch(list(pdf["payload"]))
+        feats = _extract_batch(list(pdf["payload"]), list(pdf["modality"]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -1,0 +1,100 @@
+"""Stdlib BMP/PPM codecs (VERDICT r4 #6) and the real decode path of the
+mm_binary_pipeline: round-trips are bit-exact, a known-answer vector
+pins the byte layout, and the Spark pipeline's features over image
+payloads equal a numpy oracle computed from the fixture pixels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from euclid_spark.functions.imaging import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _pixels(seed: int, h: int, w: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (7, 5), (16, 16), (3, 33)])
+def test_bmp_round_trip(h, w):
+    px = _pixels(h * 100 + w, h, w)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (7, 5), (16, 16), (3, 33)])
+def test_ppm_round_trip(h, w):
+    px = _pixels(h * 100 + w, h, w)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+def test_bmp_known_answer():
+    """Pin the exact byte layout: 2x1 image, pixels (R=1,G=2,B=3) and
+    (R=4,G=5,B=6). BMP stores bottom-up BGR with 4-byte row padding."""
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # h=1, w=2
+    raw = encode_bmp(px)
+    assert raw[:2] == b"BM"
+    assert raw[54:60] == bytes([3, 2, 1, 6, 5, 4])  # BGR, single row
+    assert raw[60:62] == b"\x00\x00"  # pad 6 → 8 bytes
+    assert len(raw) == 54 + 8
+
+
+def test_ppm_header_with_comment():
+    px = _pixels(9, 2, 2)
+    raw = b"P6\n# a comment line\n2 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(raw), px)
+
+
+def test_decode_image_sniffs_magic_and_rejects_unknown():
+    px = _pixels(3, 4, 4)
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+    assert np.array_equal(decode_image(encode_ppm(px)), px)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # real PNG needs a codec
+
+
+def test_pipeline_decodes_real_image_bytes(spark):
+    """The C11 pipeline over an image-modality fixture set: features
+    must be computed from the DECODED pixel buffers (numpy oracle),
+    not the encoded file bytes."""
+    from euclid_spark.operators.multimodal import FEATURE_SCHEMA, _feature_batches
+
+    fixtures = {
+        1: ("image/bmp", _pixels(1, 8, 8)),
+        2: ("image/bmp", _pixels(2, 5, 9)),
+        3: ("image/x-portable-pixmap", _pixels(3, 6, 4)),
+        4: ("image/x-portable-pixmap", _pixels(4, 1, 1)),
+    }
+    rows = []
+    for doc_id, (modality, px) in fixtures.items():
+        raw = encode_bmp(px) if modality == "image/bmp" else encode_ppm(px)
+        rows.append((doc_id, modality, bytearray(raw), len(raw)))
+    # one text row rides along: its features stay byte-stats on the raw
+    # payload (the non-decodable path through the same plan)
+    rows.append((5, "text/plain", bytearray(b"hello world"), 11))
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, modality string, payload binary, n_bytes int"
+    ).withColumn("payload_md5", __import__("pyspark").sql.functions.md5("payload"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA).collect()
+    }
+
+    for doc_id, (modality, px) in fixtures.items():
+        buf = px.reshape(-1).astype(np.int64)
+        h = min(16, len(buf))
+        r = got[doc_id]
+        assert r["f_mean"] == round(float(buf.mean()), 6), doc_id
+        assert r["f_head"] == float(buf[:h].sum() % 256), doc_id
+        assert r["f_tail"] == float(buf[-h:].sum() % 256), doc_id
+        assert r["f_spread"] == float(buf.max() - buf.min()), doc_id
+
+    tbuf = np.frombuffer(b"hello world", dtype=np.uint8).astype(np.int64)
+    assert got[5]["f_mean"] == round(float(tbuf.mean()), 6)
+    assert got[5]["f_spread"] == float(tbuf.max() - tbuf.min())
