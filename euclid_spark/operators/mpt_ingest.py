@@ -167,11 +167,33 @@ def decode_mpt_nodes(nodes: DataFrame) -> DataFrame:
 
 
 MAX_DEPTH = 66  # 64 key nibbles + terminal + slack; bounded by the spec
+LEVELS_PER_ROUND = 4  # trie levels folded into one checkpointed round
 
 
 def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
     """Walk every trie level-synchronously; emit (owner, key_nibbles,
-    value). `roots`: (owner, node_hash) of each trie's root."""
+    value). `roots`: (owner, node_hash) of each trie's root.
+
+    Multi-level batching (VERDICT r4 #7): each *round* advances the walk
+    through LEVELS_PER_ROUND trie levels LAZILY and pays the fixed costs
+    (checkpoint job + isEmpty check) once per round instead of once per
+    level. Two constraints shape the level step (both MEASURED, both
+    slower when violated):
+
+    - entries emitted at intermediate levels must ride IN the walk state
+      as tagged rows (is_emit) — per-level lazy emit frames re-execute
+      the join chain of the levels before them (O(k²) join work/round);
+    - each level must reference the prior state exactly ONCE. A
+      union-of-five-branches step (passthrough ∪ leaves ∪ terminals ∪
+      ext ∪ branch) duplicates the state subplan 5× per level → 5^k
+      plan copies per round (measured 3× SLOWER than per-level
+      checkpointing). Hence: one LEFT join against the node table (emit
+      rows have a null node_hash and pass through unmatched), one
+      CASE-built array of next-state structs, one explode.
+
+    Lineage stays bounded at k joins per round — the O(4^rounds) plan
+    growth (operators/components.py) needs unbounded nesting, which the
+    round-boundary checkpoint still prevents."""
     spark = decoded.sparkSession
     _ckpt = (
         (lambda df: df.checkpoint(eager=True))
@@ -185,44 +207,96 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
     dec = persist_tracked(decoded)
     dec.count()  # materialize once; every round joins against the cache
 
+    # walk state: cursor rows (is_emit=false, node_hash set) + emit rows
+    # (is_emit=true, prefix = full key nibbles, value set)
+    nil_b = F.lit(None).cast("binary")
     frontier = _ckpt(
         roots.select(
-            "owner", "node_hash", F.expr("CAST(array() AS array<int>)").alias("prefix")
+            "owner",
+            "node_hash",
+            F.expr("CAST(array() AS array<int>)").alias("prefix"),
+            nil_b.alias("value"),
+            F.lit(False).alias("is_emit"),
         )
     )
-    emitted: "list[DataFrame]" = []
-    for _ in range(MAX_DEPTH):
-        cur = frontier.join(dec, ["owner", "node_hash"])
-        leaves = cur.filter(F.col("node_type") == "leaf").select(
-            "owner",
-            F.concat("prefix", "path").alias("key_nibbles"),
-            "value",
-        )
-        terminals = cur.filter(
-            (F.col("node_type") == "branch") & (F.length("value") > 0)
-        ).select("owner", F.col("prefix").alias("key_nibbles"), "value")
-        # NOT checkpointed: each emit's lineage is one join off this
-        # round's checkpointed frontier + the persisted node table, so it
-        # stays depth-1 forever; materializing it per round would double
-        # the job count for no lineage benefit (the final union runs all
-        # emit joins in one job).
-        emitted.append(leaves.unionAll(terminals))
+    nil_s = F.lit(None).cast("string")
+    _ST = "array<struct<nh:string, px:array<int>, v:binary, em:boolean>>"
 
-        ext_next = cur.filter(F.col("node_type") == "extension").select(
-            "owner",
-            F.col("children")[0]["child"].alias("node_hash"),
-            F.concat("prefix", "path").alias("prefix"),
+    def _next(nh, px, v, em):
+        return F.struct(
+            nh.alias("nh"), px.alias("px"), v.alias("v"), F.lit(em).alias("em")
         )
-        branch_next = (
-            cur.filter(F.col("node_type") == "branch")
-            .select("owner", "prefix", F.explode("children").alias("c"))
-            .select(
-                "owner",
-                F.col("c.child").alias("node_hash"),
-                F.concat("prefix", F.array(F.col("c.idx"))).alias("prefix"),
+
+    def step(state: DataFrame) -> DataFrame:
+        # `value` below unambiguously means the DECODED node's value;
+        # the state's own value column is renamed for the carry branch
+        j = state.withColumnRenamed("value", "s_value").join(
+            dec, ["owner", "node_hash"], "left"
+        )
+        nxt = (
+            # emit rows: null node_hash missed the join — carry unchanged
+            F.when(
+                F.col("is_emit"),
+                F.array(_next(nil_s, F.col("prefix"), F.col("s_value"), True)),
+            )
+            .when(
+                F.col("node_type") == "leaf",
+                F.array(
+                    _next(nil_s, F.concat("prefix", "path"), F.col("value"), True)
+                ),
+            )
+            .when(
+                F.col("node_type") == "extension",
+                F.array(
+                    _next(
+                        F.col("children")[0]["child"],
+                        F.concat("prefix", "path"),
+                        nil_b,
+                        False,
+                    )
+                ),
+            )
+            .when(
+                F.col("node_type") == "branch",
+                F.concat(
+                    F.transform(
+                        F.col("children"),
+                        lambda c: _next(
+                            c["child"],
+                            F.concat("prefix", F.array(c["idx"])),
+                            nil_b,
+                            False,
+                        ),
+                    ),
+                    F.when(
+                        F.length(F.col("value")) > 0,
+                        F.array(_next(nil_s, F.col("prefix"), F.col("value"), True)),
+                    ).otherwise(F.array().cast(_ST)),
+                ),
+            )
+            # dangling ref (node absent): drop, as the old inner join did
+            .otherwise(F.array().cast(_ST))
+        )
+        return j.select("owner", F.explode(nxt).alias("st")).select(
+            "owner",
+            F.col("st.nh").alias("node_hash"),
+            F.col("st.px").alias("prefix"),
+            F.col("st.v").alias("value"),
+            F.col("st.em").alias("is_emit"),
+        )
+
+    emitted: "list[DataFrame]" = []
+    for _ in range(-(-MAX_DEPTH // LEVELS_PER_ROUND)):  # ceil-div rounds
+        state = frontier
+        for _ in range(LEVELS_PER_ROUND):
+            state = step(state)  # lazy: no job, no checkpoint per level
+        state = _ckpt(state)  # the round's ONE materialization
+        emitted.append(
+            state.filter("is_emit").select(
+                "owner", F.col("prefix").alias("key_nibbles"), "value"
             )
         )
-        frontier = _ckpt(ext_next.unionAll(branch_next))
+        frontier = state.filter(~F.col("is_emit"))
         if frontier.isEmpty():
             break
     else:
