@@ -21,6 +21,8 @@ codegen, double precision, no Python UDF, no Arrow transfer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -158,25 +160,80 @@ def kmeans_centroids(emb: DataFrame, k: int = N_CENTROIDS, seed: int = 42) -> Da
     return emb.sparkSession.createDataFrame(rows, "cid int, cemb array<double>")
 
 
-# Fitted-centroid artifact store, keyed by (application, corpus). The IVF
-# index's model is TRAINED ONCE and reused by every probe batch — exactly
-# like persisting centroids to a model registry at 100 TB. k×DIM doubles
-# of driver memory; invalidate by restarting the session (the corpus
-# parquet under an sf_dir is immutable in this environment).
-_CENTROIDS: "dict[tuple[str, str], list[tuple[int, list[float]]]]" = {}
+# Fitted-centroid artifact store — TWO tiers, both keyed by the CORPUS
+# FINGERPRINT (file stats of the embeddings parquet + model params):
+#   1. in-process dict (k×DIM doubles of driver memory);
+#   2. an on-disk parquet artifact (VERDICT r4 #8), so a FRESH process
+#      probes without ever refitting — the model-registry pattern: train
+#      once, persist, serve. Atomic write-to-temp-then-rename; a corpus
+#      or parameter change changes the fingerprint, never overwrites.
+_CENTROIDS: "dict[str, list[tuple[int, list[float]]]]" = {}
+
+# artifact root: repo-local by default (this environment must not write
+# outside the repo), overridable for a real deployment's registry path
+_ARTIFACT_DIR = os.environ.get(
+    "EUCLID_SPARK_ARTIFACTS",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+                 ".artifacts"),
+)
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Fingerprint of the embeddings corpus + IVF model params: path,
+    size and mtime of every data file (cheap stat, no data read), plus
+    k/seed/query-split so a parameter change refits."""
+    import hashlib
+
+    path = f"{sf_dir}/embeddings.parquet"
+    parts: "list[str]" = [f"k={N_CENTROIDS}", f"q={N_QUERIES}", "seed=42"]
+    entries = (
+        sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    for p in entries:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted-model path for `sim_ivf_topk`: fit k-means on first
-    use per (session, corpus), then serve the cached centroid table.
+    """The persisted-model path for `sim_ivf_topk`: serve from the
+    in-process cache, else from the on-disk artifact, else fit k-means
+    ONCE and persist both tiers. After the first-ever fit on a corpus,
+    every later process (bench runs, driver gates) is probe-only.
     Callers with an externally-trained model bypass this entirely by
     passing `centroids=` to sim_ivf_topk."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CENTROIDS:
-        emb = _emb(spark, sf_dir)
-        cent = kmeans_centroids(emb.filter(F.col("vec_id") >= N_QUERIES))
-        _CENTROIDS[key] = [(r["cid"], list(r["cemb"])) for r in cent.collect()]
-    return spark.createDataFrame(_CENTROIDS[key], "cid int, cemb array<double>")
+    import pandas as pd
+
+    fp = _corpus_fingerprint(sf_dir)
+    if fp not in _CENTROIDS:
+        artifact = os.path.join(_ARTIFACT_DIR, f"ivf_centroids_{fp}.parquet")
+        if os.path.exists(artifact):
+            pdf = pd.read_parquet(artifact)
+            _CENTROIDS[fp] = [
+                (int(c), [float(x) for x in e])
+                for c, e in zip(pdf["cid"], pdf["cemb"])
+            ]
+        else:
+            emb = _emb(spark, sf_dir)
+            cent = kmeans_centroids(emb.filter(F.col("vec_id") >= N_QUERIES))
+            _CENTROIDS[fp] = [(r["cid"], list(r["cemb"])) for r in cent.collect()]
+            os.makedirs(_ARTIFACT_DIR, exist_ok=True)
+            tmp = f"{artifact}.tmp.{os.getpid()}"
+            pd.DataFrame(
+                {
+                    "cid": [c for c, _ in _CENTROIDS[fp]],
+                    "cemb": [e for _, e in _CENTROIDS[fp]],
+                }
+            ).to_parquet(tmp, index=False)
+            os.replace(tmp, artifact)  # atomic: concurrent fitters agree
+    return spark.createDataFrame(_CENTROIDS[fp], "cid int, cemb array<double>")
 
 
 def _nearest_centroids(
@@ -207,19 +264,42 @@ _IVF_LISTS: "dict[tuple[str, str], DataFrame]" = {}
 
 def ivf_inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(neighbor_id, ce, cid): each corpus vector in its nearest-centroid
-    list, persisted + materialized on first use per (session, corpus)."""
+    list, persisted + materialized on first use per (session, corpus).
+
+    The list ASSIGNMENT (neighbor_id → cid) is also a disk artifact
+    beside the centroids: it is the serving index, and a fresh process
+    rebuilds the in-memory lists with one equi-join against the corpus
+    instead of re-scoring corpus × centroids. Only the ids are stored —
+    embeddings stay in the corpus parquet, never duplicated."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_LISTS:
-        cent = ivf_centroids(spark, sf_dir)
-        corpus = _nearest_centroids(
+        fp = _corpus_fingerprint(sf_dir)
+        artifact = os.path.join(_ARTIFACT_DIR, f"ivf_lists_{fp}.parquet")
+        corpus_emb = (
             _emb(spark, sf_dir)
             .filter(F.col("vec_id") >= N_QUERIES)
-            .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")),
-            cent,
-            "neighbor_id",
-            "ce",
-            keep=1,
-        ).persist()
+            .select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+            )
+        )
+        if os.path.exists(artifact):
+            assign = spark.read.parquet(artifact)
+            corpus = corpus_emb.join(assign, "neighbor_id")
+        else:
+            cent = ivf_centroids(spark, sf_dir)
+            corpus = _nearest_centroids(
+                corpus_emb, cent, "neighbor_id", "ce", keep=1
+            )
+            os.makedirs(_ARTIFACT_DIR, exist_ok=True)
+            tmp = f"{artifact}.tmp.{os.getpid()}"
+            corpus.select("neighbor_id", "cid").write.parquet(tmp)
+            try:
+                os.rename(tmp, artifact)  # atomic when no concurrent winner
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        corpus = corpus.persist()
         corpus.count()
         _IVF_LISTS[key] = corpus
     return _IVF_LISTS[key]
