@@ -44,6 +44,9 @@ HEADLINE = [
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "euclid_preprocessing_pipeline",
     "rel_bloom_join_prune",
     "rel_range_join_bucketed",
     "euclid_merkle_proof",

@@ -1154,7 +1154,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_suppkey")
         .distinct()
     )
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     sup = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
     )
@@ -1710,7 +1710,7 @@ ORACLES = {
         SELECT s_suppkey, s_name
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_5'
+        WHERE n_name = 'NATION_3'
           AND s_suppkey IN (SELECT ps_suppkey FROM excess)
         ORDER BY s_name
     """,
