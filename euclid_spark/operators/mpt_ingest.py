@@ -170,9 +170,19 @@ MAX_DEPTH = 66  # 64 key nibbles + terminal + slack; bounded by the spec
 LEVELS_PER_ROUND = 4  # trie levels folded into one checkpointed round
 
 
-def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
-    """Walk every trie level-synchronously; emit (owner, key_nibbles,
-    value). `roots`: (owner, node_hash) of each trie's root.
+def walk_tries(
+    decoded: DataFrame,
+    frontier0: DataFrame,
+    park_missing: bool = False,
+    ckpt_owner: str | None = None,
+    persist_nodes: bool = True,
+) -> "tuple[DataFrame, DataFrame]":
+    """Level-synchronous trie walk over ALL tries at once.
+    `frontier0`: (owner, node_hash, prefix) cursors. Returns
+    (entries, parked): entries = (owner, key_nibbles, value); parked =
+    (owner, node_hash, prefix) cursors whose node was absent — always
+    empty unless `park_missing` (the streaming-ingest mode, where a
+    referenced node may simply not have arrived yet).
 
     Multi-level batching (VERDICT r4 #7): each *round* advances the walk
     through LEVELS_PER_ROUND trie levels LAZILY and pays the fixed costs
@@ -180,52 +190,80 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
     level. Two constraints shape the level step (both MEASURED, both
     slower when violated):
 
-    - entries emitted at intermediate levels must ride IN the walk state
-      as tagged rows (is_emit) — per-level lazy emit frames re-execute
-      the join chain of the levels before them (O(k²) join work/round);
+    - rows produced at intermediate levels (entries; parked cursors)
+      must ride IN the walk state as tagged rows — per-level lazy emit
+      frames re-execute the join chain of the levels before them
+      (O(k²) join work/round);
     - each level must reference the prior state exactly ONCE. A
-      union-of-five-branches step (passthrough ∪ leaves ∪ terminals ∪
-      ext ∪ branch) duplicates the state subplan 5× per level → 5^k
-      plan copies per round (measured 3× SLOWER than per-level
-      checkpointing). Hence: one LEFT join against the node table (emit
-      rows have a null node_hash and pass through unmatched), one
-      CASE-built array of next-state structs, one explode.
+      union-of-branches step (passthrough ∪ leaves ∪ terminals ∪ ext ∪
+      branch) duplicates the state subplan per branch → 5^k plan copies
+      per round (measured 3× SLOWER than per-level checkpointing).
+      Hence: one LEFT join against the node table (emit/parked rows
+      pass through unmatched), one CASE-built array of next-state
+      structs, one explode.
 
     Lineage stays bounded at k joins per round — the O(4^rounds) plan
     growth (operators/components.py) needs unbounded nesting, which the
-    round-boundary checkpoint still prevents."""
+    round-boundary checkpoint still prevents. Warm sf0.1 wall for the
+    batch query: 5.4 s (per-level) → 3.2 s (batched), same hash.
+
+    `ckpt_owner` scopes the local-checkpoint registration (cache.py):
+    streaming sinks pass their own key so they release only their own
+    pinned RDDs. `persist_nodes=False` hands node-table cache lifecycle
+    to the caller (a streaming sink persists per batch and unpersists
+    after its writes — the release_all-tracked persist here would
+    accumulate across batches)."""
     spark = decoded.sparkSession
-    _ckpt = (
-        (lambda df: df.checkpoint(eager=True))
-        if spark.sparkContext.getCheckpointDir()
-        else local_checkpoint_tracked
-    )
+    if spark.sparkContext.getCheckpointDir():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    elif ckpt_owner is not None:
+        _ckpt = lambda df: local_checkpoint_tracked(df, owner=ckpt_owner)  # noqa: E731
+    else:
+        _ckpt = local_checkpoint_tracked
 
-    # caller-owned lifecycle (cache.release_all): the emitted frames read
-    # this cache lazily until the caller's terminal action — an in-scope
-    # unpersist would silently re-run the whole decode pipeline per level
-    dec = persist_tracked(decoded)
-    dec.count()  # materialize once; every round joins against the cache
+    if persist_nodes:
+        # caller-owned lifecycle (cache.release_all): the emitted frames
+        # read this cache lazily until the caller's terminal action — an
+        # in-scope unpersist would silently re-run the decode per level
+        dec = persist_tracked(decoded)
+        dec.count()  # materialize once; every round joins the cache
+    else:
+        dec = decoded  # caller manages the node-table cache
 
-    # walk state: cursor rows (is_emit=false, node_hash set) + emit rows
-    # (is_emit=true, prefix = full key nibbles, value set)
+    # walk state: cursor rows (node_hash set), emit rows (em, prefix =
+    # full key nibbles, value set), parked rows (pk, cursor shape)
     nil_b = F.lit(None).cast("binary")
+    nil_s = F.lit(None).cast("string")
     frontier = _ckpt(
-        roots.select(
+        frontier0.select(
             "owner",
             "node_hash",
-            F.expr("CAST(array() AS array<int>)").alias("prefix"),
+            "prefix",
             nil_b.alias("value"),
             F.lit(False).alias("is_emit"),
+            F.lit(False).alias("is_parked"),
         )
     )
-    nil_s = F.lit(None).cast("string")
-    _ST = "array<struct<nh:string, px:array<int>, v:binary, em:boolean>>"
+    _ST = (
+        "array<struct<nh:string, px:array<int>, v:binary,"
+        " em:boolean, pk:boolean>>"
+    )
 
-    def _next(nh, px, v, em):
+    def _next(nh, px, v, em, pk=False):
         return F.struct(
-            nh.alias("nh"), px.alias("px"), v.alias("v"), F.lit(em).alias("em")
+            nh.alias("nh"),
+            px.alias("px"),
+            v.alias("v"),
+            F.lit(em).alias("em"),
+            F.lit(pk).alias("pk"),
         )
+
+    missing = (
+        # cursor whose node is absent from the table this round
+        F.array(_next(F.col("node_hash"), F.col("prefix"), nil_b, False, True))
+        if park_missing
+        else F.array().cast(_ST)  # batch mode: dangling ref — drop
+    )
 
     def step(state: DataFrame) -> DataFrame:
         # `value` below unambiguously means the DECODED node's value;
@@ -238,6 +276,14 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
             F.when(
                 F.col("is_emit"),
                 F.array(_next(nil_s, F.col("prefix"), F.col("s_value"), True)),
+            )
+            # parked rows carry unchanged (their node cannot appear
+            # mid-round: the node table is fixed for the whole walk)
+            .when(
+                F.col("is_parked"),
+                F.array(
+                    _next(F.col("node_hash"), F.col("prefix"), nil_b, False, True)
+                ),
             )
             .when(
                 F.col("node_type") == "leaf",
@@ -274,8 +320,7 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
                     ).otherwise(F.array().cast(_ST)),
                 ),
             )
-            # dangling ref (node absent): drop, as the old inner join did
-            .otherwise(F.array().cast(_ST))
+            .otherwise(missing)
         )
         return j.select("owner", F.explode(nxt).alias("st")).select(
             "owner",
@@ -283,9 +328,11 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
             F.col("st.px").alias("prefix"),
             F.col("st.v").alias("value"),
             F.col("st.em").alias("is_emit"),
+            F.col("st.pk").alias("is_parked"),
         )
 
     emitted: "list[DataFrame]" = []
+    parked: "list[DataFrame]" = []
     for _ in range(-(-MAX_DEPTH // LEVELS_PER_ROUND)):  # ceil-div rounds
         state = frontier
         for _ in range(LEVELS_PER_ROUND):
@@ -296,15 +343,44 @@ def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
                 "owner", F.col("prefix").alias("key_nibbles"), "value"
             )
         )
-        frontier = state.filter(~F.col("is_emit"))
+        if park_missing:
+            parked.append(
+                state.filter("is_parked").select("owner", "node_hash", "prefix")
+            )
+        frontier = state.filter(~F.col("is_emit") & ~F.col("is_parked"))
         if frontier.isEmpty():
             break
     else:
-        raise RuntimeError("mpt_reassemble: depth exceeds MPT maximum — cyclic refs?")
-    out = emitted[0]
-    for e in emitted[1:]:
-        out = out.unionAll(e)
-    return out
+        raise RuntimeError("walk_tries: depth exceeds MPT maximum — cyclic refs?")
+
+    def _union(frames: "list[DataFrame]") -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
+    entries = _union(emitted)
+    parked_out = (
+        _union(parked)
+        if parked
+        else spark.createDataFrame(
+            [], "owner long, node_hash string, prefix array<int>"
+        )
+    )
+    return entries, parked_out
+
+
+def mpt_reassemble(decoded: DataFrame, roots: DataFrame) -> DataFrame:
+    """Walk every trie level-synchronously; emit (owner, key_nibbles,
+    value). `roots`: (owner, node_hash) of each trie's root. Batch mode
+    of `walk_tries` (complete node set — a dangling ref is dropped)."""
+    entries, _ = walk_tries(
+        decoded,
+        roots.select(
+            "owner", "node_hash", F.expr("CAST(array() AS array<int>)").alias("prefix")
+        ),
+    )
+    return entries
 
 
 def _nibbles_to_hex(col: F.Column) -> F.Column:

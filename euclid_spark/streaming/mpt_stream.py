@@ -21,8 +21,9 @@ Algorithm (incremental level-synchronous walk):
   seed new roots as cursors, then walk: a cursor that finds its node
   either emits (leaf / valued branch) or expands into child cursors;
   a cursor whose node is still missing parks in frontier/ and is
-  retried next batch. The walk loops ≤ MAX_DEPTH times per batch —
-  a newly-arrived node can unblock a whole subtree at once.
+  retried next batch. The walk is the shared multi-level-batched
+  engine (operators/mpt_ingest.walk_tries, park_missing mode) — a
+  newly-arrived node can unblock a whole subtree at once.
 
 Equivalences that make this correct under reordering: node rows are
 content-addressed ((owner, node_hash) keys), so arrival order is
@@ -43,9 +44,9 @@ Scale shape: per batch, cost is (new nodes decoded) + (frontier ⋈
 node-store joins, shuffle-partitioned on (owner, node_hash)) — the
 frontier is bounded by the arrival gap (cursors waiting on missing
 nodes), NOT the corpus; the node store is the only corpus-sized side
-and it arrives pre-partitioned on the join key. Per-round cursor
-frames are eagerly localCheckpoint-ed (lineage would otherwise nest
-per trie level — operators/components.py failure mode)."""
+and it arrives pre-partitioned on the join key. Walk state is
+checkpointed once per multi-level round (walk_tries) — lineage would
+otherwise nest per trie level (operators/components.py failure mode)."""
 
 from __future__ import annotations
 
@@ -58,9 +59,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from euclid_spark.cache import local_checkpoint_tracked, release_checkpoints
 from euclid_spark.operators.mpt_ingest import (
-    MAX_DEPTH,
     NODE_SCHEMA,
     decode_mpt_nodes,
+    walk_tries,
     _nibbles_to_hex,
 )
 
@@ -167,70 +168,33 @@ class IncrementalMptReassembly:
             owner=self._owner,
         )
 
-        parked: list[DataFrame] = []
-        emitted: list[DataFrame] = []
-        for _ in range(MAX_DEPTH):
-            if active.isEmpty():
-                break
-            j = active.join(store, ["owner", "node_hash"], "left")
-            # node not arrived yet → park until a later batch delivers it
-            parked.append(
-                local_checkpoint_tracked(
-                    j.filter(F.col("node_type").isNull())
-                    .select("owner", "node_hash", "prefix"),
-                    owner=self._owner,
-                )
-            )
-            cur = j.filter(F.col("node_type").isNotNull())
-            leaves = cur.filter(F.col("node_type") == "leaf").select(
-                "owner", F.concat("prefix", "path").alias("key_nibbles"), "value"
-            )
-            terminals = cur.filter(
-                (F.col("node_type") == "branch") & (F.length("value") > 0)
-            ).select("owner", F.col("prefix").alias("key_nibbles"), "value")
-            emitted.append(leaves.unionAll(terminals))
-            ext_next = cur.filter(F.col("node_type") == "extension").select(
-                "owner",
-                F.col("children")[0]["child"].alias("node_hash"),
-                F.concat("prefix", "path").alias("prefix"),
-            )
-            branch_next = (
-                cur.filter(F.col("node_type") == "branch")
-                .select("owner", "prefix", F.explode("children").alias("c"))
-                .select(
-                    "owner",
-                    F.col("c.child").alias("node_hash"),
-                    F.concat("prefix", F.array(F.col("c.idx"))).alias("prefix"),
-                )
-            )
-            active = local_checkpoint_tracked(
-                ext_next.unionAll(branch_next), owner=self._owner
-            )
-        else:
-            raise RuntimeError(
-                "incremental MPT walk exceeded max trie depth — cyclic refs?"
-            )
+        # the walk itself is the shared multi-level-batched engine
+        # (operators/mpt_ingest.walk_tries): park_missing returns cursors
+        # whose node has not arrived yet — the next batch's frontier.
+        # The store cache is batch-scoped: persist here, unpersist after
+        # the writes (walk_tries's release_all-tracked persist would
+        # accumulate across micro-batches).
+        store = store.persist()
+        out, frontier = walk_tries(
+            store,
+            active,
+            park_missing=True,
+            ckpt_owner=self._owner,
+            persist_nodes=False,
+        )
+        ent = out.select(
+            "owner",
+            F.conv(_nibbles_to_hex(F.col("key_nibbles")), 16, 10)
+            .cast("long")
+            .alias("token_id"),
+            F.lower(F.hex("value")).alias("value_hex"),
+        )
+        ent = local_checkpoint_tracked(ent, owner=self._owner)
+        if not ent.isEmpty():
+            ent.write.mode("append").parquet(self.entries_path)
 
-        if emitted:
-            out = emitted[0]
-            for e in emitted[1:]:
-                out = out.unionAll(e)
-            ent = out.select(
-                "owner",
-                F.conv(_nibbles_to_hex(F.col("key_nibbles")), 16, 10)
-                .cast("long")
-                .alias("token_id"),
-                F.lower(F.hex("value")).alias("value_hex"),
-            )
-            ent = local_checkpoint_tracked(ent, owner=self._owner)
-            if not ent.isEmpty():
-                ent.write.mode("append").parquet(self.entries_path)
-
-        frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        for p in parked:
-            frontier = frontier.unionByName(p)
-        # already materialized (each parked frame is checkpointed), so
-        # overwriting the directory it was read from is safe
+        # walk_tries returned round-checkpointed slices — pin the union
+        # so overwriting the directory it was read from is safe
         frontier = local_checkpoint_tracked(frontier, owner=self._owner)
         frontier.write.mode("overwrite").parquet(self.frontier_path)
 
@@ -241,6 +205,7 @@ class IncrementalMptReassembly:
         # checkpoint RDDs instead of stranding them for the session life.
         # Owner-scoped: a concurrent query's still-needed checkpoints are
         # untouched (truncated lineage cannot be recomputed).
+        store.unpersist()
         release_checkpoints(self._owner)
 
     def entries(self) -> DataFrame:
