@@ -189,6 +189,64 @@ def _chain_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# --- A2's distinct-key sets as a maintained aggregate ------------------------
+
+def _keys_partial(events: DataFrame) -> DataFrame:
+    """Query2's per-(owner, day) DISTINCT mapping-key set (the set-union
+    monoid the reference aggregates up its query tree) as a maintained
+    view: sorted array of distinct token ids."""
+    tok = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .withColumn("token_id", tok)
+        .filter(F.col("token_id").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_set("token_id")).alias("token_ids"))
+    )
+
+
+def _keys_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("token_ids")))
+            ).alias("token_ids")
+        )
+    )
+
+
+# --- A8's range bounds as a maintained aggregate -----------------------------
+
+def _bounds_partial(events: DataFrame) -> DataFrame:
+    """Block-DB metadata (first/last block, value bounds) per (owner,
+    day) — the min/max LATTICE monoid, a non-additive merge family."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("event_id").alias("first_block"),
+            F.max("event_id").alias("last_block"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def _bounds_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("first_block").alias("first_block"),
+            F.max("last_block").alias("last_block"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
 SPECS = {
     "ivm_count_sum_digest": ParitySpec(
         "ivm_count_sum_digest", _partial, _merge
@@ -198,5 +256,11 @@ SPECS = {
     ),
     "block_db_chain_a9": ParitySpec(
         "block_db_chain_a9", _day_digest_partial, _day_digest_merge, _chain_finalize
+    ),
+    "q2_distinct_keys_view": ParitySpec(
+        "q2_distinct_keys_view", _keys_partial, _keys_merge
+    ),
+    "block_metadata_bounds": ParitySpec(
+        "block_metadata_bounds", _bounds_partial, _bounds_merge
     ),
 }
