@@ -48,14 +48,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) — the inverted-index input. The words
-    array is projected first so the shingle transform indexes a
-    materialized array (see functions/text.shingles)."""
-    ws = _docs(spark, sf_dir).select("doc_id", words("text").alias("ws"))
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) from a (doc_id, text) frame — the
+    inverted-index input. The words array is projected first so the
+    shingle transform indexes a materialized array (see
+    functions/text.shingles)."""
+    ws = docs.select("doc_id", words("text").alias("ws"))
     return ws.select(
         "doc_id", F.explode(shingles(F.col("ws"), k=3)).alias("shingle")
     ).distinct()
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_shingles(_docs(spark, sf_dir))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,14 +73,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: one groupBy with N_HASHES MIN aggregates
-    (no row explosion by seed — k× fewer shuffle rows than the naive
-    (doc, seed, shingle) shape). Each md5 yields TWO 16-hex-char hash
-    functions (its halves), and the md5s are projected once per shingle
-    row before the aggregation — aggregate expressions get no
-    subexpression sharing, so an md5 inside each MIN would run k×."""
-    sh = _doc_shingles(spark, sf_dir)
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature from a (doc_id, text) frame: one groupBy
+    with N_HASHES MIN aggregates (no row explosion by seed — k× fewer
+    shuffle rows than the naive (doc, seed, shingle) shape). Each md5
+    yields TWO 16-hex-char hash functions (its halves), and the md5s are
+    projected once per shingle row before the aggregation — aggregate
+    expressions get no subexpression sharing, so an md5 inside each MIN
+    would run k×. A signature is itself a MIN-monoid: signatures of two
+    document versions merge by element-wise MIN, which is what makes the
+    incremental index (streaming/dedup_stream.py) sound."""
+    sh = doc_shingles(docs)
     n_md5 = N_HASHES // 2
     hashed = sh.select(
         "doc_id",
@@ -93,17 +101,27 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 — MinHash + LSH candidate pairs (doc_a < doc_b)."""
-    sigs = _signatures(spark, sf_dir)
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) LSH band rows from a signature
+    frame — the bucket index the candidate join runs on."""
     n_bands = N_HASHES // BAND_SIZE
     stack_args = ", ".join(
         f"{b}, concat(sig{b * BAND_SIZE}, sig{b * BAND_SIZE + 1})"
         for b in range(n_bands)
     )
-    bands = sigs.selectExpr(
+    return sigs.selectExpr(
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)"
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — MinHash + LSH candidate pairs (doc_a < doc_b)."""
+    sigs = _signatures(spark, sf_dir)
+    bands = band_table(sigs)
     wb = Window.partitionBy("band_idx", "band_val")
     bands = bands.withColumn("bucket_n", F.count("*").over(wb)).filter(
         F.col("bucket_n") <= MAX_BUCKET
