@@ -124,24 +124,59 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     return labels
 
 
+def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's near-dup component labeling (doc_id, component) as a
+    fingerprint-keyed DISK ARTIFACT (euclid_spark/artifacts.py) — the
+    dedup analog of the IVF centroid store, and of the reference's
+    committed block-DB digest (block/mod.rs: the expensive commitment is
+    built once per corpus version, then every query reads it). The
+    labeling is fully deterministic (md5-shingle pairs → min-label fixed
+    point), so build-then-serve and always-rebuild agree bit-for-bit;
+    the fingerprint covers the documents files AND every parameter of
+    the pair pipeline, so a corpus or threshold change rebuilds under a
+    new key. First-ever run on a corpus pays the iterative build; every
+    later process — keep-list, curation pipeline, a fresh driver — reads
+    one small parquet."""
+    from euclid_spark import artifacts
+    from euclid_spark.operators import dedup as _d
+    from euclid_spark.operators.dedup import dedup_ngram_jaccard
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="dedup_components",
+        shingle_k=3,
+        max_df=_d.MAX_SHINGLE_DF,
+        jaccard=_d.JACCARD_THRESHOLD,
+        rounds=MAX_ROUNDS,
+    )
+    return artifacts.serve_frame(
+        spark,
+        "dedup_components",
+        fp,
+        lambda: connected_components(
+            dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14 — cluster the verified near-dup pairs (trigram Jaccard ≥ 0.5)
     and emit (doc_id, component): docs absent from any pair are unique by
     definition and omitted. Iterative ⇒ rows-only for the oracle gate
-    (per-round joins are SQL, the fixed-point loop is not)."""
-    from euclid_spark.operators.dedup import dedup_ngram_jaccard
-
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(pairs).orderBy("doc_id")
+    (per-round joins are SQL, the fixed-point loop is not). Served from
+    the component-labeling artifact (`component_labels`)."""
+    return component_labels(spark, sf_dir).orderBy("doc_id")
 
 
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16 — the production deliverable of the dedup pipeline: the list of
     documents to KEEP — every doc that is not in a near-dup cluster, plus
     the canonical (minimum doc_id) member of each cluster. Anti-join of
-    the corpus against non-canonical cluster members."""
+    the corpus against non-canonical cluster members (read from the
+    labeling artifact — the anti-join side is index-sized, not a rerun
+    of the pair pipeline)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    comp = dedup_components(spark, sf_dir)
+    comp = component_labels(spark, sf_dir)
     drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
 

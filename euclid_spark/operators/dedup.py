@@ -101,8 +101,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(_docs(spark, sf_dir))
+def signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus MinHash signature table as a fingerprint-keyed DISK
+    ARTIFACT (euclid_spark/artifacts.py): computed once per corpus
+    version, then served to every consumer — the LSH candidate join here,
+    and conceptually the same table streaming/dedup_stream.py maintains
+    incrementally (its signature store is this index's streaming twin;
+    signatures are a MIN-monoid, so the two maintenance modes agree).
+    Deterministic (md5-based), so build-then-serve equals recompute."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="minhash_sigs",
+        shingle_k=3,
+        n_hashes=N_HASHES,
+    )
+    return artifacts.serve_frame(
+        spark, "minhash_sigs", fp, lambda: minhash_signatures(_docs(spark, sf_dir))
+    )
 
 
 def band_table(sigs: DataFrame) -> DataFrame:
@@ -120,7 +137,7 @@ def band_table(sigs: DataFrame) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 — MinHash + LSH candidate pairs (doc_a < doc_b)."""
-    sigs = _signatures(spark, sf_dir)
+    sigs = signature_index(spark, sf_dir)
     bands = band_table(sigs)
     wb = Window.partitionBy("band_idx", "band_val")
     bands = bands.withColumn("bucket_n", F.count("*").over(wb)).filter(

@@ -170,7 +170,9 @@ def kmeans_centroids(emb: DataFrame, k: int = N_CENTROIDS, seed: int = 42) -> Da
 _CENTROIDS: "dict[str, list[tuple[int, list[float]]]]" = {}
 
 # artifact root: repo-local by default (this environment must not write
-# outside the repo), overridable for a real deployment's registry path
+# outside the repo), overridable for a real deployment's registry path.
+# (Kept as a module attribute — tests re-point it — but resolved the
+# same way as the shared store in euclid_spark/artifacts.py.)
 _ARTIFACT_DIR = os.environ.get(
     "EUCLID_SPARK_ARTIFACTS",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
@@ -179,27 +181,14 @@ _ARTIFACT_DIR = os.environ.get(
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Fingerprint of the embeddings corpus + IVF model params: path,
-    size and mtime of every data file (cheap stat, no data read), plus
-    k/seed/query-split so a parameter change refits."""
-    import hashlib
+    """Fingerprint of the embeddings corpus + IVF model params (shared
+    stat-based scheme: euclid_spark/artifacts.py) — k/seed/query-split
+    included so a parameter change refits under a new key."""
+    from euclid_spark import artifacts
 
-    path = f"{sf_dir}/embeddings.parquet"
-    parts: "list[str]" = [f"k={N_CENTROIDS}", f"q={N_QUERIES}", "seed=42"]
-    entries = (
-        sorted(
-            os.path.join(r, f)
-            for r, _, fs in os.walk(path)
-            for f in fs
-            if not f.startswith(("_", "."))
-        )
-        if os.path.isdir(path)
-        else [path]
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"], k=N_CENTROIDS, q=N_QUERIES, seed=42
     )
-    for p in entries:
-        st = os.stat(p)
-        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
