@@ -315,36 +315,54 @@ def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training documents sharing ≥ CONTAM_MIN_SHARED distinct
     CONTAM_SHINGLE_K-word shingles with a benchmark set (here: sources
     {src0, src1}).
-    Inverted-index join on the shingle — the benchmark side is
-    fixed-size (scale-invariant), the train side streams through one
-    shuffle; never all-pairs."""
+    Scale shape (the r5 rewrite): the TRAIN side never shuffles at
+    corpus width. One pass over the corpus — per-doc distinct shingles
+    via row-local `array_distinct` + ONE explode (the old shape's
+    explode→DISTINCT shuffled every shingle string of the corpus, and
+    its separate totals/shared branches evaluated the shingle pipeline
+    twice), a LEFT join against the broadcast BENCHMARK shingle set
+    with a hit flag, and one doc_id aggregation computing n_shingles
+    (count) and n_shared (sum of hits) together. The benchmark side is
+    fixed-size by construction (a held-out eval suite does not grow
+    with the corpus) — broadcast by hint; the doc_id aggregation
+    combines map-side, so the only exchange carries ≈ one row per
+    document, not per shingle."""
     from euclid_spark.functions.text import shingles, words as words_of
 
     docs = _docs(spark, sf_dir)
-    sh = (
-        docs.select("doc_id", "source", words_of("text").alias("ws"))
+    is_bench = F.col("source").isin(*BENCH_SOURCES)
+
+    def per_doc_distinct(df: DataFrame) -> DataFrame:
+        # ws staged first: shingles() indexes a materialized array
+        return df.select("doc_id", words_of("text").alias("ws")).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("ws"), k=CONTAM_SHINGLE_K))
+            ).alias("shingle"),
+        )
+
+    bench = (
+        per_doc_distinct(docs.filter(is_bench)).select("shingle").distinct()
+    )
+    flagged = per_doc_distinct(docs.filter(~is_bench)).join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)  # = the old totals⋈shared inner join
         .select(
             "doc_id",
-            "source",
-            F.explode(shingles(F.col("ws"), k=CONTAM_SHINGLE_K)).alias("shingle"),
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+                "overlap_frac"
+            ),
+            (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
         )
-        .distinct()
-    )
-    is_bench = F.col("source").isin(*BENCH_SOURCES)
-    bench = sh.filter(is_bench).select("shingle").distinct()
-    train = sh.filter(~is_bench)
-    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    shared = (
-        train.join(bench, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    return totals.join(shared, "doc_id").select(
-        "doc_id",
-        "n_shared",
-        "n_shingles",
-        F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("overlap_frac"),
-        (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
     )
 
 
