@@ -55,6 +55,16 @@ from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 # true root are identity promotions).
 LEVELS = 16
 
+# Tree levels folded into one checkpoint (same fixed-cost batching as
+# operators/mpt_ingest.LEVELS_PER_ROUND): only every k-th level is
+# materialized; the levels between stay LAZY, so the final union
+# re-runs at most k-1 aggregation stages from the last checkpoint for
+# each of them — cheap, because level sizes shrink geometrically (the
+# whole re-run chain costs less than the checkpointed level itself),
+# while the per-level eager-checkpoint JOB cost (the dominant local
+# fixed cost: one job per level) drops to one per k levels.
+LEVELS_PER_CKPT = 4
+
 
 def merkle_levels(
     leaves: DataFrame, group: str = "group_key", levels: int | None = None
@@ -69,10 +79,10 @@ def merkle_levels(
     like the components loop). The fixed-`LEVELS` oracle is unaffected:
     promotion makes every level above the true root the identity.
 
-    Each level is **eagerly localCheckpoint-ed**: the final node table
-    unions every level, and un-truncated lineage would nest k chained
-    aggregations in branch k — O(depth²) plan nodes that stall Catalyst
-    far longer than the (tiny, geometrically-shrinking) jobs themselves.
+    Every LEVELS_PER_CKPT-th level is **eagerly localCheckpoint-ed**
+    (lineage stays ≤ LEVELS_PER_CKPT chained aggregations per union
+    branch — never the O(depth²) plan nesting an unchecked chain
+    builds), and the levels between ride lazily on the last checkpoint.
     On a real cluster prefer reliable checkpoint() (survives executor
     loss) exactly as in operators/components.py."""
     lvl = local_checkpoint_tracked(leaves.select(group, "pos", "node_hash"))
@@ -102,7 +112,8 @@ def merkle_levels(
                 .alias("node_hash"),
             )
         )
-        lvl = local_checkpoint_tracked(lvl)
+        if k % LEVELS_PER_CKPT == 0 or k == levels:
+            lvl = local_checkpoint_tracked(lvl)
         out.append(lvl.withColumn("level", F.lit(k)))
     nodes = out[0]
     for o in out[1:]:
