@@ -43,9 +43,16 @@ from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 MAX_ROUNDS = 20
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    ckpt_owner: "str | None" = None,
+) -> DataFrame:
     """edges: (doc_a, doc_b) undirected. Returns (doc_id, component) with
-    component = min doc_id reachable."""
+    component = min doc_id reachable. `ckpt_owner` scopes the per-round
+    local-checkpoint registration (cache.py): a streaming sink passes its
+    own key so a concurrent thread's release cannot unpersist this
+    loop's still-needed truncated-lineage RDDs."""
     sym = persist_tracked(
         edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
             edges.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -59,11 +66,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     # reliable checkpoint on a cluster (survives executor loss); local
     # checkpoint otherwise — either way the LINEAGE is truncated, which is
     # the point (see module docstring: plans grow 4^rounds without it)
-    _ckpt = (
-        (lambda df: df.checkpoint(eager=True))
-        if sym.sparkSession.sparkContext.getCheckpointDir()
-        else local_checkpoint_tracked
-    )
+    if sym.sparkSession.sparkContext.getCheckpointDir():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    elif ckpt_owner is not None:
+        _ckpt = lambda df: local_checkpoint_tracked(df, owner=ckpt_owner)  # noqa: E731
+    else:
+        _ckpt = local_checkpoint_tracked
 
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = _ckpt(nodes.withColumn("component", F.col("doc_id")))

@@ -51,6 +51,74 @@ def test_streamed_pairs_equal_batch_lsh(spark, tmp_path, split_docs):
     assert sink.signatures().count() == n_docs
 
 
+def test_streamed_labels_track_ledger_components(spark, tmp_path, split_docs):
+    """After every batch, the maintained labeling must equal a
+    from-scratch connected-components run over the pair ledger so far
+    (the affected-subgraph merge may never drift); after the last batch
+    it must equal the batch operator's components over the full-corpus
+    LSH pair set."""
+    import os
+
+    from euclid_spark.operators.components import connected_components
+
+    sink = IncrementalDedupIndex(spark, str(tmp_path / "state"))
+    for i, f in enumerate(sorted(os.listdir(split_docs))):
+        batch = spark.read.parquet(os.path.join(split_docs, f)).select(
+            "doc_id", "text"
+        )
+        sink.process(batch, i)
+        got = {(r["doc_id"], r["component"]) for r in sink.labels().collect()}
+        exp = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(sink.pairs()).collect()
+        }
+        release_all()
+        assert got == exp, f"labels drifted from ledger components at batch {i}"
+
+    batch_pairs = dedup_minhash_lsh(spark, SF_SMOKE).select("doc_a", "doc_b")
+    exp_final = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(batch_pairs).collect()
+    }
+    got_final = {(r["doc_id"], r["component"]) for r in sink.labels().collect()}
+    release_all()
+    assert got_final == exp_final
+
+    # keep_list = corpus minus non-canonical members, same as C16's shape
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    kept = {r["doc_id"] for r in sink.keep_list(corpus).collect()}
+    dropped = {d for d, c in exp_final if d != c}
+    assert kept == {r["doc_id"] for r in corpus.collect()} - dropped
+
+
+def test_replay_reconciles_labels(spark, tmp_path):
+    """Crash window: watermark (and labels pointer) roll back to the
+    pre-batch state while sigs+pairs already landed — the replay must
+    rebuild the SAME labeling, not skip it."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    sink = IncrementalDedupIndex(spark, str(tmp_path / "state"))
+    sink.process(docs, 0)
+    labels0 = {(r["doc_id"], r["component"]) for r in sink.labels().collect()}
+    pairs0 = {(r["doc_a"], r["doc_b"]) for r in sink.pairs().collect()}
+    assert labels0, "fixture must produce at least one near-dup pair"
+
+    # restart with a stale watermark AND a lost labels pointer: the
+    # stores are ahead of meta — exactly the mid-batch crash state
+    crashed = IncrementalDedupIndex(spark, str(tmp_path / "state"))
+    crashed.last_batch_id = -1
+    crashed.labels_version = -1
+    crashed.process(docs, 0)
+    assert {
+        (r["doc_id"], r["component"]) for r in crashed.labels().collect()
+    } == labels0
+    assert {(r["doc_a"], r["doc_b"]) for r in crashed.pairs().collect()} == pairs0
+    release_all()
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     docs = (
         spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
