@@ -60,6 +60,7 @@ HEADLINE = [
     "sim_quantized_topk",
     "sim_ivf_topk",
     "text_fingerprint",
+    "text_benchmark_overlap",
 ]
 
 

@@ -156,3 +156,16 @@ def test_new_tpch_stay_on_jvm(spark):
         plan = _plan(fn(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, f"{fn.__name__} fell off the JVM path"
         assert "ArrowEvalPython" not in plan, f"{fn.__name__} uses a pandas UDF"
+
+
+def test_benchmark_overlap_single_exchange_and_broadcast(spark):
+    """C23's r5 one-pass shape: the train side must reach the doc_id
+    aggregation through a BROADCAST join against the (fixed-size)
+    benchmark shingle set — no shuffle of the corpus's shingle strings.
+    The only allowed wide exchanges are the benchmark side's own small
+    distinct and the final one-row-per-doc aggregation."""
+    df = textops.text_benchmark_overlap(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "corpus-wide shingle shuffle is back"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
