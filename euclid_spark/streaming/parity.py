@@ -136,11 +136,16 @@ def run_parity(
             .parquet(src)
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
-        batch_pd = _canon(spec.partial_fn(all_ev).toPandas())
-        view_pd = _canon(sink.view(spark).toPandas())
+        # finalize runs on the RAW frames (it may need typed columns —
+        # e.g. the merkle spec folds an array<string> leaf set that
+        # canonicalization would stringify), then both sides canonicalize
+        batch_pd = spec.partial_fn(all_ev).toPandas()
+        view_pd = sink.view(spark).toPandas()
         if spec.finalize is not None:
-            batch_pd = _canon(spec.finalize(batch_pd))
-            view_pd = _canon(spec.finalize(view_pd))
+            batch_pd = spec.finalize(batch_pd)
+            view_pd = spec.finalize(view_pd)
+        batch_pd = _canon(batch_pd)
+        view_pd = _canon(view_pd)
         results.append(
             ParityResult(
                 point=point,
@@ -247,6 +252,65 @@ def _bounds_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- A18's per-day Merkle root as a maintained commitment --------------------
+
+def _merkle_partial(events: DataFrame) -> DataFrame:
+    """Per-day SORTED leaf-hash set — the maintained part is the leaf
+    set (a set-union monoid); the tree itself is derived in finalize.
+    This is exactly how operators/merkle.py commits a table: canonical
+    order ⇒ deterministic tree, so leaf-set equality ⇒ root equality —
+    asserting it end-to-end is the merkle analog of the chain digest."""
+    leaf = F.sha2(
+        F.concat_ws(
+            ":",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+        ),
+        256,
+    )
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(F.array_sort(F.collect_set(leaf)).alias("leaf_hashes"))
+    )
+
+
+def _merkle_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("leaf_hashes")))
+            ).alias("leaf_hashes")
+        )
+    )
+
+
+def _merkle_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fold each day's sorted leaf set to its Merkle root with the same
+    pairing/promotion rule as operators/merkle.py (unpaired tail
+    promotes unchanged). Day-level frame — the fold is driver-side
+    orchestration over ≤ a few thousand hashes per day."""
+    import hashlib
+
+    def root(hs: "list[str]") -> str:
+        lvl = list(hs)
+        while len(lvl) > 1:
+            lvl = [
+                hashlib.sha256((lvl[i] + lvl[i + 1]).encode()).hexdigest()
+                if i + 1 < len(lvl)
+                else lvl[i]
+                for i in range(0, len(lvl), 2)
+            ]
+        return lvl[0] if lvl else ""
+
+    out = pdf.copy()
+    out["merkle_root"] = out["leaf_hashes"].apply(lambda v: root(list(v)))
+    out["n_leaves"] = out["leaf_hashes"].apply(len)
+    return out.drop(columns=["leaf_hashes"])
+
+
 SPECS = {
     "ivm_count_sum_digest": ParitySpec(
         "ivm_count_sum_digest", _partial, _merge
@@ -262,5 +326,8 @@ SPECS = {
     ),
     "block_metadata_bounds": ParitySpec(
         "block_metadata_bounds", _bounds_partial, _bounds_merge
+    ),
+    "merkle_day_root": ParitySpec(
+        "merkle_day_root", _merkle_partial, _merkle_merge, _merkle_finalize
     ),
 }
