@@ -386,28 +386,27 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@k vs the exact float baseline is measured and floor-asserted
     in tests/test_ann_recall.py."""
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), quantize_int8(F.col("embedding")).alias("qe")
-    )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        quantize_int8(F.col("embedding")).alias("ce"),
-    )
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # self-norms computed ONCE per vector before the crossJoin — inside
+    # the join they would be re-evaluated per (query, neighbor) pair,
+    # tripling the integer arithmetic of the scan (at serving scale the
+    # quantized vectors AND their norms are the stored layout anyway)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), quantize_int8(F.col("embedding")).alias("qe")
+    ).withColumn("qn", F.sqrt(idot(F.col("qe"), F.col("qe")).cast("double")))
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantize_int8(F.col("embedding")).alias("ce"),
+    ).withColumn("cn", F.sqrt(idot(F.col("ce"), F.col("ce")).cast("double")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
         F.round(
-            idot(F.col("qe"), F.col("ce"))
-            / (
-                F.sqrt(idot(F.col("qe"), F.col("qe")).cast("double"))
-                * F.sqrt(idot(F.col("ce"), F.col("ce")).cast("double"))
-            ),
-            6,
+            idot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
         ).alias("qcosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), "neighbor_id")
