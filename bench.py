@@ -61,6 +61,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_fingerprint",
     "text_benchmark_overlap",
+    "text_pack_sequences",
 ]
 
 

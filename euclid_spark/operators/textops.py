@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from euclid_spark.functions.hashing import DIGEST_PRIME
@@ -366,6 +366,66 @@ def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CTX_LEN = 2048  # training context window (tokens)
+PACK_BUCKET_BITS = 12  # 4096 doc_ids per prefix-sum bucket
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 — sequence PACKING for training: concatenate the corpus's
+    token stream in doc_id order and chunk it into fixed CTX_LEN
+    windows (the concat-and-chunk batching GPT-family pipelines use —
+    Brown et al. 2020 §2.1 train on packed 2048-token contexts).
+    Emits, per document, its place in the packed stream:
+    (start_tok, bin_start, bin_end, bin_offset) — everything a packer
+    needs to materialize examples, without ever materializing them.
+
+    Scale shape: the global running total is a TWO-LEVEL prefix sum
+    (the A9 chain pattern, euclid.py:184): within-bucket cumulative
+    window under a PARTITIONED key (doc_id >> PACK_BUCKET_BITS), bucket
+    offsets from a triangular join over per-bucket totals (one row per
+    4096 docs, broadcast). No Exchange SinglePartition anywhere —
+    a bare `Window.orderBy(doc_id)` would funnel the corpus through one
+    reducer. Integer-only arithmetic end-to-end, so the oracle
+    hash-matches exactly."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)  # empty docs add nothing to the stream
+    toks = toks.withColumn(
+        "bucket", F.shiftright(F.col("doc_id"), PACK_BUCKET_BITS)
+    )
+    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    b1, b2 = btot.alias("b1"), btot.alias("b2")
+    offsets = (
+        b1.join(b2, F.col("b2.bucket") < F.col("b1.bucket"), "left")
+        .groupBy(F.col("b1.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b2.btot"), F.lit(0)).alias("offset"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.col("offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        toks.join(F.broadcast(offsets), "bucket")
+        .withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            (F.col("start_tok") / CTX_LEN).cast("long").alias("bin_start"),
+            ((F.col("start_tok") + F.col("n_tokens") - 1) / CTX_LEN)
+            .cast("long")
+            .alias("bin_end"),
+            F.pmod(F.col("start_tok"), F.lit(CTX_LEN)).alias("bin_offset"),
+        )
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_stratified_sample": text_stratified_sample,
@@ -377,6 +437,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_pii_redact": text_pii_redact,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_pack_sequences": text_pack_sequences,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -561,5 +622,24 @@ ORACLES = {
                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
                    (acc, h) -> (acc * 31 + h) % {DIGEST_PRIME}) AS fp_rolling
         FROM documents
+    """,
+    "text_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                        AS BIGINT) AS n_tokens
+            FROM documents),
+        nz AS (SELECT * FROM t WHERE n_tokens > 0),
+        c AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS start_tok
+              FROM nz)
+        SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(start_tok // {CTX_LEN} AS BIGINT) AS bin_start,
+               CAST((start_tok + n_tokens - 1) // {CTX_LEN} AS BIGINT)
+                   AS bin_end,
+               CAST(start_tok % {CTX_LEN} AS BIGINT) AS bin_offset
+        FROM c
     """,
 }

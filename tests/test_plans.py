@@ -169,3 +169,13 @@ def test_benchmark_overlap_single_exchange_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "corpus-wide shingle shuffle is back"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_no_single_partition(spark):
+    """C26's global prefix sum must be two-level (bucket window + 
+    broadcast offsets) — a bare orderBy window would funnel the corpus
+    through Exchange SinglePartition."""
+    df = textops.text_pack_sequences(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
