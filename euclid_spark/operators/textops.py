@@ -366,6 +366,59 @@ def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_K = 50  # temperature-sampling scale: expected take ≈ sqrt(K·n_s)
+
+
+def text_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 — α=0.5 TEMPERATURE sampling across sources (the
+    domain-mixing flattening of Pile/PaLM-style data cards, public:
+    p(source) ∝ n^α with α<1 downweights overrepresented domains).
+    Keep rate per source: p_s = min(1, sqrt(K/n_s)), so the expected
+    take is ≈ sqrt(K·n_s) ∝ n_s^0.5 — the α=0.5 mix — with the scale K
+    a CONFIG, not a data-derived normalizer: a global Σ n^α normalizer
+    is a float sum whose value depends on addition order (different
+    partitionings → last-ulp drift → boundary docs flip between runs);
+    a per-source sqrt of an exact integer ratio is bit-identical on
+    every engine and every run. Selection is the md5-bucket rule of
+    C22: deterministic, join-free re-derivable, no random().
+    Per-source stats are scale-invariant (a handful of rows) →
+    broadcast."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    rates = stats.select(
+        "source",
+        "n_src",
+        F.least(
+            F.lit(1.0), F.sqrt(F.lit(float(TEMP_K)) / F.col("n_src"))
+        ).alias("p_keep"),
+    )
+    bucket_frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(65536.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        # compare on the EXACT fraction (int / 2^16 is exact binary);
+        # round only for output
+        .filter(bucket_frac < F.col("p_keep"))
+        .select(
+            "doc_id",
+            "source",
+            "n_src",
+            F.round("p_keep", 6).alias("p_keep"),
+            F.round(bucket_frac, 6).alias("bucket_frac"),
+        )
+    )
+
+
 CTX_LEN = 2048  # training context window (tokens)
 PACK_BUCKET_BITS = 12  # 4096 doc_ids per prefix-sum bucket
 
@@ -438,6 +491,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_unigram_logprob": text_unigram_logprob,
     "text_pack_sequences": text_pack_sequences,
+    "text_temperature_sample": text_temperature_sample,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -641,5 +695,20 @@ ORACLES = {
                    AS bin_end,
                CAST(start_tok % {CTX_LEN} AS BIGINT) AS bin_offset
         FROM c
+    """,
+    "text_temperature_sample": f"""
+        WITH s AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+                   LEAST(1.0, sqrt({float(TEMP_K)} / COUNT(*))) AS p_keep
+            FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, s.n_src,
+               ROUND(s.p_keep, 6) AS p_keep,
+               ROUND(CAST('0x' || substr(md5('temp|' || d.doc_id::VARCHAR),
+                                         1, 4) AS BIGINT) / 65536.0, 6)
+                   AS bucket_frac
+        FROM documents d JOIN s ON d.source = s.source
+        WHERE CAST('0x' || substr(md5('temp|' || d.doc_id::VARCHAR), 1, 4)
+                   AS BIGINT) / 65536.0 < s.p_keep
     """,
 }
