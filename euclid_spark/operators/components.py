@@ -204,9 +204,9 @@ from euclid_spark.operators.dedup import (  # noqa: E402
     _SH_CAPPED,
 )
 
-ORACLES: dict[str, str] = {
-    "dedup_keep_list": f"""
-        WITH RECURSIVE
+# Shared CTE chain: jaccard-verified pairs → symmetrized edges →
+# transitive closure → min-label per node (the labeling itself).
+_COMP_CTES = f"""
         {_SH_CAPPED},
         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
         pairs AS (
@@ -231,6 +231,20 @@ ORACLES: dict[str, str] = {
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
             FROM reach GROUP BY a
         )
+"""
+
+ORACLES: dict[str, str] = {
+    # C14 upgraded from rows-only: the fixed-point LOOP is not SQL, but
+    # its result is — the recursive-CTE transitive closure computes the
+    # identical min-label per paired doc.
+    "dedup_components": f"""
+        WITH RECURSIVE
+        {_COMP_CTES}
+        SELECT doc_id, component FROM comp
+    """,
+    "dedup_keep_list": f"""
+        WITH RECURSIVE
+        {_COMP_CTES}
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (
             SELECT doc_id FROM comp WHERE doc_id <> component

@@ -295,11 +295,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 — 64-bit SimHash near-dup (rows-only: xxhash64 is JVM-specific).
+    """C3 — 63-bit SimHash near-dup.
 
     simhash bit i = sign of Σ_words ±count, sign from bit i of the word
     hash. Candidates bucket on 16-bit chunks (pigeonhole), then exact
     hamming ≤ SIMHASH_MAX_HAMMING via bit_count(xor).
+
+    Word-hash bits come from the two md5-hex 32-bit halves (r5: the
+    original xxhash64 was JVM-specific, which forced a rows-only gate;
+    md5 is byte-identical in DuckDB, so the ENTIRE pipeline — bit
+    votes, chunk buckets, xor/bit_count verification — is now
+    oracle-checked like its dedup siblings).
 
     Skew guard (same pattern as the LSH MAX_BUCKET at dedup_minhash_lsh):
     a degenerate (chunk_idx, chunk_val) bucket of m docs — e.g. many
@@ -318,16 +324,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("w"))
-        .withColumn("h", F.xxhash64("word"))
+        .withColumn(
+            "h_lo", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "h_hi", F.conv(F.substring(F.md5("word"), 9, 8), 16, 10).cast("long")
+        )
     )
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.shiftrightunsigned(
+                    F.col("h_lo" if i < 32 else "h_hi"), i % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
                 F.col("w"),
             ).otherwise(-F.col("w"))
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(63)
     ]
     per_doc = wc.groupBy("doc_id").agg(*bit_sums)
     simhash = reduce(
@@ -480,5 +494,49 @@ ORACLES = {
         JOIN sz sb ON doc_b = sb.doc_id
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
     """,
-    # dedup_simhash: rows-only (xxhash64 signature is engine-specific)
 }
+
+# dedup_simhash oracle: the identical 63-bit-vote pipeline in SQL — md5
+# half-words, per-bit CASE sums, sign → bit, 16-bit chunk buckets with
+# the size guard, xor/bit_count verification. Generated, like the Spark
+# side, from the same bit layout.
+_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN (({'h_lo' if i < 32 else 'h_hi'} >> {i % 32}) & 1) = 1"
+    f" THEN w ELSE -w END) AS b{i}"
+    for i in range(63)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(63)
+)
+_CHUNK_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {k} AS chunk_idx,"
+    f" (simhash >> {16 * k}) & 65535 AS chunk_val FROM sh2"
+    for k in range(4)
+)
+
+ORACLES["dedup_simhash"] = f"""
+    WITH w AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                   'g')), ' ') AS ws
+               FROM documents),
+    wrd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS w,
+                  CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h_lo,
+                  CAST('0x' || substr(md5(word), 9, 8) AS BIGINT) AS h_hi
+           FROM wrd WHERE word <> '' GROUP BY doc_id, word),
+    bits AS (SELECT doc_id, {_BIT_SUMS} FROM wc GROUP BY doc_id),
+    sh2 AS (SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM bits),
+    chunks AS ({_CHUNK_SELECTS}),
+    guarded AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bucket_n
+        FROM chunks
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM guarded a JOIN guarded b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {MAX_CHUNK_BUCKET} AND b.bucket_n <= {MAX_CHUNK_BUCKET}
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
