@@ -165,14 +165,32 @@ def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle universe with the document-frequency skew guard: drop any
     shingle appearing in > MAX_SHINGLE_DF docs BEFORE the self-join. The
     df count is a window over `shingle` — the same key the join shuffles
-    on, so the guard adds no extra shuffle beyond the one the join needs."""
-    sh = _doc_shingles(spark, sf_dir)
-    w = Window.partitionBy("shingle")
-    return (
-        sh.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
+    on, so the guard adds no extra shuffle beyond the one the join needs.
+
+    Served as a fingerprint-keyed DISK ARTIFACT (the capped INVERTED
+    INDEX — what a production near-dup system persists): three
+    consumers (exact Jaccard, embedding-cosine candidates, and through
+    them the component labeling build) read one parquet instead of
+    re-running shingle → window per process."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="capped_shingles",
+        shingle_k=3,
+        max_df=MAX_SHINGLE_DF,
     )
+
+    def build() -> DataFrame:
+        sh = _doc_shingles(spark, sf_dir)
+        w = Window.partitionBy("shingle")
+        return (
+            sh.withColumn("df", F.count("*").over(w))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .drop("df")
+        )
+
+    return artifacts.serve_frame(spark, "capped_shingles", fp, build)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
