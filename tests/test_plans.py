@@ -179,3 +179,15 @@ def test_pack_sequences_no_single_partition(spark):
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """C27's per-source rate table is scale-invariant (a handful of
+    sources) — it must reach the corpus through a broadcast join, with
+    no sort-merge shuffle of the documents and no single-partition
+    exchange."""
+    df = textops.text_temperature_sample(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
