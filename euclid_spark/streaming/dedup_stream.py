@@ -14,6 +14,15 @@ MinHash/LSH index:
     labels_vN — the component labeling (doc_id, component) maintained
                 per batch (versioned snapshots; meta.json points at the
                 current one) — the incrementally-maintained KEEP-LIST
+    revoked/  — append-only CHANGELOG of keep-list revocations: a doc
+                that loses canonical status (a later batch merges its
+                cluster with a lower-id doc) is recorded once, with the
+                batch id that revoked it. Revocation is MONOTONE — the
+                min-label of a component can only decrease, so a
+                non-canonical doc can never become canonical again —
+                which is what makes the changelog append-only: a
+                downstream curated set applies deletions, never
+                re-inserts (the CDC shape of operators/cdc.py)
 - per micro-batch: signatures are computed for the BATCH ONLY
   (shingle → md5 → k MIN aggs over the new docs alone), appended to the
   store, and new candidate pairs come from ONE bucket join:
@@ -81,6 +90,7 @@ from euclid_spark.operators.dedup import (
 SIGS_SCHEMA = "doc_id long, " + ", ".join(f"sig{s} string" for s in range(N_HASHES))
 PAIRS_SCHEMA = "doc_a long, doc_b long"
 LABELS_SCHEMA = "doc_id long, component long"
+REVOKED_SCHEMA = "doc_id long, component long, revoked_batch_id long"
 DOCS_SCHEMA = "doc_id long, text string"
 
 
@@ -103,6 +113,7 @@ class IncrementalDedupIndex:
         self.state_dir = state_dir
         self.sigs_path = os.path.join(state_dir, "sigs")
         self.pairs_path = os.path.join(state_dir, "pairs")
+        self.revoked_path = os.path.join(state_dir, "revoked")
         self.meta_path = os.path.join(state_dir, "meta.json")
         os.makedirs(state_dir, exist_ok=True)
         self._owner = f"dedup_stream:{id(self)}"
@@ -235,9 +246,26 @@ class IncrementalDedupIndex:
         sub = connected_components(
             cand.unionByName(star), ckpt_owner=self._owner
         )
-        merged = labels.join(sub, "doc_id", "left_anti").unionByName(sub)
+        merged = local_checkpoint_tracked(
+            labels.join(sub, "doc_id", "left_anti").unionByName(sub),
+            owner=self._owner,
+        )
         merged.write.mode("overwrite").parquet(self._labels_path(batch_id))
         self.labels_version = batch_id
+
+        # changelog: docs that just lost canonical status. Anti-joined
+        # against the LEDGER (not the previous snapshot), so a replayed
+        # batch re-deriving the same labeling appends nothing.
+        dropped = merged.filter(F.col("doc_id") != F.col("component"))
+        new_revoked = dropped.join(
+            self._read_or_empty(self.revoked_path, REVOKED_SCHEMA).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_anti",
+        ).withColumn("revoked_batch_id", F.lit(batch_id))
+        if not new_revoked.isEmpty():
+            new_revoked.write.mode("append").parquet(self.revoked_path)
 
     def _prune_label_versions(self) -> None:
         """Drop snapshot dirs other than the committed one (meta already
@@ -272,6 +300,14 @@ class IncrementalDedupIndex:
             F.col("doc_id") != F.col("component")
         ).select("doc_id")
         return corpus.select("doc_id").join(drop, "doc_id", "left_anti")
+
+    def revocations(self) -> DataFrame:
+        """The keep-list CHANGELOG: every doc that ever lost canonical
+        status, once, with the revoking batch id (append-only — see
+        module docstring on monotonicity). A downstream curated set
+        applies these as deletions; replaying the full ledger against
+        the corpus reproduces keep_list exactly."""
+        return self._read_or_empty(self.revoked_path, REVOKED_SCHEMA)
 
 
 def run_incremental_dedup(

@@ -90,6 +90,13 @@ def test_streamed_labels_track_ledger_components(spark, tmp_path, split_docs):
     dropped = {d for d, c in exp_final if d != c}
     assert kept == {r["doc_id"] for r in corpus.collect()} - dropped
 
+    # the revocation changelog: one entry per ever-dropped doc, and
+    # replaying the ledger as deletions reproduces the keep-list
+    revs = sink.revocations().collect()
+    assert len(revs) == len({r["doc_id"] for r in revs}), "duplicate revocation"
+    assert {r["doc_id"] for r in revs} == dropped
+    release_all()
+
 
 def test_replay_reconciles_labels(spark, tmp_path):
     """Crash window: watermark (and labels pointer) roll back to the
@@ -116,6 +123,10 @@ def test_replay_reconciles_labels(spark, tmp_path):
         (r["doc_id"], r["component"]) for r in crashed.labels().collect()
     } == labels0
     assert {(r["doc_a"], r["doc_b"]) for r in crashed.pairs().collect()} == pairs0
+    # replay appends nothing to the revocation ledger (anti-join base is
+    # the ledger itself)
+    revs = crashed.revocations().collect()
+    assert len(revs) == len({r["doc_id"] for r in revs})
     release_all()
 
 
