@@ -223,14 +223,10 @@ DUP_LINE_MAX = 0.30  # Gopher: drop docs whose duplicate-line share is high
 TOP_WORD_MAX = 0.20  # ... or dominated by a single repeated word
 
 
-def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C21 — within-document repetition signals (the Gopher/MassiveText
-    repetition rules, public: Rae et al. 2021): duplicate-line fraction
-    and top-word dominance, plus the keep/drop verdict. Line stats are
-    pure array expressions; word dominance is explode → two hash
-    aggregates on (doc_id, word) → doc_id — no windows over the corpus,
-    everything map-side combinable."""
-    docs = _docs(spark, sf_dir)
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Frame-level body of C21 (used per micro-batch by
+    streaming/curation_stream.py — every signal is row-local or a
+    per-doc aggregate, so batch and full-corpus evaluation agree)."""
     lines = F.filter(
         F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), F.trim),
         lambda x: x != "",
@@ -266,6 +262,16 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 — within-document repetition signals (the Gopher/MassiveText
+    repetition rules, public: Rae et al. 2021): duplicate-line fraction
+    and top-word dominance, plus the keep/drop verdict. Line stats are
+    pure array expressions; word dominance is explode → two hash
+    aggregates on (doc_id, word) → doc_id — no windows over the corpus,
+    everything map-side combinable."""
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 # --- C22: deterministic stratified sampling -----------------------------------
 
 # per-language keep rates as 4-hex-char thresholds over md5("samp|"+id):
@@ -276,12 +282,9 @@ SAMPLE_THR = {"en": 0.50, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.10}
 _THR_HEX = {k: format(int(v * 65536), "04x") for k, v in SAMPLE_THR.items()}
 
 
-def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C22 — domain/language-mix curation: deterministic hash-bucket
-    sampling at a per-stratum rate (the "data mixture" step of a
-    pre-training pipeline). Pure row-local expressions — sampling a
-    100 TB corpus is a single filtered scan, no shuffle at all."""
-    docs = _docs(spark, sf_dir)
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Frame-level body of C22 — row-local, so per-batch and
+    full-corpus evaluation select the identical doc set."""
     bucket = F.substring(
         F.md5(F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))), 1, 4
     )
@@ -296,6 +299,14 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket_hex") < F.col("thr_hex"))
         .drop("thr_hex")
     )
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — domain/language-mix curation: deterministic hash-bucket
+    sampling at a per-stratum rate (the "data mixture" step of a
+    pre-training pipeline). Pure row-local expressions — sampling a
+    100 TB corpus is a single filtered scan, no shuffle at all."""
+    return stratified_sample(_docs(spark, sf_dir))
 
 
 # --- C23: benchmark-contamination screen --------------------------------------
@@ -327,24 +338,37 @@ def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus) — broadcast by hint; the doc_id aggregation
     combines map-side, so the only exchange carries ≈ one row per
     document, not per shingle."""
-    from euclid_spark.functions.text import shingles, words as words_of
-
     docs = _docs(spark, sf_dir)
     is_bench = F.col("source").isin(*BENCH_SOURCES)
-
-    def per_doc_distinct(df: DataFrame) -> DataFrame:
-        # ws staged first: shingles() indexes a materialized array
-        return df.select("doc_id", words_of("text").alias("ws")).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(F.col("ws"), k=CONTAM_SHINGLE_K))
-            ).alias("shingle"),
-        )
-
-    bench = (
-        per_doc_distinct(docs.filter(is_bench)).select("shingle").distinct()
+    return contamination_overlap(
+        docs.filter(~is_bench), benchmark_shingles(docs.filter(is_bench))
     )
-    flagged = per_doc_distinct(docs.filter(~is_bench)).join(
+
+
+def _per_doc_distinct_shingles(df: DataFrame) -> DataFrame:
+    from euclid_spark.functions.text import shingles, words as words_of
+
+    # ws staged first: shingles() indexes a materialized array
+    return df.select("doc_id", words_of("text").alias("ws")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("ws"), k=CONTAM_SHINGLE_K))
+        ).alias("shingle"),
+    )
+
+
+def benchmark_shingles(bench_docs: DataFrame) -> DataFrame:
+    """Distinct CONTAM_SHINGLE_K-shingles of the held-out set — the
+    fixed-size probe index the screen broadcasts."""
+    return _per_doc_distinct_shingles(bench_docs).select("shingle").distinct()
+
+
+def contamination_overlap(train_docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """Frame-level body of C23 (used per micro-batch by
+    streaming/curation_stream.py with a STATIC benchmark index — the
+    screen is per-doc row-local given the bench set, so batch and
+    full-corpus evaluation agree)."""
+    flagged = _per_doc_distinct_shingles(train_docs).join(
         F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
     )
     return (
