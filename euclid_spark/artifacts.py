@@ -114,3 +114,30 @@ def serve_frame(
     out = load_frame(spark, name, fp)
     assert out is not None
     return out
+
+
+def gc(keep: "dict[str, str]") -> "list[str]":
+    """Garbage-collect the artifact root: for every name in `keep`
+    (name → current fingerprint), delete that name's OTHER fingerprints
+    — superseded corpus versions with no readers — plus any orphaned
+    `.tmp.*` build directories (a builder that died mid-write).
+    Names not in `keep` are untouched (another deployment may own
+    them). Returns the removed paths. Safe to run anytime: the current
+    fingerprint and foreign names are never deleted, and losing a
+    just-superseded artifact only costs its one-time rebuild."""
+    root = artifact_dir()
+    if not os.path.isdir(root):
+        return []
+    removed: "list[str]" = []
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        if ".tmp." in entry:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+            continue
+        for name, fp in keep.items():
+            if entry.startswith(f"{name}_") and entry != f"{name}_{fp}.parquet":
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+                break
+    return removed

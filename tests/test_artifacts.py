@@ -79,3 +79,20 @@ def test_signature_index_artifact_equals_direct(spark, tmp_path, monkeypatch):
     ).collect()
     served = dedup.signature_index(spark, SF_SMOKE)
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct))
+
+
+def test_gc_removes_superseded_and_tmp_only(spark, tmp_path, monkeypatch):
+    import os
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    df = spark.range(2)
+    artifacts.save_frame(df, "idx", "old")
+    artifacts.save_frame(df, "idx", "new")
+    artifacts.save_frame(df, "other", "fp")  # foreign name: untouched
+    os.makedirs(tmp_path / "idx_x.parquet.tmp.123")  # orphaned build
+
+    removed = artifacts.gc({"idx": "new"})
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["idx_new.parquet", "other_fp.parquet"]
+    assert len(removed) == 2
+    assert artifacts.load_frame(spark, "idx", "new").count() == 2
