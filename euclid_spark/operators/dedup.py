@@ -240,7 +240,19 @@ def _word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kept RELATIONAL (long-form sparse rows, not dense arrays): the
     cosine of a candidate pair is a join-aggregate over shared dims —
     the layout that scales and that plain SQL can mirror exactly (the
-    hashes are ascii-of-md5-hex arithmetic, byte-identical in DuckDB)."""
+    hashes are ascii-of-md5-hex arithmetic, byte-identical in DuckDB).
+    Served as an artifact like every other corpus-level dedup index."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="word_features", n_feat=N_FEAT
+    )
+    return artifacts.serve_frame(
+        spark, "word_features", fp, lambda: _word_features_build(spark, sf_dir)
+    )
+
+
+def _word_features_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = docs.select("doc_id", F.explode(words("text")).alias("word")).filter(
         F.col("word") != ""
