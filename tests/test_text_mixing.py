@@ -56,3 +56,54 @@ def test_temperature_sample_deterministic(spark):
     a = {r["doc_id"] for r in text_temperature_sample(spark, SF_ORACLE).collect()}
     b = {r["doc_id"] for r in text_temperature_sample(spark, SF_ORACLE).collect()}
     assert a == b
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from euclid_spark.operators.textops import PACK_BUCKET_BITS  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            # sparse ids crossing the 2^PACK_BUCKET_BITS bucket boundary
+            st.integers(0, 5 * (1 << PACK_BUCKET_BITS)),
+            st.integers(0, 50),  # token count (0 ⇒ excluded from stream)
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_sequences_matches_python_reference(spark, docs_spec):
+    """The two-level prefix sum must equal a sequential cumsum over
+    doc_id order for ANY id distribution — including empty corpora,
+    all-empty docs, and ids straddling prefix-sum buckets."""
+    from euclid_spark.operators.textops import text_pack_sequences
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs_spec],
+            # "a " * n → n TOKEN_RE tokens exactly
+            "text": ["a " * n for _, n in docs_spec],
+            "lang": "en",
+            "source": "src5",
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(f"{d}/documents.parquet", index=False)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_tok"])
+            for r in text_pack_sequences(spark, d).collect()
+        }
+    expect, cum = {}, 0
+    for did, n in sorted(docs_spec):
+        if n > 0:
+            expect[did] = (n, cum)
+            cum += n
+    assert got == expect
