@@ -54,6 +54,7 @@ HEADLINE = [
     "rel_sessionize",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_keep_list",
     "curation_pipeline",
     "sim_topk_cosine",
