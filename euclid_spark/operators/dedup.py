@@ -412,12 +412,101 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = 8  # duplicated-substring window width (tokens)
+SPAN_DUP_FRAC = 0.2  # flag docs whose duplicated-token share exceeds this
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 — EXACT substring-span dedup, the distributed form of the
+    suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", public): find token
+    spans that appear verbatim in MORE THAN ONE document and report,
+    per document, how much of it is such duplicated material.
+
+    Construction: every SPAN_W-token sliding window (stride 1) is
+    hashed; a window hash occurring in ≥2 distinct docs marks its span
+    [p, p+W-1] duplicated; per-doc coverage is the length of the UNION
+    of marked spans (gaps-and-islands over window positions — two
+    overlapping windows must not double-count their overlap). Any
+    duplicated substring of length ≥ W is caught in full by its
+    constituent windows, which is the suffix-array guarantee restated
+    per-window.
+
+    Scale shape — deliberately unlike the pairwise dedup ops above:
+    there is NO self-join anywhere. Window hashes go through one
+    map-combinable count-distinct aggregate; duplicated positions come
+    back via a LEFT SEMI join on the hash; islands are per-doc window
+    functions on the doc_id partitioning the final aggregate needs
+    anyway. Linear in corpus size, no bucket caps required — a window
+    repeated in m docs contributes m rows, never m².
+    """
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", words("text").alias("ws"))
+    base = ws.select("doc_id", F.size("ws").cast("int").alias("n_tokens"))
+    win = ws.select(
+        "doc_id", F.posexplode(shingles(F.col("ws"), k=SPAN_W)).alias("p", "w")
+    ).select("doc_id", "p", F.md5("w").alias("h"))
+    # read twice (dup-hash agg + position lookup): persist the hashed rows
+    win = persist_tracked(win)
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dwin = win.join(dup, "h", "left_semi").select("doc_id", "p").distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dwin.withColumn(
+        "prev_max", F.max(F.col("p") + F.lit(SPAN_W - 1)).over(w_prev)
+    )
+    new_island = (
+        F.when(
+            F.col("prev_max").isNull() | (F.col("p") > F.col("prev_max")), 1
+        ).otherwise(0)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = isl.withColumn("island", F.sum(new_island).over(w_run))
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("p") + F.lit(SPAN_W) - F.min("p")).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("dup_tokens"))
+    )
+    nwin = win.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    ndup = dwin.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    frac = F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens")
+    return (
+        base.join(nwin, "doc_id", "left")
+        .join(ndup, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(frac, 4).alias("dup_frac"),
+            # compare on the exact integer ratio; round only for output
+            (frac > F.lit(SPAN_DUP_FRAC)).alias("flagged"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_substring_spans": dedup_substring_spans,
 }
 
 # Shared oracle CTEs: normalized words → distinct 3-word shingles.
@@ -544,6 +633,49 @@ _CHUNK_SELECTS = " UNION ALL ".join(
     f" (simhash >> {16 * k}) & 65535 AS chunk_val FROM sh2"
     for k in range(4)
 )
+
+# dedup_substring_spans oracle: identical window/coverage pipeline —
+# 0-indexed window start p on both sides (DuckDB lists are 1-indexed, so
+# slice ws[p+1 : p+W]); islands via the same prev-max window frame.
+ORACLES["dedup_substring_spans"] = f"""
+    WITH w AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                   'g')), ' ') AS ws
+               FROM documents),
+    base AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens FROM w),
+    win AS (SELECT doc_id, CAST(p AS INT) AS p,
+                   md5(list_aggregate(ws[p+1:p+{SPAN_W}], 'string_agg', ' '))
+                       AS h
+            FROM w, unnest(range(0, len(ws) - {SPAN_W - 1})) AS t(p)),
+    dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dwin AS (SELECT DISTINCT doc_id, p FROM win JOIN dup USING (h)),
+    isl AS (SELECT doc_id, p,
+                   MAX(p + {SPAN_W - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+            FROM dwin),
+    isl2 AS (SELECT doc_id, p,
+                    SUM(CASE WHEN prev_max IS NULL OR p > prev_max
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p) AS island
+             FROM isl),
+    cov AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM (
+                SELECT doc_id, island, MAX(p) + {SPAN_W} - MIN(p) AS c
+                FROM isl2 GROUP BY doc_id, island) GROUP BY doc_id),
+    nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+           FROM win GROUP BY doc_id),
+    nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+           FROM dwin GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(nw.n_windows, 0) AS n_windows,
+           coalesce(nd.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           ROUND(coalesce(cov.dup_tokens, 0) * 1.0 / b.n_tokens, 4) AS dup_frac,
+           coalesce(cov.dup_tokens, 0) * 1.0 / b.n_tokens > {SPAN_DUP_FRAC}
+               AS flagged
+    FROM base b LEFT JOIN nw USING (doc_id) LEFT JOIN nd USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+"""
 
 ORACLES["dedup_simhash"] = f"""
     WITH w AS (SELECT doc_id,

@@ -14,8 +14,9 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from euclid_spark.cache import persist_tracked
 from euclid_spark.functions.hashing import DIGEST_PRIME
-from euclid_spark.functions.text import normalized_text, words
+from euclid_spark.functions.text import normalized_text, shingles, words
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -503,6 +504,81 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 128  # hashed n-gram feature space
+DSIR_TARGET_LANG = "en"  # target distribution: the English slice
+
+
+def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", public):
+    score every raw document by how much more likely its hashed n-gram
+    features are under a TARGET distribution (here the lang='en' slice)
+    than under the raw corpus, then keep the docs the target model
+    prefers. The per-doc log importance weight is
+        λ_d = Σ_b count_d(b) · [ln p_T(b) − ln p_R(b)]
+    over md5-hashed unigram+bigram buckets b ∈ [0, DSIR_BUCKETS) with
+    add-1 smoothing — exactly the paper's hashed-n-gram construction,
+    with DSIR's random resample replaced by the deterministic rule
+    selected = λ > 0 (more target-like than raw-like), so the result is
+    run-stable and oracle-checkable.
+
+    Scale shape: the two bucket language models are FIXED-SIZE
+    (DSIR_BUCKETS rows each, independent of corpus size) — built by one
+    map-combinable aggregate and then BROADCAST to the per-doc scoring
+    join; the corpus-sized side is touched by exactly two hash
+    aggregates (doc×bucket counts, per-doc λ sum) on keys that carry no
+    skew beyond bucket load, which the hash spreads uniformly. The
+    global totals are a one-row aggregate (bounded payload, same
+    pattern as text_unigram_logprob's total)."""
+    docs = _docs(spark, sf_dir)
+    ws = docs.select(
+        "doc_id", "lang", _nonempty_words().alias("ws")
+    )
+    uni = ws.select(
+        "doc_id", "lang", F.explode("ws").alias("g")
+    ).select("doc_id", "lang", F.concat(F.lit("u|"), F.col("g")).alias("feat"))
+    bi = ws.select(
+        "doc_id", "lang", F.explode(shingles(F.col("ws"), k=2)).alias("g")
+    ).select("doc_id", "lang", F.concat(F.lit("b|"), F.col("g")).alias("feat"))
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("feat"), 1, 4), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    # one read feeds three aggregates below
+    feats = persist_tracked(feats)
+    is_t = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    bucket_counts = feats.groupBy("b").agg(
+        F.count("*").alias("cr"), F.sum(is_t).alias("ct")
+    )
+    tot = feats.agg(
+        F.count("*").alias("nr"), F.sum(is_t).alias("nt")
+    )
+    ratio = bucket_counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    docfeat = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    wt = F.sum(F.col("cnt") * F.col("lr"))
+    return (
+        docfeat.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(wt, 4).alias("dsir_weight"),
+            # compare on the exact sum; round only for output
+            (wt > 0).alias("selected"),
+        )
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_stratified_sample": text_stratified_sample,
@@ -516,6 +592,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_pack_sequences": text_pack_sequences,
     "text_temperature_sample": text_temperature_sample,
+    "text_importance_resample": text_importance_resample,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -736,3 +813,38 @@ ORACLES = {
                    AS BIGINT) / 65536.0 < s.p_keep
     """,
 }
+
+# text_importance_resample oracle: identical hashed-bucket construction —
+# 'u|'/'b|'-prefixed unigram/bigram features, md5 4-hex-char buckets,
+# add-1-smoothed target (lang = DSIR_TARGET_LANG) vs raw bucket LMs.
+ORACLES["text_importance_resample"] = f"""
+    WITH w AS (SELECT doc_id, lang, {_WS} AS ws FROM documents),
+    uni AS (SELECT doc_id, lang, 'u|' || unnest(ws) AS feat FROM w),
+    bi AS (SELECT doc_id, lang,
+                  'b|' || unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS feat
+           FROM w WHERE len(ws) >= 2),
+    feats AS (SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(feat), 1, 4) AS BIGINT)
+                         % {DSIR_BUCKETS} AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    bc AS (SELECT b, COUNT(*) AS cr,
+                  SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                      AS ct
+           FROM feats GROUP BY b),
+    tot AS (SELECT COUNT(*) AS nr,
+                   SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                       AS nt
+            FROM feats),
+    ratio AS (SELECT b,
+                     ln((ct + 1) * 1.0 / (nt + {DSIR_BUCKETS}))
+                   - ln((cr + 1) * 1.0 / (nr + {DSIR_BUCKETS})) AS lr
+              FROM bc, tot),
+    docfeat AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM feats GROUP BY 1, 2, 3)
+    SELECT d.doc_id, d.lang,
+           ROUND(SUM(d.cnt * r.lr), 4) AS dsir_weight,
+           SUM(d.cnt * r.lr) > 0 AS selected
+    FROM docfeat d JOIN ratio r USING (b)
+    GROUP BY 1, 2
+"""

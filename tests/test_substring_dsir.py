@@ -1,0 +1,116 @@
+"""C28 dedup_substring_spans + C29 text_importance_resample unit tests
+(the cross-engine hash parity is covered by tools/crosscheck.py; these
+pin the *semantics* on hand-built corpora)."""
+
+from __future__ import annotations
+
+from euclid_spark.operators.dedup import (
+    SPAN_W,
+    dedup_substring_spans,
+)
+from euclid_spark.operators.textops import text_importance_resample
+
+
+def _write_docs(spark, path, rows, schema="doc_id long, text string"):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+
+
+def test_shared_span_coverage_is_union_not_sum(spark, tmp_path):
+    """Docs A and B share their first 10 tokens; the three overlapping
+    duplicated windows (p=0,1,2) must union to EXACTLY 10 covered
+    tokens, not 3×SPAN_W."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+        (3, " ".join(f"c{i}" for i in range(20))),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {r["doc_id"]: r for r in dedup_substring_spans(spark, str(tmp_path)).collect()}
+    for d in (1, 2):
+        assert got[d]["n_tokens"] == 20
+        assert got[d]["n_windows"] == 20 - SPAN_W + 1
+        assert got[d]["n_dup_windows"] == 10 - SPAN_W + 1  # p = 0,1,2
+        assert got[d]["dup_tokens"] == 10  # union of [0,7],[1,8],[2,9]
+        assert got[d]["dup_frac"] == 0.5
+        assert got[d]["flagged"]
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["dup_tokens"] == 0
+    assert not got[3]["flagged"]
+
+
+def test_identical_docs_fully_covered(spark, tmp_path):
+    """Verbatim duplicates are 100% duplicated material."""
+    text = " ".join(f"w{i}" for i in range(20))
+    _write_docs(spark, str(tmp_path), [(1, text), (2, text)])
+    got = {r["doc_id"]: r for r in dedup_substring_spans(spark, str(tmp_path)).collect()}
+    for d in (1, 2):
+        assert got[d]["dup_tokens"] == 20
+        assert got[d]["dup_frac"] == 1.0
+        assert got[d]["flagged"]
+
+
+def test_within_doc_repetition_is_not_cross_doc_dup(spark, tmp_path):
+    """A window repeated only WITHIN one doc doesn't mark it (cross-doc
+    dedup; within-doc repetition is text_repetition_filter's job)."""
+    run = " ".join(f"r{i}" for i in range(SPAN_W))
+    rows = [
+        (1, run + " " + run),  # self-repeats, no partner doc
+        (2, " ".join(f"z{i}" for i in range(16))),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {r["doc_id"]: r for r in dedup_substring_spans(spark, str(tmp_path)).collect()}
+    assert got[1]["n_dup_windows"] == 0
+    assert got[1]["dup_tokens"] == 0
+
+
+def test_short_docs_emit_zero_windows(spark, tmp_path):
+    """Docs under SPAN_W tokens still appear in the output, all-zero."""
+    _write_docs(spark, str(tmp_path), [(1, "a b c"), (2, "a b c")])
+    got = {r["doc_id"]: r for r in dedup_substring_spans(spark, str(tmp_path)).collect()}
+    for d in (1, 2):
+        assert got[d]["n_windows"] == 0
+        assert got[d]["dup_tokens"] == 0
+        assert not got[d]["flagged"]
+
+
+_LANG_SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_dsir_selects_by_content_not_label(spark, tmp_path):
+    """Target-vocabulary docs score λ > 0 regardless of their own lang
+    label (DSIR scores CONTENT under the target LM; the label only
+    defines which docs estimate that LM)."""
+    en = "alpha beta gamma delta epsilon"
+    de = "uno dos tres cuatro cinco"
+    rows = [(i, en, "en") for i in range(10)]
+    rows += [(100 + i, de, "de") for i in range(10)]
+    rows += [(500, en, "de")]  # en-vocab content mislabeled de
+    _write_docs(spark, str(tmp_path), rows, _LANG_SCHEMA)
+    got = {
+        r["doc_id"]: r
+        for r in text_importance_resample(spark, str(tmp_path)).collect()
+    }
+    assert all(got[i]["selected"] for i in range(10))
+    assert not any(got[100 + i]["selected"] for i in range(10))
+    assert got[500]["selected"]  # content wins over label
+    assert got[500]["dsir_weight"] == got[0]["dsir_weight"]
+
+
+def test_dsir_weight_scales_with_length(spark, tmp_path):
+    """λ is a sum over token features: a doc repeating the target
+    vocabulary twice scores about twice the single copy (same bucket
+    log-ratios, double the counts — bigram across the seam adds one
+    extra feature, so compare with tolerance)."""
+    en = "alpha beta gamma delta epsilon"
+    rows = [(i, en, "en") for i in range(10)]
+    rows += [(100 + i, "uno dos tres cuatro cinco", "de") for i in range(10)]
+    rows += [(500, en + " " + en, "en")]
+    _write_docs(spark, str(tmp_path), rows, _LANG_SCHEMA)
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in text_importance_resample(spark, str(tmp_path)).collect()
+    }
+    assert got[500] > 1.5 * got[0] > 0
