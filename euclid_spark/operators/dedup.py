@@ -324,31 +324,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 — 63-bit SimHash near-dup.
-
-    simhash bit i = sign of Σ_words ±count, sign from bit i of the word
-    hash. Candidates bucket on 16-bit chunks (pigeonhole), then exact
-    hamming ≤ SIMHASH_MAX_HAMMING via bit_count(xor).
-
-    Word-hash bits come from the two md5-hex 32-bit halves (r5: the
-    original xxhash64 was JVM-specific, which forced a rows-only gate;
-    md5 is byte-identical in DuckDB, so the ENTIRE pipeline — bit
-    votes, chunk buckets, xor/bit_count verification — is now
-    oracle-checked like its dedup siblings).
-
-    Skew guard (same pattern as the LSH MAX_BUCKET at dedup_minhash_lsh):
-    a degenerate (chunk_idx, chunk_val) bucket of m docs — e.g. many
-    short/empty documents collapsing to the same chunks — would emit m²
-    candidate pairs from the self-join. Buckets larger than
-    MAX_CHUNK_BUCKET are dropped BEFORE the join; the count is a window
-    over the join key itself, so the guard rides the join's own shuffle.
-    Recall note: a pair sharing one surviving chunk is still found; only
-    pairs whose *every* matching chunk is degenerate are skipped, and a
-    degenerate bucket is precisely where chunk equality carries no
-    near-dup signal.
-    """
-    docs = _docs(spark, sf_dir)
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc 63-bit SimHash from a (doc_id, text) frame: word counts,
+    per-bit ±count votes (63 SUM aggregates in ONE groupBy — map-side
+    combinable), sign → bit assembly. Deterministic (md5 word hashes),
+    so build-then-serve equals recompute."""
     wc = (
         docs.select("doc_id", F.explode(words("text")).alias("word"))
         .filter(F.col("word") != "")
@@ -380,7 +360,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(63),  # bit 63 excluded: keep the hash non-negative
         F.lit(0).cast("long"),
     )
-    sh = per_doc.select("doc_id", simhash.alias("simhash"))
+    return per_doc.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus SimHash signature table as a fingerprint-keyed DISK
+    ARTIFACT — same build-once-serve contract as signature_index
+    (MinHash) and _capped_shingles: the 63-vote aggregate runs once per
+    corpus version; every later process reads two parquet columns."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="simhash_sigs", bits=63
+    )
+    return artifacts.serve_frame(
+        spark, "simhash_sigs", fp, lambda: simhash_signatures(_docs(spark, sf_dir))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — 63-bit SimHash near-dup.
+
+    simhash bit i = sign of Σ_words ±count, sign from bit i of the word
+    hash. Candidates bucket on 16-bit chunks (pigeonhole), then exact
+    hamming ≤ SIMHASH_MAX_HAMMING via bit_count(xor).
+
+    Word-hash bits come from the two md5-hex 32-bit halves (r5: the
+    original xxhash64 was JVM-specific, which forced a rows-only gate;
+    md5 is byte-identical in DuckDB, so the ENTIRE pipeline — bit
+    votes, chunk buckets, xor/bit_count verification — is now
+    oracle-checked like its dedup siblings).
+
+    Skew guard (same pattern as the LSH MAX_BUCKET at dedup_minhash_lsh):
+    a degenerate (chunk_idx, chunk_val) bucket of m docs — e.g. many
+    short/empty documents collapsing to the same chunks — would emit m²
+    candidate pairs from the self-join. Buckets larger than
+    MAX_CHUNK_BUCKET are dropped BEFORE the join; the count is a window
+    over the join key itself, so the guard rides the join's own shuffle.
+    Recall note: a pair sharing one surviving chunk is still found; only
+    pairs whose *every* matching chunk is degenerate are skipped, and a
+    degenerate bucket is precisely where chunk equality carries no
+    near-dup signal.
+    """
+    sh = simhash_index(spark, sf_dir)
     chunks = sh.selectExpr(
         "doc_id",
         "simhash",
