@@ -963,7 +963,26 @@ _PARTSUPP_CTE = f"""partsupp AS (
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized partsupp: one row per distinct (part, supplier)
-    pair in lineitem, costs/quantities a pure function of the keys."""
+    pair in lineitem, costs/quantities a pure function of the keys.
+
+    Served as a fingerprint-keyed DISK ARTIFACT: partsupp is a TABLE
+    (the five TPC-H queries that need it treat it as base data), and
+    deriving it per query re-paid a fact-table distinct-shuffle each
+    run — build it once per lineitem version, then every consumer reads
+    a dimension-sized parquet. Deterministic (pure key arithmetic), so
+    build-then-serve equals recompute; the DuckDB oracles keep the same
+    derivation inline as a CTE."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/lineitem.parquet"], op="partsupp_synth"
+    )
+    return artifacts.serve_frame(
+        spark, "partsupp_synth", fp, lambda: _partsupp_build(spark, sf_dir)
+    )
+
+
+def _partsupp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         _t(spark, sf_dir, "lineitem")
         .select(
