@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_substring_spans",
     "dedup_keep_list",
     "curation_pipeline",
     "sim_topk_cosine",
@@ -63,6 +64,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_benchmark_overlap",
     "text_pack_sequences",
+    "text_importance_resample",
 ]
 
 

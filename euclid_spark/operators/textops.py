@@ -579,6 +579,70 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    public): split each language's documents into head/middle/tail
+    TERCILES by language-model score — the head is kept, the tail is
+    high-perplexity noise. The LM is the corpus's own unigram model
+    (same score as text_unigram_logprob, standing in for CCNet's
+    KenLM), higher avg logprob = better.
+
+    Scale design — deliberately NOT `NTILE(3) OVER (PARTITION BY
+    lang)`: an exact per-doc ntile funnels every document of a language
+    through ONE reducer (the per-group total-order problem; 'en' alone
+    is most of a 100 TB corpus). Instead, CCNet's actual construction:
+    derive per-lang cutoff VALUES from the score HISTOGRAM — whose size
+    is bounded by the number of distinct ROUNDED scores (≈10⁴ cells),
+    independent of corpus size — then bucket by value comparison
+    against the broadcast cutoffs. Ties share a bucket (all docs with
+    the cutoff score land on its upper side), so bucket sizes deviate
+    from n/3 by at most the tie mass; the assignment depends only on a
+    doc's own score, never its global rank."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", "lang", F.explode(_nonempty_words()).alias("word"))
+    tot = w.agg(F.count("*").alias("total"))
+    freq = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select("word", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    doc = (
+        w.join(freq, "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("logp"), 4).alias("avg_logprob"))
+    )
+    doc = persist_tracked(doc)  # read twice: histogram + final bucketing
+    hist = doc.groupBy("lang", "avg_logprob").agg(F.count("*").alias("c"))
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("avg_logprob"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = hist.withColumn("cum", F.sum("c").over(wl))
+    nl = hist.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    hj = hist.join(nl, "lang")
+    t1 = (
+        hj.filter(F.col("cum") >= F.expr("(n_l + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.max("avg_logprob").alias("t1"))
+    )
+    t2 = (
+        hj.filter(F.col("cum") >= F.expr("(2 * n_l + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.max("avg_logprob").alias("t2"))
+    )
+    thr = t1.join(t2, "lang")  # one row per language — broadcast
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return doc.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_stratified_sample": text_stratified_sample,
@@ -593,6 +657,7 @@ QUERIES = {
     "text_pack_sequences": text_pack_sequences,
     "text_temperature_sample": text_temperature_sample,
     "text_importance_resample": text_importance_resample,
+    "text_perplexity_buckets": text_perplexity_buckets,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -847,4 +912,34 @@ ORACLES["text_importance_resample"] = f"""
            SUM(d.cnt * r.lr) > 0 AS selected
     FROM docfeat d JOIN ratio r USING (b)
     GROUP BY 1, 2
+"""
+
+# text_perplexity_buckets oracle: same unigram scores, same
+# histogram-derived per-lang tercile cutoffs, same >=-comparison
+# bucketing (ties land on the upper side on both engines).
+ORACLES["text_perplexity_buckets"] = f"""
+    WITH w AS (SELECT doc_id, lang, unnest({_WS}) AS word FROM documents),
+    tot AS (SELECT COUNT(*) AS total FROM w),
+    freq AS (SELECT word, ln(COUNT(*) * 1.0 / ANY_VALUE(tot.total)) AS logp
+             FROM w, tot GROUP BY word),
+    doc AS (SELECT w.doc_id, ANY_VALUE(w.lang) AS lang,
+                   ROUND(AVG(f.logp), 4) AS avg_logprob
+            FROM w JOIN freq f USING (word) GROUP BY w.doc_id),
+    hist AS (SELECT lang, avg_logprob, COUNT(*) AS c FROM doc GROUP BY 1, 2),
+    cum AS (SELECT lang, avg_logprob, c,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY avg_logprob DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM hist),
+    nl AS (SELECT lang, SUM(c) AS n_l FROM hist GROUP BY lang),
+    t1 AS (SELECT lang, MAX(avg_logprob) AS t1
+           FROM cum JOIN nl USING (lang)
+           WHERE cum >= (n_l + 2) // 3 GROUP BY lang),
+    t2 AS (SELECT lang, MAX(avg_logprob) AS t2
+           FROM cum JOIN nl USING (lang)
+           WHERE cum >= (2 * n_l + 2) // 3 GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.avg_logprob,
+           CASE WHEN d.avg_logprob >= t1.t1 THEN 'head'
+                WHEN d.avg_logprob >= t2.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM doc d JOIN t1 USING (lang) JOIN t2 USING (lang)
 """

@@ -114,3 +114,26 @@ def test_dsir_weight_scales_with_length(spark, tmp_path):
         for r in text_importance_resample(spark, str(tmp_path)).collect()
     }
     assert got[500] > 1.5 * got[0] > 0
+
+
+def test_perplexity_buckets_order_and_balance(spark, tmp_path):
+    """Within a language: every head doc scores >= every middle doc >=
+    every tail doc, and tercile sizes are n/3 up to tie mass."""
+    from euclid_spark.operators.textops import text_perplexity_buckets
+
+    common = "the fast key " * 3          # high-probability words
+    rows = []
+    for i in range(30):
+        # vary rarity: doc i carries i distinct rare tokens
+        rare = " ".join(f"rare{i}x{j}" for j in range(i % 10))
+        rows.append((i, f"{common} {rare}".strip(), "en"))
+    _write_docs(spark, str(tmp_path), rows, _LANG_SCHEMA)
+    got = text_perplexity_buckets(spark, str(tmp_path)).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    # sizes: 30 docs but scores tie in groups; each tercile ±tie mass
+    assert sum(len(v) for v in by_bucket.values()) == 30
