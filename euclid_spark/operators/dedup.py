@@ -522,6 +522,90 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.95  # within-cluster cosine above which vectors are dups
+SEMDEDUP_TARGET_CLUSTER = 400  # k = ceil(n/target) → pair work ≈ n·target
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31 — SemDeDup (Abbas et al. 2023, public): semantic dedup over
+    LEARNED embeddings — k-means cluster the corpus, compare vectors
+    pairwise only WITHIN their cluster, mark pairs with cosine ≥ τ as
+    semantic duplicates and keep the lowest id of each pair. Emits one
+    verdict row per vector: (vec_id, cid, n_cluster, max_cos to any
+    cluster sibling — null for singletons, is_dup, keep). Transitive
+    closure over the flagged pairs, when wanted, is exactly what
+    operators/components.py already provides.
+
+    Scale design: the quadratic is confined to clusters, and the
+    cluster COUNT grows with the corpus — k = ⌈n / TARGET⌉, so
+    within-cluster pair work stays ≈ n·TARGET (linear in n), the
+    paper's own knob (50k clusters for 5 B images). Centroids are a
+    fingerprint-keyed disk artifact like the IVF model (fit once per
+    corpus version on a seeded Lloyd pass); assignment is one
+    broadcast-centroids scoring pass; the self-join shuffles once on
+    cid. Rows-only at the gate (k-means is engine-side); semantics are
+    pinned by planted-duplicate tests (tests/test_substring_dsir.py)."""
+    from euclid_spark import artifacts
+    from euclid_spark.functions.vectors import cosine
+    from euclid_spark.operators.similarity import (
+        _nearest_centroids,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    n_vec = emb.count()  # one scalar job — orchestration, like components
+    k = max(4, -(-n_vec // SEMDEDUP_TARGET_CLUSTER))
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"], op="semdedup_centroids", k=k, seed=42
+    )
+    cent = artifacts.serve_frame(
+        spark,
+        "semdedup_centroids",
+        fp,
+        lambda: kmeans_centroids(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=k, seed=42
+        ),
+    )
+    assign = persist_tracked(
+        _nearest_centroids(emb, cent, "vec_id", "e", keep=1)
+    )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_cluster"))
+    a = assign.select("cid", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = assign.select("cid", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pair_stats = (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "cid",
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
+        .groupBy("vec_a")
+        .agg(
+            F.max("cos").alias("max_cos"),
+            F.max(
+                ((F.col("cos") >= SEMDEDUP_TAU) & (F.col("vec_b") < F.col("vec_a")))
+                .cast("int")
+            ).alias("has_lower_dup"),
+        )
+    )
+    return (
+        assign.join(sizes, "cid")
+        .join(pair_stats, assign.vec_id == pair_stats.vec_a, "left")
+        .select(
+            "vec_id",
+            "cid",
+            "n_cluster",
+            "max_cos",  # null for singleton clusters
+            (F.coalesce("max_cos", F.lit(-1.0)) >= SEMDEDUP_TAU).alias("is_dup"),
+            (F.coalesce("has_lower_dup", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -529,7 +613,11 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_semantic": dedup_semantic,
 }
+# dedup_semantic: rows-only by design (k-means centroids are
+# engine-side); planted-duplicate semantics tests stand in for the
+# SQL oracle, like the other approximate sketches.
 
 # Shared oracle CTEs: normalized words → distinct 3-word shingles.
 # DuckDB lists are 1-indexed (Spark arrays 0-indexed) — both yield

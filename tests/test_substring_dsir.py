@@ -137,3 +137,37 @@ def test_perplexity_buckets_order_and_balance(spark, tmp_path):
     assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
     # sizes: 30 docs but scores tie in groups; each tercile ±tie mass
     assert sum(len(v) for v in by_bucket.values()) == 30
+
+
+def test_semdedup_planted_duplicates(spark, tmp_path, monkeypatch):
+    """Planted near-identical embedding pairs are flagged within their
+    cluster; the lowest id of each pair survives; unrelated random
+    vectors all keep."""
+    import numpy as np
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "arts"))
+    from euclid_spark.operators.dedup import SEMDEDUP_TAU, dedup_semantic
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two dup groups: base vector + tiny-perturbation copy (cos ≈ 1)
+    for gid, base_id in ((0, 10), (1, 20)):
+        base = rng.normal(size=16)
+        for j, eps in ((0, 0.0), (1, 1e-3)):
+            v = base + eps * rng.normal(size=16)
+            rows.append((base_id + j, [float(x) for x in v], gid))
+    # 40 unrelated random vectors (near-orthogonal in 16-d w.h.p.)
+    for i in range(100, 140):
+        rows.append((i, [float(x) for x in rng.normal(size=16)], 9))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {r["vec_id"]: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert len(got) == 44
+    for base_id in (10, 20):
+        assert got[base_id]["is_dup"] and got[base_id]["keep"]  # survivor
+        assert got[base_id + 1]["is_dup"] and not got[base_id + 1]["keep"]
+        assert got[base_id]["max_cos"] >= SEMDEDUP_TAU
+        assert got[base_id]["cid"] == got[base_id + 1]["cid"]
+    assert all(got[i]["keep"] and not got[i]["is_dup"] for i in range(100, 140))
