@@ -125,11 +125,26 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 — Merkle opening paths for every entry of the per-nation
     customer table: (entry, leaf_pos, leaf_hash, path, root). Verifying
     a row = refolding leaf_hash along `path` and comparing to `root`
-    (tests/test_merkle.py does exactly that for every row)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
-    leaves = persist_tracked(
-        cust.select(
+    (tests/test_merkle.py does exactly that for every row).
+
+    The TREE (leaves + all inner levels) is a fingerprint-keyed DISK
+    ARTIFACT: a Merkle tree over a table version is precisely the
+    reference's persistent state DB (mrp2-utils/src/merkle_tree/mod.rs
+    — the tree is STORED; proofs are lookups against it, not rebuilds).
+    Built once per customer.parquet version by the log₂-round level
+    builder, then every proof query is the n·log n sibling join against
+    two parquet scans. Deterministic (sha2 over canonical order), so
+    build-then-serve equals recompute."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/customer.parquet"], op="merkle_tree_customer"
+    )
+
+    def build_leaves() -> DataFrame:
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        return cust.select(
             F.col("c_nationkey").alias("group_key"),
             F.col("c_custkey"),
             (F.row_number().over(w) - 1).alias("pos"),
@@ -138,20 +153,37 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 256,
             ).alias("node_hash"),
         )
+
+    leaves = artifacts.serve_frame(spark, "merkle_leaves_customer", fp, build_leaves)
+    nodes = artifacts.serve_frame(
+        spark,
+        "merkle_nodes_customer",
+        fp,
+        lambda: merkle_levels(
+            persist_tracked(leaves).select("group_key", "pos", "node_hash")
+        )[0],
     )
-    return merkle_opening_paths(leaves, entry_cols=["c_custkey"])
+    depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    return merkle_opening_paths(
+        leaves, entry_cols=["c_custkey"], nodes=nodes, depth=depth
+    )
 
 
 def merkle_opening_paths(
     leaves: DataFrame,
     entry_cols: list[str],
     group: str = "group_key",
+    nodes: DataFrame | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """leaves: (group, *entry_cols, pos, node_hash), pos contiguous per
     group. Returns (group, *entry_cols, leaf_pos, leaf_hash, path, root)
     with one output row for EVERY leaf — a single-leaf group's leaf IS
-    its root, emitted with an empty path (zero fold steps)."""
-    nodes, depth = merkle_levels(leaves.select(group, "pos", "node_hash"))
+    its root, emitted with an empty path (zero fold steps).
+    Pass a prebuilt (nodes, depth) — e.g. a served tree artifact — to
+    skip the level build."""
+    if nodes is None:
+        nodes, depth = merkle_levels(leaves.select(group, "pos", "node_hash"))
 
     roots = nodes.filter(F.col("level") == depth).select(
         group, F.col("node_hash").alias("root")
