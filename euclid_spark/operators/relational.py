@@ -443,6 +443,27 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B11: rollup --------------------------------------------------------------
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40 — CUBE over (region, market segment): all four grouping
+    combinations in ONE pass (Spark expands grouping sets inside the
+    aggregate — the input is scanned once and each row feeds every set,
+    vs four scans for a UNION ALL of GROUP BYs). GROUPING() ids
+    disambiguate real NULLs from subtotal rows, as the SQL spec
+    prescribes."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return j.cube("r_name", "c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+    )
+
+
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -1204,6 +1225,7 @@ QUERIES = {
     "rel_window_topn_per_group": window_topn_per_group,
     "rel_window_running_agg": window_running_agg,
     "rel_rollup_agg": rollup_agg,
+    "rel_grouping_sets": grouping_sets_agg,
     "rel_pivot_events": pivot_events,
     "rel_json_extract": json_extract,
     "rel_approx_agg": approx_agg,
@@ -1432,6 +1454,17 @@ ORACLES = {
                LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
                    AS prev_event
         FROM events
+    """,
+    "rel_grouping_sets": """
+        SELECT r_name, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_acctbal,
+               CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, c_mktsegment)
     """,
     "rel_rollup_agg": """
         SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
