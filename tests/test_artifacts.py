@@ -96,3 +96,76 @@ def test_gc_removes_superseded_and_tmp_only(spark, tmp_path, monkeypatch):
     assert names == ["idx_new.parquet", "other_fp.parquet"]
     assert len(removed) == 2
     assert artifacts.load_frame(spark, "idx", "new").count() == 2
+
+
+def test_simhash_index_artifact_equals_direct(spark, tmp_path, monkeypatch):
+    from euclid_spark.operators import dedup
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    direct = dedup.simhash_signatures(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ).collect()
+    served = dedup.simhash_index(spark, SF_SMOKE)  # builds
+    served2 = dedup.simhash_index(spark, SF_SMOKE)  # serves from disk
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct))
+    assert sorted(map(tuple, served2.collect())) == sorted(map(tuple, direct))
+
+
+def test_partsupp_artifact_equals_direct(spark, tmp_path, monkeypatch):
+    from euclid_spark.operators import relational
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    direct = relational._partsupp_build(spark, SF_SMOKE).collect()
+    served = relational._partsupp(spark, SF_SMOKE)
+    served = relational._partsupp(spark, SF_SMOKE)  # warm path
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct))
+
+
+def test_mpt_block_db_artifact_roundtrip(spark, tmp_path, monkeypatch):
+    """Build-then-serve node DB drives the walk to the same entry set as
+    the all-inline pipeline; root flags survive the artifact."""
+    from euclid_spark.cache import persist_tracked
+    from euclid_spark.operators import mpt_ingest as M
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    nodes = persist_tracked(M.synthesize_owner_tries(spark, SF_SMOKE))
+    dec = M.decode_mpt_nodes(nodes)
+    roots = nodes.filter("is_root").select("owner", "node_hash")
+    direct = sorted(
+        map(tuple, M.mpt_reassemble(dec, roots).collect())
+    )
+    served = sorted(
+        map(tuple, M.mpt_reassemble_query(spark, SF_SMOKE)
+            .select("owner", "token_id").collect())
+    )
+    direct_keys = sorted({(o, int("".join("0123456789abcdef"[n] for n in k), 16))
+                          for o, k, _ in direct})
+    assert direct_keys == served
+
+
+def test_merkle_tree_artifact_equals_inline(spark, tmp_path, monkeypatch):
+    """Proof paths from the served tree == paths from an inline build."""
+    from euclid_spark.operators import merkle as Mk
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    served = sorted(
+        map(tuple, Mk.merkle_membership_proof(spark, SF_SMOKE).collect())
+    )
+    # inline: same leaves, no artifact path
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    leaves = cust.select(
+        FF.col("c_nationkey").alias("group_key"),
+        FF.col("c_custkey"),
+        (FF.row_number().over(w) - 1).alias("pos"),
+        FF.sha2(
+            FF.concat_ws(":", FF.col("c_custkey").cast("string"), "c_name"), 256
+        ).alias("node_hash"),
+    )
+    inline = sorted(
+        map(tuple, Mk.merkle_opening_paths(leaves, ["c_custkey"]).collect())
+    )
+    assert served == inline
