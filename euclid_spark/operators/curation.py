@@ -73,10 +73,102 @@ def _oracle() -> str:
     """
 
 
+def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 — the r5 curation stages composed into the TRAINING-READY
+    layout (the C25 pattern applied to the newer operator family):
+    keep documents that
+
+      1. sit in the head or middle perplexity tercile of their
+         language (C30, CCNet),
+      2. are DSIR-selected toward the target distribution (C29), and
+      3. carry ≤ 20 % duplicated-substring material (C28, Lee et al.),
+
+    then SEQUENCE-PACK the survivors (C26): the output row per kept
+    document is its place in the packed context-window stream
+    (n_tokens, start_tok, bin range) — what a training loader consumes.
+
+    Plan shape: all three survivorship checks are LEFT SEMI joins on
+    doc_id — one shuffle key end-to-end; packing's prefix sum is the
+    two-level bucket construction (no single-reducer window); the
+    oracle composes the same stage SQL bodies as chained CTEs."""
+    from euclid_spark.operators import dedup as _dd
+
+    ppl_ok = (
+        textops.text_perplexity_buckets(spark, sf_dir)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    dsir_ok = (
+        textops.text_importance_resample(spark, sf_dir)
+        .filter("selected")
+        .select("doc_id")
+    )
+    span_ok = (
+        _dd.dedup_substring_spans(spark, sf_dir)
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(textops.TOKEN_RE), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    survivors = (
+        toks.join(ppl_ok, "doc_id", "left_semi")
+        .join(dsir_ok, "doc_id", "left_semi")
+        .join(span_ok, "doc_id", "left_semi")
+        .filter(F.col("n_tokens") > 0)
+    )
+    packed = textops.pack_stream(survivors.select("doc_id", "n_tokens"))
+    return packed.join(survivors.select("doc_id", "lang"), "doc_id")
+
+
+def _oracle_mix() -> str:
+    from euclid_spark.operators import dedup as _dd
+
+    ppl = textops.ORACLES["text_perplexity_buckets"]
+    dsir = textops.ORACLES["text_importance_resample"]
+    span = _dd.ORACLES["dedup_substring_spans"]
+    return f"""
+        WITH surv AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(len(regexp_extract_all(lower(d.text),
+                        '{textops.TOKEN_RE}')) AS BIGINT) AS n_tokens
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({ppl}) WHERE bucket <> 'tail') p
+              ON d.doc_id = p.doc_id
+            JOIN (SELECT doc_id FROM ({dsir}) WHERE selected) s
+              ON d.doc_id = s.doc_id
+            JOIN (SELECT doc_id FROM ({span}) WHERE NOT flagged) z
+              ON d.doc_id = z.doc_id
+            WHERE len(regexp_extract_all(lower(d.text),
+                      '{textops.TOKEN_RE}')) > 0
+        ),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS start_tok
+              FROM surv)
+        SELECT doc_id, lang, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(start_tok // {textops.CTX_LEN} AS BIGINT) AS bin_start,
+               CAST((start_tok + n_tokens - 1) // {textops.CTX_LEN} AS BIGINT)
+                   AS bin_end,
+               CAST(start_tok % {textops.CTX_LEN} AS BIGINT) AS bin_offset
+        FROM c
+    """
+
+
 QUERIES = {
     "curation_pipeline": curation_pipeline,
+    "curation_training_mix": curation_training_mix,
 }
 
 ORACLES = {
     "curation_pipeline": _oracle(),
+    "curation_training_mix": _oracle_mix(),
 }

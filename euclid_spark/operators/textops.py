@@ -472,6 +472,13 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
         ).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)  # empty docs add nothing to the stream
+    return pack_stream(toks)
+
+
+def pack_stream(toks: DataFrame) -> DataFrame:
+    """The packing core of C26, reusable over ANY (doc_id, n_tokens>0)
+    frame (e.g. a curated survivor set — C32): global start offsets via
+    the two-level prefix sum, then fixed-CTX_LEN bin coordinates."""
     toks = toks.withColumn(
         "bucket", F.shiftright(F.col("doc_id"), PACK_BUCKET_BITS)
     )

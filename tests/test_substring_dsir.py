@@ -171,3 +171,23 @@ def test_semdedup_planted_duplicates(spark, tmp_path, monkeypatch):
         assert got[base_id]["max_cos"] >= SEMDEDUP_TAU
         assert got[base_id]["cid"] == got[base_id + 1]["cid"]
     assert all(got[i]["keep"] and not got[i]["is_dup"] for i in range(100, 140))
+
+
+def test_training_mix_packed_stream_is_gapless(spark):
+    """C32: survivors' packed offsets form one contiguous token stream
+    in doc_id order — no gaps, no overlaps, bins consistent."""
+    from euclid_spark.operators.curation import curation_training_mix
+    from euclid_spark.operators.textops import CTX_LEN
+
+    rows = sorted(
+        curation_training_mix(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows, "smoke corpus must have survivors"
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos
+        assert r["bin_start"] == pos // CTX_LEN
+        assert r["bin_end"] == (pos + r["n_tokens"] - 1) // CTX_LEN
+        assert r["bin_offset"] == pos % CTX_LEN
+        pos += r["n_tokens"]
