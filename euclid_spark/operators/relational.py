@@ -441,6 +441,34 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_WINDOW_US = 3_600_000_000  # trailing 1 hour, in microseconds
+
+
+def window_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41 — time-RANGE window frame (vs B14's ROWS frame): per user,
+    each event's trailing-1-hour activity (count + value sum). RANGE
+    frames bound the window by the ORDER value, not row offsets — ties
+    are peers and sparse/bursty streams get their true time horizon,
+    which a ROWS frame cannot express. Ordered on epoch MICROSECONDS
+    (integer) so the frame bound is exact and engine-agnostic; the
+    frame CONTENT is a set, so the aggregate is order-independent
+    (float sum rounded, as everywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RANGE_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
 # --- B11: rollup --------------------------------------------------------------
 
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,6 +1270,7 @@ QUERIES = {
     "tpch_q22_global_sales_opportunity": q22_global_sales_opportunity,
     "rel_range_join_bucketed": range_join_bucketed,
     "rel_window_rank_stats": window_rank_stats,
+    "rel_window_time_range": window_time_range_agg,
     "tpch_q2_min_cost_supplier": q2_min_cost_supplier,
     "tpch_q9_product_type_profit": q9_product_type_profit,
     "tpch_q11_important_stock": q11_important_stock,
@@ -1454,6 +1483,15 @@ ORACLES = {
                LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
                    AS prev_event
         FROM events
+    """,
+    "rel_window_time_range": f"""
+        SELECT event_id, user_id, value,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               ROUND(SUM(value) OVER w, 2) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {RANGE_WINDOW_US} PRECEDING
+                           AND CURRENT ROW)
     """,
     "rel_grouping_sets": """
         SELECT r_name, c_mktsegment,
