@@ -65,6 +65,7 @@ HEADLINE = [
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_importance_resample",
+    "curation_training_mix",
 ]
 
 

@@ -38,3 +38,24 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC carries its schema; predicate pushdown works like parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line (`value` string) — the raw-corpus ingest shape
+    (a crawl dump of one document per line feeds the documents table)."""
+    return spark.read.text(path)
+
+
+def write_text_lines(df: DataFrame, col: str, path: str) -> None:
+    df.select(F.col(col).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

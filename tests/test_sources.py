@@ -45,3 +45,35 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted(r["n_name"] for r in back.collect()) == sorted(
         r["n_name"] for r in nat.collect()
     )
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """D23: ORC round-trip preserves rows AND pushes predicates to the
+    scan like parquet (the reference's columnar-ingest contract is
+    format-agnostic)."""
+    from euclid_spark.sources.readers import read_orc, write_orc
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    path = str(tmp_path / "cust_orc")
+    write_orc(cust, path)
+    back = read_orc(spark, path)
+    assert back.count() == cust.count()
+    filtered = back.filter(F.col("c_custkey") < 100)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_custkey" in plan
+    assert filtered.count() == cust.filter(F.col("c_custkey") < 100).count()
+
+
+def test_text_lines_roundtrip(spark, tmp_path):
+    """D23: one-doc-per-line text ingest (crawl-dump shape) survives a
+    write/read cycle with content intact."""
+    from euclid_spark.sources.readers import read_text_lines, write_text_lines
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "docs_txt")
+    write_text_lines(docs, "text", path)
+    back = read_text_lines(spark, path)
+    assert back.count() == docs.count()
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )
