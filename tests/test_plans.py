@@ -191,3 +191,66 @@ def test_temperature_sample_broadcasts_rates(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_substring_spans_no_pairwise_join(spark):
+    """C28's whole point: duplicated-window detection has NO self-join —
+    no CartesianProduct, no nested loop, and stays on the JVM."""
+    from euclid_spark.operators.dedup import dedup_substring_spans
+
+    plan = _plan(dedup_substring_spans(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan  # dup-hash membership is a semi join
+
+
+def test_dsir_bucket_lm_broadcasts(spark):
+    """C29: the fixed-size bucket log-ratio table must broadcast into
+    the per-doc scoring join (never shuffle the corpus against it)."""
+    from euclid_spark.operators.textops import text_importance_resample
+
+    df = text_importance_resample(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_cutoffs_broadcast(spark):
+    """C30: the per-lang threshold table (one row per language) must
+    broadcast; doc scores must not be re-shuffled by a global sort."""
+    from euclid_spark.operators.textops import text_perplexity_buckets
+
+    df = text_perplexity_buckets(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the one allowed SinglePartition shape is the bounded scalar-total
+    # aggregate (same as unigram_logprob's corpus total); the histogram
+    # window must stay partitioned by lang — a global-order window over
+    # the docs would read "Window ... [lang-free ORDER BY]" with an
+    # unpartitioned sort, which rangepartitioning(1 part) would betray
+    assert "rangepartitioning" not in plan.split("Window")[0]
+
+
+def test_training_mix_semi_joins_jvm_only(spark):
+    """C32: survivorship checks are semi joins on doc_id; no pairwise
+    join anywhere; everything on the JVM."""
+    from euclid_spark.operators.curation import curation_training_mix
+
+    df = curation_training_mix(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_range_window_orders_on_epoch(spark):
+    """B41 stays a single window pass on the JVM."""
+    from euclid_spark.operators.relational import window_time_range_agg
+
+    plan = _plan(window_time_range_agg(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
