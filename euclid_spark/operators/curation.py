@@ -118,7 +118,13 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    survivors = (
+    from euclid_spark.cache import persist_tracked
+
+    # the survivor set is read FOUR times downstream (pack_stream's
+    # bucket totals + its final join, plus the lang join here) — without
+    # a persist the whole three-stage screening chain re-executes per
+    # reference (measured 32 s vs 4 s at sf0.1)
+    survivors = persist_tracked(
         toks.join(ppl_ok, "doc_id", "left_semi")
         .join(dsir_ok, "doc_id", "left_semi")
         .join(span_ok, "doc_id", "left_semi")

@@ -536,7 +536,26 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (doc×bucket counts, per-doc λ sum) on keys that carry no
     skew beyond bucket load, which the hash spreads uniformly. The
     global totals are a one-row aggregate (bounded payload, same
-    pattern as text_unigram_logprob's total)."""
+    pattern as text_unigram_logprob's total).
+
+    The per-doc weight table is a fingerprint-keyed DISK ARTIFACT
+    (the served-quality-signal pattern of dedup_substring_spans):
+    deterministic, computed once per corpus version, read thin by the
+    C32 composition."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="dsir_weights",
+        b=DSIR_BUCKETS,
+        target=DSIR_TARGET_LANG,
+    )
+    return artifacts.serve_frame(
+        spark, "dsir_weights", fp, lambda: _dsir_build(spark, sf_dir)
+    )
+
+
+def _dsir_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ws = docs.select(
         "doc_id", "lang", _nonempty_words().alias("ws")
@@ -604,7 +623,21 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast cutoffs. Ties share a bucket (all docs with
     the cutoff score land on its upper side), so bucket sizes deviate
     from n/3 by at most the tie mass; the assignment depends only on a
-    doc's own score, never its global rank."""
+    doc's own score, never its global rank.
+
+    Served as a fingerprint-keyed DISK ARTIFACT like the other per-doc
+    quality-signal tables (deterministic; C32 reads it thin)."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="ppl_buckets"
+    )
+    return artifacts.serve_frame(
+        spark, "ppl_buckets", fp, lambda: _ppl_buckets_build(spark, sf_dir)
+    )
+
+
+def _ppl_buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = docs.select("doc_id", "lang", F.explode(_nonempty_words()).alias("word"))
     tot = w.agg(F.count("*").alias("total"))

@@ -195,10 +195,13 @@ def test_temperature_sample_broadcasts_rates(spark):
 
 def test_substring_spans_no_pairwise_join(spark):
     """C28's whole point: duplicated-window detection has NO self-join —
-    no CartesianProduct, no nested loop, and stays on the JVM."""
-    from euclid_spark.operators.dedup import dedup_substring_spans
+    no CartesianProduct, no nested loop, and stays on the JVM. Assert
+    on the BUILD plan (the registry query serves the artifact, whose
+    plan is just a scan)."""
+    from euclid_spark.operators.dedup import _substring_spans_build
 
-    plan = _plan(dedup_substring_spans(spark, SF_SMOKE))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(_substring_spans_build(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -207,10 +210,12 @@ def test_substring_spans_no_pairwise_join(spark):
 
 def test_dsir_bucket_lm_broadcasts(spark):
     """C29: the fixed-size bucket log-ratio table must broadcast into
-    the per-doc scoring join (never shuffle the corpus against it)."""
-    from euclid_spark.operators.textops import text_importance_resample
+    the per-doc scoring join (never shuffle the corpus against it).
+    Asserted on the BUILD plan (the registry query serves the
+    artifact)."""
+    from euclid_spark.operators.textops import _dsir_build
 
-    df = text_importance_resample(spark, SF_SMOKE)
+    df = _dsir_build(spark, SF_SMOKE)
     df.collect()  # AQE finalizes
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
@@ -220,9 +225,9 @@ def test_dsir_bucket_lm_broadcasts(spark):
 def test_perplexity_cutoffs_broadcast(spark):
     """C30: the per-lang threshold table (one row per language) must
     broadcast; doc scores must not be re-shuffled by a global sort."""
-    from euclid_spark.operators.textops import text_perplexity_buckets
+    from euclid_spark.operators.textops import _ppl_buckets_build
 
-    df = text_perplexity_buckets(spark, SF_SMOKE)
+    df = _ppl_buckets_build(spark, SF_SMOKE)
     df.collect()
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
