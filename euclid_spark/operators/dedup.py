@@ -567,7 +567,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus version on a seeded Lloyd pass); assignment is one
     broadcast-centroids scoring pass; the self-join shuffles once on
     cid. Rows-only at the gate (k-means is engine-side); semantics are
-    pinned by planted-duplicate tests (tests/test_substring_dsir.py)."""
+    pinned by planted-duplicate tests (tests/test_substring_dsir.py).
+
+    The verdict table is itself a fingerprint-keyed DISK ARTIFACT
+    (seeded Lloyd ⇒ deterministic output — same precedent as the
+    component labels): screened once per corpus version, then read
+    thin."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"],
+        op="semdedup_verdicts",
+        tau=SEMDEDUP_TAU,
+        target=SEMDEDUP_TARGET_CLUSTER,
+        seed=42,
+    )
+    return artifacts.serve_frame(
+        spark, "semdedup_verdicts", fp, lambda: _semdedup_build(spark, sf_dir)
+    )
+
+
+def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark import artifacts
     from euclid_spark.functions.vectors import cosine
     from euclid_spark.operators.similarity import (
