@@ -683,6 +683,39 @@ def _ppl_buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 5  # n-gram order
+NGRAM_MIN_COUNT = 2  # emit repeated n-grams (prune the singleton tail)
+
+
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 — the corpus N-GRAM COUNT TABLE (the n-gram-LM / infini-gram
+    / contamination-index build: count every 5-gram occurrence across
+    the corpus, keep those at or above a min-count threshold — the
+    standard Google-n-grams-style pruning that bounds the table).
+    Occurrences, not per-doc distinct: a doc repeating a 5-gram
+    contributes each repetition, plus a distinct-doc count for df-style
+    consumers.
+
+    Scale shape: ONE map-side-combinable aggregate on the n-gram key —
+    no join anywhere, so a viral hot n-gram is just a heavy reduce key
+    with partial aggregation already done map-side (the shape that
+    absorbs Zipf skew by construction). The threshold prunes the long
+    tail BEFORE any consumer join."""
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", words("text").alias("ws"))
+    grams = ws.select(
+        "doc_id", F.explode(shingles(F.col("ws"), k=NGRAM_N)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= NGRAM_MIN_COUNT)
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_stratified_sample": text_stratified_sample,
@@ -698,6 +731,7 @@ QUERIES = {
     "text_temperature_sample": text_temperature_sample,
     "text_importance_resample": text_importance_resample,
     "text_perplexity_buckets": text_perplexity_buckets,
+    "text_ngram_counts": text_ngram_counts,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -982,4 +1016,23 @@ ORACLES["text_perplexity_buckets"] = f"""
                 WHEN d.avg_logprob >= t2.t2 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM doc d JOIN t1 USING (lang) JOIN t2 USING (lang)
+"""
+
+# text_ngram_counts oracle: same shingle expression (1-indexed list
+# slices), occurrence counts (no DISTINCT) + distinct-doc counts,
+# min-count pruning.
+ORACLES["text_ngram_counts"] = f"""
+    WITH w AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                   'g')), ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) - {NGRAM_N - 2}),
+                        i -> list_aggregate(ws[i:i+{NGRAM_N - 1}],
+                                            'string_agg', ' '))) AS ngram
+          FROM w WHERE len(ws) >= {NGRAM_N})
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY ngram
+    HAVING COUNT(*) >= {NGRAM_MIN_COUNT}
 """

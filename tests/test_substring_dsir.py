@@ -191,3 +191,22 @@ def test_training_mix_packed_stream_is_gapless(spark):
         assert r["bin_end"] == (pos + r["n_tokens"] - 1) // CTX_LEN
         assert r["bin_offset"] == pos % CTX_LEN
         pos += r["n_tokens"]
+
+
+def test_ngram_counts_occurrences_vs_docs(spark, tmp_path, monkeypatch):
+    """C33: within-doc repetition raises n_occurrences but not n_docs;
+    singletons are pruned."""
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "arts"))
+    from euclid_spark.operators.textops import text_ngram_counts
+
+    run = "a b c d e"
+    rows = [
+        (1, f"{run} {run}"),     # the 5-gram "a b c d e" twice in doc 1
+        (2, run),                # once in doc 2
+        (3, "v w x y z"),        # singleton 5-gram → pruned
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {r["ngram"]: r for r in text_ngram_counts(spark, str(tmp_path)).collect()}
+    assert got["a b c d e"]["n_occurrences"] == 3
+    assert got["a b c d e"]["n_docs"] == 2
+    assert "v w x y z" not in got
