@@ -210,3 +210,50 @@ def test_ngram_counts_occurrences_vs_docs(spark, tmp_path, monkeypatch):
     assert got["a b c d e"]["n_occurrences"] == 3
     assert got["a b c d e"]["n_docs"] == 2
     assert "v w x y z" not in got
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_substring_spans_match_python_reference(spark, tmp_path, monkeypatch, seed):
+    """C28 vs a brute-force Python reference on random corpora with
+    planted shared runs: window hashing, cross-doc dup detection, and
+    interval-union coverage all agree exactly."""
+    import random
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "arts"))
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → natural collisions
+    shared = [f"s{seed}{j}" for j in range(rng.randint(8, 14))]
+    docs = {}
+    for d in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        if rng.random() < 0.5:  # plant the shared run at a random offset
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        docs[d] = toks
+    _write_docs(spark, str(tmp_path), [(d, " ".join(t)) for d, t in docs.items()])
+
+    # brute-force reference
+    W = SPAN_W
+    owner = {}
+    for d, toks in docs.items():
+        for p in range(len(toks) - W + 1):
+            owner.setdefault(tuple(toks[p : p + W]), set()).add(d)
+    expect = {}
+    for d, toks in docs.items():
+        marked = [
+            p for p in range(len(toks) - W + 1)
+            if len(owner[tuple(toks[p : p + W])]) >= 2
+        ]
+        covered = set()
+        for p in marked:
+            covered.update(range(p, p + W))
+        expect[d] = (len(toks), max(0, len(toks) - W + 1), len(marked), len(covered))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_windows"], r["n_dup_windows"], r["dup_tokens"])
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
