@@ -11,6 +11,16 @@ from euclid_spark.operators.dedup import (
 from euclid_spark.operators.textops import text_importance_resample
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _isolated_artifacts(tmp_path, monkeypatch):
+    """These tests write tiny throwaway corpora; their quality-signal
+    artifacts must not accumulate in the repo store."""
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+
+
 def _write_docs(spark, path, rows, schema="doc_id long, text string"):
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
         f"{path}/documents.parquet"
@@ -212,7 +222,6 @@ def test_ngram_counts_occurrences_vs_docs(spark, tmp_path, monkeypatch):
     assert "v w x y z" not in got
 
 
-import pytest
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
