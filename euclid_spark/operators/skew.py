@@ -85,3 +85,40 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("int"))
     joined = big_s.join(small_r, on=[key, "_salt"], how="inner")
     return joined.drop("_salt")
+
+
+def skew_salted_user_agg(spark, sf_dir: str) -> DataFrame:
+    """B42 / D8's query face (the rel_bloom_join_prune precedent): the
+    per-user event rollup through the TWO-PHASE salted aggregation.
+    Salting is result-invariant — partials per (user, salt) re-fold to
+    exactly the plain GROUP BY — so the oracle is the plain rollup,
+    while the PLAN spreads any whale user's rows over DEFAULT_SALTS
+    reducers (the aggregation-skew remedy AQE does not provide)."""
+    from euclid_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    return salted_agg(
+        ev,
+        keys=["user_id"],
+        partial_aggs=[
+            F.count("*").alias("c"),
+            F.sum("value").alias("s"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("total_value"),
+        ],
+    )
+
+
+QUERIES = {
+    "rel_skew_salted_agg": skew_salted_user_agg,
+}
+
+ORACLES = {
+    "rel_skew_salted_agg": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+}

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from euclid_spark.operators import (
     components,
+    skew,
     curation,
     dedup,
     euclid,
@@ -36,6 +37,7 @@ _MODULES = [
     merkle,
     curation,
     preprocessing,
+    skew,
 ]
 
 def _with_session_confs(
