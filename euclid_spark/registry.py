@@ -10,6 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     components,
     skew,
@@ -38,6 +39,7 @@ _MODULES = [
     curation,
     preprocessing,
     skew,
+    faces,
 ]
 
 def _with_session_confs(

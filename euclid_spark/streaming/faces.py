@@ -1,0 +1,460 @@
+"""Registry faces for the streaming twins (SURVEY.md §2.D25 / r6).
+
+The incremental structures (D15-D24) were until now verified only by
+pytest: the driver's DuckDB gate runs `queries()` entries, and a
+streaming sink is not a DataFrame expression. These faces close that
+gap: each one REALLY RUNS the Structured Streaming sink — the input
+table split into adversarial micro-batches (hash-split, NOT
+time-ordered, so late/out-of-order data exercises the merge), a real
+file-source stream with `maxFilesPerTrigger=1`, a real checkpoint —
+and returns the FINAL MAINTAINED STATE as a DataFrame. Because every
+maintained structure is designed so that incremental == batch (the
+IVC property of the reference's block DB, mr-plonky2-circuits/src/
+block/mod.rs: proof_{n+1} = step(proof_n, block_{n+1}) must equal the
+from-scratch proof), the batch SQL is a valid oracle for the streamed
+result — the driver's gate now checks the streaming engine itself.
+
+Faces:
+
+- `stream_ivm_view`       — D19 maintained (user, day) count/sum/digest
+                            view.  Oracle: the plain GROUP BY.  Sums are
+                            DECIMAL so partial-merge order cannot drift
+                            a float at a rounding boundary.
+- `stream_state_rollup`   — D19 with the A7 argmax-by-event-id monoid
+                            (the reference's account-state DB).
+                            Oracle: A7's max_by SQL.
+- `stream_block_db_chain` — D5's IncrementalDigest chain commitment
+                            (the IVC step function itself). Oracle: the
+                            whole-table digest — chain ≡ batch because
+                            the fold is associative+commutative.
+- `stream_dedup_pairs`    — D21 incremental MinHash/LSH index: the
+                            append-only pair ledger after ingesting the
+                            corpus in 3 adversarial batches.  Oracle:
+                            C2's batch LSH pair SQL (the induction
+                            argument in streaming/dedup_stream.py is
+                            what makes this a theorem, the gate makes
+                            it a checked theorem).
+- `stream_curation_kept`  — D22 streaming curation pipeline: the
+                            maintained curated set (kept ∖ revoked).
+                            Oracle: the C25 composition with the
+                            keep-list computed over the LSH candidate
+                            pair closure (the pair set D21 maintains),
+                            as a recursive CTE.
+
+Cost model: a face pays the full streaming run ONCE per corpus version
+— the final state is a fingerprint-keyed disk artifact
+(euclid_spark/artifacts.py), so sweeps and repeated runs serve a plain
+parquet scan. That mirrors production: the stream runs continuously,
+queries read its committed output.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark import artifacts
+from euclid_spark.functions.hashing import DIGEST_PRIME, MIX, digest_agg, digest_term
+
+N_SPLITS = 3
+
+
+def _serve_streamed(
+    spark: SparkSession,
+    name: str,
+    fp: str,
+    build: "Callable[[str], DataFrame]",
+) -> DataFrame:
+    """serve_frame with a scratch dir: `build(tmp)` may use `tmp` for
+    the feed files / checkpoint / view; the directory is removed once
+    the result is committed to the artifact store."""
+    cached = artifacts.load_frame(spark, name, fp)
+    if cached is not None:
+        return cached
+    tmp = tempfile.mkdtemp(prefix=f"euclid_{name}_")
+    try:
+        artifacts.save_frame(build(tmp), name, fp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = artifacts.load_frame(spark, name, fp)
+    assert out is not None
+    return out
+
+
+def _write_splits(df: DataFrame, feed_dir: str, key: str) -> None:
+    """Split `df` into N_SPLITS parquet files by hash of `key` — a
+    deterministic, deliberately NOT time-ordered partition of the
+    input, so each micro-batch carries rows from the whole time range
+    (the adversarial order the monoid merges must tolerate)."""
+    os.makedirs(feed_dir, exist_ok=True)
+    pdf = df.toPandas()
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "M":  # stored events schema is µs
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    for i in range(N_SPLITS):
+        pdf[pdf[key] % N_SPLITS == i].to_parquet(
+            os.path.join(feed_dir, f"b{i}.parquet"), index=False
+        )
+
+
+def _run_stream(q, sink, n_expected: int) -> None:
+    q.awaitTermination(600)
+    if sink.last_batch_id < n_expected - 1:
+        raise RuntimeError(
+            f"stream face: only {sink.last_batch_id + 1}/{n_expected} "
+            "micro-batches applied before timeout"
+        )
+
+
+# ---------------------------------------------------------------- D19 faces
+
+def _dec_partial(events: DataFrame) -> DataFrame:
+    """The D19 count/sum/digest partials with DECIMAL value sums:
+    decimal addition is exact, so the streamed merge tree and the
+    one-pass batch oracle agree bit-for-bit (a double sum could drift
+    at a round-off boundary depending on merge order — the q15 hazard)."""
+    term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_value"),
+            digest_agg(term).alias("digest"),
+        )
+    )
+
+
+def _dec_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("decimal(18,6)").alias("total_value"),
+            (F.sum("digest") % F.lit(DIGEST_PRIME)).cast("long").alias("digest"),
+        )
+    )
+
+
+def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face — the maintained (user, day) view after streaming the
+    events table through the IVM sink in N_SPLITS adversarial batches."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_ivm_view", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_dec_partial,
+            merge_fn=_dec_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, N_SPLITS)
+        return sink.view(spark).select(
+            "user_id",
+            "day",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+            "digest",
+        )
+
+    return _serve_streamed(spark, "stream_ivm_view", fp, build)
+
+
+def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the A7 argmax-by-event-id monoid: the maintained
+    per-(account, day) latest-state snapshot — the reference's state DB
+    (state/lpn/) fed incrementally, compared against the batch rollup."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import (
+        MaintainedAggregate,
+        _rollup_merge,
+        _rollup_partial,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_state_rollup", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_rollup_partial,
+            merge_fn=_rollup_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, N_SPLITS)
+        return sink.view(spark).select(
+            "user_id", "day", "last_value", "last_event_id", "n_events"
+        )
+
+    return _serve_streamed(spark, "stream_state_rollup", fp, build)
+
+
+def stream_block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 face — the IncrementalDigest chain commitment after folding
+    the corpus in N_SPLITS micro-batches: the IVC step function itself
+    (block/mod.rs). chain = Σ batch_digest ≡ batch digest of the whole
+    table (mod P), because the fold is associative and commutative."""
+    from euclid_spark.streaming.block_db import read_event_stream, run_digest_chain
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_block_db_chain", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        q, sink = run_digest_chain(
+            read_event_stream(spark, feed), os.path.join(tmp, "ck")
+        )
+        _run_stream(q, sink, N_SPLITS)
+        return spark.createDataFrame(
+            [(sink.chain, sink.n_rows)], "chain_digest long, n_rows long"
+        )
+
+    return _serve_streamed(spark, "stream_block_db_chain", fp, build)
+
+
+# ---------------------------------------------------------------- D21 face
+
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21 face — the candidate-pair ledger of the incremental
+    MinHash/LSH index after ingesting the documents table in N_SPLITS
+    batches. Equals C2's batch pair set by the induction argument
+    (every pair is found when its younger member arrives); the oracle
+    is C2's SQL, so the gate verifies the induction on real data."""
+    from euclid_spark.operators import dedup as _d
+    from euclid_spark.streaming.dedup_stream import (
+        read_document_stream,
+        run_incremental_dedup,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="stream_dedup_pairs",
+        n=N_SPLITS,
+        n_hashes=_d.N_HASHES,
+        band=_d.BAND_SIZE,
+        cap=_d.MAX_BUCKET,
+        v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        _write_splits(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            feed,
+            "doc_id",
+        )
+        q, sink = run_incremental_dedup(
+            read_document_stream(spark, feed), os.path.join(tmp, "state")
+        )
+        _run_stream(q, sink, N_SPLITS)
+        return sink.pairs()
+
+    return _serve_streamed(spark, "stream_dedup_pairs", fp, build)
+
+
+# ---------------------------------------------------------------- D22 face
+
+def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22 face — the maintained curated training set (kept ∖ revoked)
+    after streaming the corpus through the curation sink. The dedup
+    stage is D21's LSH-candidate component labeling (revocation ledger),
+    so the oracle composes sample/repetition/contamination with the
+    recursive-CTE closure over the LSH pair set."""
+    from euclid_spark.operators import dedup as _d
+    from euclid_spark.operators.textops import BENCH_SOURCES, benchmark_shingles
+    from euclid_spark.streaming.curation_stream import run_streaming_curation
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="stream_curation_kept",
+        n=N_SPLITS,
+        n_hashes=_d.N_HASHES,
+        band=_d.BAND_SIZE,
+        cap=_d.MAX_BUCKET,
+        v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feed = os.path.join(tmp, "feed")
+        _write_splits(
+            docs.select("doc_id", "text", "lang", "source"), feed, "doc_id"
+        )
+        # the STATIC held-out benchmark index (the streaming contract:
+        # the eval suite is fixed up front) — same set the batch
+        # operator derives from the corpus's bench sources
+        bench = benchmark_shingles(
+            docs.filter(F.col("source").isin(*BENCH_SOURCES))
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, sink = run_streaming_curation(stream, os.path.join(tmp, "state"), bench)
+        _run_stream(q, sink, N_SPLITS)
+        return sink.kept()
+
+    return _serve_streamed(spark, "stream_curation_kept", fp, build)
+
+
+# ---------------------------------------------------------------- oracles
+
+# The streamed view sums DECIMAL(18,6); mirrored exactly.
+_IVM_SQL = f"""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM((event_id * {MIX} + user_id * 97) % {DIGEST_PRIME})
+                % {DIGEST_PRIME} AS BIGINT) AS digest
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+_ROLLUP_SQL = """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           max_by(value, event_id) AS last_value,
+           MAX(event_id) AS last_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+_CHAIN_SQL = f"""
+    SELECT CAST(SUM((event_id * {MIX} + user_id * 97) % {DIGEST_PRIME})
+                % {DIGEST_PRIME} AS BIGINT) AS chain_digest,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+"""
+
+
+def _lsh_closure_ctes() -> str:
+    """LSH candidate pairs (C2's oracle CTE chain) → symmetrized edges
+    → transitive closure → min-label components: the pair universe the
+    incremental index maintains, as recursive SQL."""
+    from euclid_spark.operators.dedup import (
+        MAX_BUCKET,
+        _BAND_SELECTS,
+        _SH,
+        _SIG_COLS,
+    )
+
+    return f"""
+        {_SH},
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        bands AS ({_BAND_SELECTS}),
+        guarded AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+            FROM bands
+        ),
+        lsh_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM guarded a JOIN guarded b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            WHERE a.bucket_n <= {MAX_BUCKET} AND b.bucket_n <= {MAX_BUCKET}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+            UNION SELECT doc_b, doc_a FROM lsh_pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+    """
+
+
+def _dedup_pairs_sql() -> str:
+    from euclid_spark.operators.dedup import ORACLES as _DO
+
+    return _DO["dedup_minhash_lsh"]
+
+
+def _curation_kept_sql() -> str:
+    from euclid_spark.operators.textops import BENCH_SOURCES, ORACLES as _TO
+
+    samp = _TO["text_stratified_sample"]
+    rep = _TO["text_repetition_filter"]
+    contam = _TO["text_benchmark_overlap"]
+    bench = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+    return f"""
+        WITH RECURSIVE
+        {_lsh_closure_ctes()}
+        SELECT s.doc_id, s.lang, s.source, s.bucket_hex
+        FROM ({samp}) s
+        JOIN (SELECT doc_id FROM ({rep}) WHERE keep) r ON s.doc_id = r.doc_id
+        LEFT JOIN (SELECT doc_id FROM ({contam}) WHERE contaminated) c
+               ON s.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL
+          AND s.source NOT IN ({bench})
+          AND s.doc_id NOT IN (
+              SELECT doc_id FROM comp WHERE doc_id <> component
+          )
+    """
+
+
+QUERIES = {
+    "stream_ivm_view": stream_ivm_view,
+    "stream_state_rollup": stream_state_rollup,
+    "stream_block_db_chain": stream_block_db_chain,
+    "stream_dedup_pairs": stream_dedup_pairs,
+    "stream_curation_kept": stream_curation_kept,
+}
+
+ORACLES = {
+    "stream_ivm_view": _IVM_SQL,
+    "stream_state_rollup": _ROLLUP_SQL,
+    "stream_block_db_chain": _CHAIN_SQL,
+    "stream_dedup_pairs": _dedup_pairs_sql(),
+    "stream_curation_kept": _curation_kept_sql(),
+}
