@@ -716,8 +716,80 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- C34: BM25
+# Okapi BM25 (Robertson & Walker 1994; the Lucene/Elasticsearch default
+# scoring function) — the retrieval scorer a training-data pipeline uses
+# for benchmark-decontamination sweeps, deduplication triage, and
+# RAG-corpus indexing.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "vector", "stream", "window")  # fixed query, the
+# watchlist pattern: a query is scale-invariant config, not data
+BM25_TOPK = 50
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 — BM25 top-k document ranking for a fixed query term set.
+
+    Scale shape (the reason BM25 fits a 100 TB corpus in ONE pass):
+    per-doc term frequencies and length come from row-local array
+    filters over the words array — no explode, no per-token shuffle.
+    The corpus-level statistics BM25 needs (N, avgdl, per-term df) are
+    ONE map-side-combinable scalar aggregate producing a single row,
+    broadcast back; scoring is then pure arithmetic per row and the
+    top-k is TakeOrderedAndProject (no global sort). Zero wide
+    exchanges over the corpus anywhere.
+
+    Determinism: the per-doc score sums its |Q| term contributions in
+    fixed expression order (it is a column expression, not an
+    aggregation), so Spark and DuckDB compute bit-identical doubles up
+    to libm's ln; scores are rounded before the ORDER BY so the top-k
+    cutoff set is engine-independent, ties broken by doc_id."""
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", _nonempty_words().alias("ws"))
+    def _tf(term: str) -> F.Column:
+        # nb: the F.filter lambda must take exactly ONE arg — a second
+        # (even a defaulted one) is interpreted as the element index
+        return F.size(F.filter(F.col("ws"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_QUERY)]
+    d = ws.select("doc_id", F.size("ws").alias("dl"), *tf_cols)
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = d.join(F.broadcast(stats))
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    score = None
+    for i in range(len(BM25_QUERY)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * (
+            (tf * F.lit(BM25_K1 + 1.0)) / (tf + F.lit(BM25_K1) * norm)
+        )
+        score = part if score is None else score + part
+    any_tf = reduce(
+        lambda a, b: a + b,
+        [F.col(f"tf_{i}") for i in range(len(BM25_QUERY))],
+    )
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
+    "text_bm25_topk": text_bm25_topk,
     "text_stratified_sample": text_stratified_sample,
     "text_benchmark_overlap": text_benchmark_overlap,
     "text_token_count": text_token_count,
@@ -1035,4 +1107,35 @@ ORACLES["text_ngram_counts"] = f"""
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM g GROUP BY ngram
     HAVING COUNT(*) >= {NGRAM_MIN_COUNT}
+"""
+
+_BM25_TF_COLS = ", ".join(
+    f"len(list_filter(ws, w -> w = '{t}')) AS tf_{i}"
+    for i, t in enumerate(BM25_QUERY)
+)
+_BM25_DF_COLS = ", ".join(
+    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(BM25_QUERY))
+)
+# expression grouping mirrors the Spark column tree exactly — doubles
+# must agree bit-for-bit up to libm's ln before the ROUND(…, 6)
+_BM25_SCORE = " + ".join(
+    f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+    f" * ((tf_{i} * {BM25_K1 + 1.0!r})"
+    f" / (tf_{i} + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / avgdl)))"
+    for i in range(len(BM25_QUERY))
+)
+_BM25_ANY = " + ".join(f"tf_{i}" for i in range(len(BM25_QUERY)))
+
+ORACLES["text_bm25_topk"] = f"""
+    WITH ws AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    d AS (SELECT doc_id, len(ws) AS dl, {_BM25_TF_COLS} FROM ws),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl,
+                  {_BM25_DF_COLS}
+           FROM d)
+    SELECT doc_id, ROUND({_BM25_SCORE}, 6) AS bm25_score
+    FROM d, st
+    WHERE {_BM25_ANY} > 0
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {BM25_TOPK}
 """

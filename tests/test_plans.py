@@ -259,3 +259,16 @@ def test_time_range_window_orders_on_epoch(spark):
     plan = _plan(window_time_range_agg(spark, SF_SMOKE))
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_no_corpus_shuffle(spark):
+    """C34: the only exchange may carry the ONE-ROW stats aggregate —
+    scoring is row-local and the top-k is TakeOrderedAndProject, so no
+    corpus-wide shuffle or sort exists anywhere in the plan."""
+    plan = _plan(textops.text_bm25_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exchanges: exactly the scalar-stats aggregate (+ its broadcast)
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 1, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
