@@ -344,6 +344,47 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_curation_kept", fp, build)
 
 
+# ---------------------------------------------------------------- D24 face
+
+def stream_substring_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D24 face — the incremental substring-span index's verdict table
+    after ingesting the corpus in N_SPLITS batches. The index re-scores
+    RETROACTIVELY (an old doc's verdict flips when its first duplicate
+    arrives later), so the final table equals batch C28 — the oracle is
+    C28's SQL, making the retroactive re-scoring gate-checked."""
+    from euclid_spark.operators import dedup as _d
+    from euclid_spark.streaming.spans_stream import run_incremental_spans
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="stream_substring_verdicts",
+        n=N_SPLITS,
+        w=_d.SPAN_W,
+        frac=_d.SPAN_DUP_FRAC,
+        v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        _write_splits(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            feed,
+            "doc_id",
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, sink = run_incremental_spans(stream, os.path.join(tmp, "state"))
+        _run_stream(q, sink, N_SPLITS)
+        return sink.verdicts()
+
+    return _serve_streamed(spark, "stream_substring_verdicts", fp, build)
+
+
 # ---------------------------------------------------------------- oracles
 
 # The streamed view sums DECIMAL(18,6); mirrored exactly.
@@ -443,12 +484,19 @@ def _curation_kept_sql() -> str:
     """
 
 
+def _spans_sql() -> str:
+    from euclid_spark.operators.dedup import ORACLES as _DO
+
+    return _DO["dedup_substring_spans"]
+
+
 QUERIES = {
     "stream_ivm_view": stream_ivm_view,
     "stream_state_rollup": stream_state_rollup,
     "stream_block_db_chain": stream_block_db_chain,
     "stream_dedup_pairs": stream_dedup_pairs,
     "stream_curation_kept": stream_curation_kept,
+    "stream_substring_verdicts": stream_substring_verdicts,
 }
 
 ORACLES = {
@@ -457,4 +505,5 @@ ORACLES = {
     "stream_block_db_chain": _CHAIN_SQL,
     "stream_dedup_pairs": _dedup_pairs_sql(),
     "stream_curation_kept": _curation_kept_sql(),
+    "stream_substring_verdicts": _spans_sql(),
 }
