@@ -787,9 +787,62 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ C35: data card
+def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35 — the per-(source, lang) CORPUS DATA CARD: the statistics
+    report every released training corpus ships (public practice:
+    Datasheets for Datasets, Gebru et al. 2018; the Pile/Dolma data
+    cards) — volume, token counts, exact median length, quality,
+    exact-duplicate rate, PII incidence, repetition-rule failures, all
+    per stratum in one table.
+
+    Composition (the C25/C32 pattern applied to profiling): the
+    row-local signal stages (C7 tokens, C8 quality, C18 PII) join the
+    corpus on doc_id — one shuffle key — plus the exact-dup count on
+    the normalized-md5 key (C1's shape); the final rollup is ONE
+    (source, lang) hash aggregate. Exact median via `percentile`
+    (interpolating — matches DuckDB quantile_cont, the B25 parity)."""
+    from euclid_spark.functions.text import normalized_text
+
+    docs = _docs(spark, sf_dir)
+    tok = text_token_count(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    qual = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    rep = text_repetition_filter(spark, sf_dir).select("doc_id", "keep")
+    pii = text_pii_redact(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_idrun") > 0).alias(
+            "has_pii"
+        ),
+    )
+    md = docs.select("doc_id", F.md5(normalized_text("text")).alias("m"))
+    mc = md.groupBy("m").agg(F.count("*").alias("copies"))
+    dup = md.join(mc, "m").select("doc_id", (F.col("copies") > 1).alias("is_dup"))
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(tok, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .join(dup, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("total_tokens"),
+            F.round(F.expr("percentile(n_ws_tokens, 0.5)"), 4).alias(
+                "median_tokens"
+            ),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_exact_dup"),
+            F.sum(F.col("has_pii").cast("long")).alias("n_pii_docs"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_rep_flagged"),
+        )
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_bm25_topk": text_bm25_topk,
+    "text_data_card": text_data_card,
     "text_stratified_sample": text_stratified_sample,
     "text_benchmark_overlap": text_benchmark_overlap,
     "text_token_count": text_token_count,
@@ -1138,4 +1191,35 @@ ORACLES["text_bm25_topk"] = f"""
     WHERE {_BM25_ANY} > 0
     ORDER BY bm25_score DESC, doc_id
     LIMIT {BM25_TOPK}
+"""
+
+# C35: composes the stage oracle bodies (the C25 pattern for profiling).
+ORACLES["text_data_card"] = f"""
+    WITH tok AS ({ORACLES["text_token_count"]}),
+    qual AS ({ORACLES["text_quality_score"]}),
+    rep AS ({ORACLES["text_repetition_filter"]}),
+    pii AS ({ORACLES["text_pii_redact"]}),
+    md AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS m
+           FROM documents),
+    mc AS (SELECT m, COUNT(*) AS copies FROM md GROUP BY m)
+    SELECT d.source, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok.n_ws_tokens) AS BIGINT) AS total_tokens,
+           ROUND(quantile_cont(tok.n_ws_tokens, 0.5), 4) AS median_tokens,
+           ROUND(AVG(qual.quality), 6) AS mean_quality,
+           CAST(SUM(CASE WHEN mc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(SUM(CASE WHEN pii.n_email + pii.n_ipv4 + pii.n_idrun > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           CAST(SUM(CASE WHEN rep.keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_rep_flagged
+    FROM documents d
+    JOIN tok  ON tok.doc_id = d.doc_id
+    JOIN qual ON qual.doc_id = d.doc_id
+    JOIN rep  ON rep.doc_id = d.doc_id
+    JOIN pii  ON pii.doc_id = d.doc_id
+    JOIN md   ON md.doc_id = d.doc_id
+    JOIN mc   ON mc.m = md.m
+    GROUP BY d.source, d.lang
 """
