@@ -839,10 +839,57 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- C36: RAG chunking
+CHUNK_LEN = 64   # tokens per passage
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive passages
+
+
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36 — OVERLAPPING PASSAGE CHUNKING, the corpus→passage-table
+    step of every retrieval/RAG index build (fixed-size windows with
+    overlap so no answer span is cut at a boundary — the standard
+    LangChain/DPR-style splitter, public practice): each document's
+    token stream becomes windows of CHUNK_LEN tokens starting every
+    CHUNK_STRIDE tokens (every start < n_tokens; the tail window is
+    shorter). Emits (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_md5) — the row a downstream embedder consumes.
+
+    Scale shape: entirely row-local — the starts array, the slices and
+    their md5s are computed INSIDE one higher-order transform before a
+    single posexplode, so nothing wider than the output rows ever
+    shuffles (and the output needs no shuffle at all: zero exchanges)."""
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", _nonempty_words().alias("ws"))
+    n = F.size("ws")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.least(F.lit(CHUNK_LEN), n - s).alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice(F.col("ws"), s + 1, CHUNK_LEN), " ")
+            ).alias("chunk_md5"),
+        ),
+    )
+    return ws.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.start_tok").cast("int").alias("start_tok"),
+        F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.col("c.chunk_md5").alias("chunk_md5"),
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_bm25_topk": text_bm25_topk,
     "text_data_card": text_data_card,
+    "text_rag_chunks": text_rag_chunks,
     "text_stratified_sample": text_stratified_sample,
     "text_benchmark_overlap": text_benchmark_overlap,
     "text_token_count": text_token_count,
@@ -1222,4 +1269,20 @@ ORACLES["text_data_card"] = f"""
     JOIN md   ON md.doc_id = d.doc_id
     JOIN mc   ON mc.m = md.m
     GROUP BY d.source, d.lang
+"""
+
+# C36: DuckDB range() excludes the stop, lists are 1-indexed inclusive
+# slices — both mirrored to the Spark sequence/slice semantics.
+ORACLES["text_rag_chunks"] = f"""
+    WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    s AS (SELECT doc_id, len(ws) AS n, ws,
+                 unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start_tok
+          FROM w WHERE len(ws) > 0)
+    SELECT doc_id,
+           CAST(start_tok / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(LEAST({CHUNK_LEN}, n - start_tok) AS INT) AS n_chunk_tokens,
+           md5(list_aggregate(ws[start_tok + 1 : start_tok + {CHUNK_LEN}],
+                              'string_agg', ' ')) AS chunk_md5
+    FROM s
 """
