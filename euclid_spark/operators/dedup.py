@@ -649,8 +649,84 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37 — MinHash SKETCH CALIBRATION: for every LSH candidate pair,
+    the sketch's Jaccard estimate (matching signature components / k —
+    the unbiased MinHash estimator, Broder 1997) next to the EXACT
+    Jaccard over the same uncapped shingle universe the signatures were
+    built from, plus the absolute error. This is the accuracy audit a
+    production dedup pipeline runs to pick k and the LSH band shape —
+    threshold tuning against ground truth on the candidate set, which
+    is small by construction (the only place exact Jaccard is
+    affordable at corpus scale).
+
+    Scale shape: signatures served from the artifact index; the exact
+    side restricts the inverted-index join to candidate-pair members
+    first (left-semi on doc_id), so its cost scales with the candidate
+    set, not the corpus."""
+    pairs = persist_tracked(dedup_minhash_lsh(spark, sf_dir))
+    sigs = signature_index(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    est = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+            for s in range(N_HASHES)
+        ],
+    ) / F.lit(float(N_HASHES))
+
+    members = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionByName(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    sh = persist_tracked(
+        doc_shingles(_docs(spark, sf_dir)).join(members, "doc_id", "left_semi")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .join(inter, ["doc_a", "doc_b"])
+        .join(sizes.selectExpr("doc_id AS doc_a", "n_sh AS na"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n_sh AS nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(jac, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - F.round(jac, 4)), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -854,4 +930,47 @@ ORACLES["dedup_simhash"] = f"""
      AND a.doc_id < b.doc_id
     WHERE a.bucket_n <= {MAX_CHUNK_BUCKET} AND b.bucket_n <= {MAX_CHUNK_BUCKET}
       AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+# C37: estimate from the signature CTEs, exact from the uncapped shingle
+# universe the signatures summarize, restricted to the candidate pairs.
+_EST_SUM = " + ".join(
+    f"CASE WHEN sa.sig{s} = sb.sig{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
+)
+ORACLES["dedup_minhash_estimate"] = f"""
+    WITH {_SH},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    guarded AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+        FROM bands
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM guarded a JOIN guarded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= {MAX_BUCKET} AND b.bucket_n <= {MAX_BUCKET}
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               ROUND(({_EST_SUM}) / {float(N_HASHES)!r}, 4) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           ROUND(i.i / (za.n_sh + zb.n_sh - i.i), 4) AS exact_jaccard,
+           ROUND(ABS(e.est_jaccard
+                     - ROUND(i.i / (za.n_sh + zb.n_sh - i.i), 4)), 4) AS abs_err
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sz za ON za.doc_id = e.doc_a
+    JOIN sz zb ON zb.doc_id = e.doc_b
 """
