@@ -385,6 +385,48 @@ def stream_substring_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_substring_verdicts", fp, build)
 
 
+# ---------------------------------------------------------------- D15 face
+
+def stream_mpt_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 face — the incremental MPT reassembly's entries store after
+    the raw trie nodes arrive in N_SPLITS batches in HASH order (parents
+    and children scattered across batches, cursors parking on missing
+    nodes). Equals batch A16 once every node has arrived, so A16's
+    original-derivation SQL is the oracle — the park/resume walk is
+    gate-checked."""
+    from euclid_spark.operators.mpt_ingest import synthesize_owner_tries
+    from euclid_spark.streaming.mpt_stream import (
+        read_node_stream,
+        run_incremental_mpt,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_mpt_entries", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed, exist_ok=True)
+        nodes = synthesize_owner_tries(spark, sf_dir).toPandas()
+        # deterministic order that ignores tree structure: a child can
+        # arrive batches before its parent and vice versa
+        nodes = nodes.sort_values("node_hash", ignore_index=True)
+        per = (len(nodes) + N_SPLITS - 1) // N_SPLITS
+        for i in range(N_SPLITS):
+            part = nodes.iloc[i * per : (i + 1) * per]
+            if len(part):
+                part.to_parquet(os.path.join(feed, f"b{i}.parquet"), index=False)
+        q, sink = run_incremental_mpt(
+            read_node_stream(spark, feed), os.path.join(tmp, "state")
+        )
+        _run_stream(q, sink, N_SPLITS)
+        if not sink.pending().isEmpty():
+            raise RuntimeError("stream_mpt_entries: cursors still parked")
+        return sink.entries()
+
+    return _serve_streamed(spark, "stream_mpt_entries", fp, build)
+
+
 # ---------------------------------------------------------------- oracles
 
 # The streamed view sums DECIMAL(18,6); mirrored exactly.
@@ -490,6 +532,12 @@ def _spans_sql() -> str:
     return _DO["dedup_substring_spans"]
 
 
+def _mpt_sql() -> str:
+    from euclid_spark.operators.mpt_ingest import ORACLES as _MO
+
+    return _MO["euclid_mpt_reassemble"]
+
+
 QUERIES = {
     "stream_ivm_view": stream_ivm_view,
     "stream_state_rollup": stream_state_rollup,
@@ -497,6 +545,7 @@ QUERIES = {
     "stream_dedup_pairs": stream_dedup_pairs,
     "stream_curation_kept": stream_curation_kept,
     "stream_substring_verdicts": stream_substring_verdicts,
+    "stream_mpt_entries": stream_mpt_entries,
 }
 
 ORACLES = {
@@ -506,4 +555,5 @@ ORACLES = {
     "stream_dedup_pairs": _dedup_pairs_sql(),
     "stream_curation_kept": _curation_kept_sql(),
     "stream_substring_verdicts": _spans_sql(),
+    "stream_mpt_entries": _mpt_sql(),
 }
