@@ -62,6 +62,10 @@ HEADLINE = [
     "sim_quantized_topk",
     "sim_ivf_topk",
     "text_fingerprint",
+    "text_bm25_topk",
+    "text_rag_chunks",
+    "text_data_card",
+    "dedup_minhash_estimate",
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_importance_resample",

@@ -90,16 +90,28 @@ def _write_splits(df: DataFrame, feed_dir: str, key: str) -> None:
     """Split `df` into N_SPLITS parquet files by hash of `key` — a
     deterministic, deliberately NOT time-ordered partition of the
     input, so each micro-batch carries rows from the whole time range
-    (the adversarial order the monoid merges must tolerate)."""
+    (the adversarial order the monoid merges must tolerate).
+
+    Spark-native (no driver-side materialization — the input never
+    leaves the executors): each split is a filtered write, its single
+    part file moved into the flat feed directory the file source
+    lists. Files land in batch order b0 < b1 < b2 by mtime. In
+    production there is no feed construction at all — the stream IS
+    the arrival order; this harness only manufactures an adversarial
+    one."""
+    import glob
+
     os.makedirs(feed_dir, exist_ok=True)
-    pdf = df.toPandas()
-    for c in pdf.columns:
-        if pdf[c].dtype.kind == "M":  # stored events schema is µs
-            pdf[c] = pdf[c].astype("datetime64[us]")
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(N_SPLITS))
     for i in range(N_SPLITS):
-        pdf[pdf[key] % N_SPLITS == i].to_parquet(
-            os.path.join(feed_dir, f"b{i}.parquet"), index=False
+        part_dir = os.path.join(feed_dir, f"_tmp{i}")
+        df.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
+            part_dir
         )
+        parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        if parts:
+            os.replace(parts[0], os.path.join(feed_dir, f"b{i}.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
 
 
 def _run_stream(q, sink, n_expected: int) -> None:
@@ -151,7 +163,7 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark.streaming.ivm import MaintainedAggregate
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="stream_ivm_view", n=N_SPLITS, v=1
+        [f"{sf_dir}/events.parquet"], op="stream_ivm_view", n=N_SPLITS, v=2
     )
 
     def build(tmp: str) -> DataFrame:
@@ -198,7 +210,7 @@ def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="stream_state_rollup", n=N_SPLITS, v=1
+        [f"{sf_dir}/events.parquet"], op="stream_state_rollup", n=N_SPLITS, v=2
     )
 
     def build(tmp: str) -> DataFrame:
@@ -237,7 +249,7 @@ def stream_block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark.streaming.block_db import read_event_stream, run_digest_chain
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="stream_block_db_chain", n=N_SPLITS, v=1
+        [f"{sf_dir}/events.parquet"], op="stream_block_db_chain", n=N_SPLITS, v=2
     )
 
     def build(tmp: str) -> DataFrame:
@@ -277,7 +289,7 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_d.N_HASHES,
         band=_d.BAND_SIZE,
         cap=_d.MAX_BUCKET,
-        v=1,
+        v=2,
     )
 
     def build(tmp: str) -> DataFrame:
@@ -317,7 +329,7 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_d.N_HASHES,
         band=_d.BAND_SIZE,
         cap=_d.MAX_BUCKET,
-        v=1,
+        v=2,
     )
 
     def build(tmp: str) -> DataFrame:
@@ -361,7 +373,7 @@ def stream_substring_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=N_SPLITS,
         w=_d.SPAN_W,
         frac=_d.SPAN_DUP_FRAC,
-        v=1,
+        v=2,
     )
 
     def build(tmp: str) -> DataFrame:
@@ -401,21 +413,14 @@ def stream_mpt_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="stream_mpt_entries", n=N_SPLITS, v=1
+        [f"{sf_dir}/events.parquet"], op="stream_mpt_entries", n=N_SPLITS, v=2
     )
 
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
-        os.makedirs(feed, exist_ok=True)
-        nodes = synthesize_owner_tries(spark, sf_dir).toPandas()
-        # deterministic order that ignores tree structure: a child can
-        # arrive batches before its parent and vice versa
-        nodes = nodes.sort_values("node_hash", ignore_index=True)
-        per = (len(nodes) + N_SPLITS - 1) // N_SPLITS
-        for i in range(N_SPLITS):
-            part = nodes.iloc[i * per : (i + 1) * per]
-            if len(part):
-                part.to_parquet(os.path.join(feed, f"b{i}.parquet"), index=False)
+        # hash-split on the content address: a child can arrive batches
+        # before its parent and vice versa (structure-ignoring scatter)
+        _write_splits(synthesize_owner_tries(spark, sf_dir), feed, "node_hash")
         q, sink = run_incremental_mpt(
             read_node_stream(spark, feed), os.path.join(tmp, "state")
         )
