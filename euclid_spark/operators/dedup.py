@@ -687,8 +687,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.selectExpr("doc_b AS doc_id"))
         .distinct()
     )
+    # restrict BEFORE shingling: the explode runs over pair members
+    # only (the candidate set), never the corpus
     sh = persist_tracked(
-        doc_shingles(_docs(spark, sf_dir)).join(members, "doc_id", "left_semi")
+        doc_shingles(_docs(spark, sf_dir).join(members, "doc_id", "left_semi"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

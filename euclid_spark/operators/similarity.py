@@ -61,6 +61,69 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_DIMS = 8   # coarse stage scores only the embedding prefix
+RERANK_POOL = 20  # candidates per query surviving to exact rescoring
+
+
+def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38 — TWO-STAGE PREFIX-DIMENSION RETRIEVAL (the Matryoshka /
+    MRL serving pattern, Kusupati et al. 2022, public: with
+    importance-ordered embeddings, score cheaply on the first P dims,
+    then exactly re-rank a small pool at full dimension): stage 1
+    ranks every candidate by cosine over embedding[0:PREFIX_DIMS]
+    (8× less arithmetic and — with a stored prefix column — 8× less
+    scan bandwidth than full-dim scoring), keeps RERANK_POOL per
+    query; stage 2 re-joins the pool to the full vectors and ranks by
+    exact cosine. Unlike the ANN sketches this procedure is exactly
+    deterministic, so the WHOLE two-stage pipeline is oracle-checked —
+    both stages rank on rounded scores with an id tiebreak.
+
+    Scale shape: stage 1 is the only corpus-wide pass and carries a
+    slim (query_id, neighbor_id, coarse) row set into the per-query
+    top-pool; stage 2 touches RERANK_POOL × N_QUERIES vectors via an
+    id equi-join. The query set broadcasts; the corpus never does."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    coarse = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine(
+                F.slice(F.col("qe"), 1, PREFIX_DIMS),
+                F.slice(F.col("ce"), 1, PREFIX_DIMS),
+            ),
+            6,
+        ).alias("coarse"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("coarse"), "neighbor_id")
+    pool = (
+        coarse.withColumn("crn", F.row_number().over(w1))
+        .filter(F.col("crn") <= RERANK_POOL)
+        .select("query_id", "neighbor_id", "coarse")
+    )
+    rescored = (
+        pool.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "coarse", "cosine", "rn")
+    )
+
+
 N_TABLES = 8  # hash tables (bands)
 BITS_PER_TABLE = 4  # sign bits per table
 
@@ -434,6 +497,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
+    "sim_prefix_rerank": sim_prefix_rerank,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_quantized_topk": sim_quantized_topk,
@@ -463,3 +527,48 @@ ORACLES = {
     """,
     # sim_ann_lsh: rows-only (approximate; bucket constants are engine-side)
 }
+
+# C38: prefix-slice dot/norms mirror the Spark slice semantics (DuckDB
+# lists are 1-indexed inclusive); both stages rank on ROUNDED scores
+# with the neighbor-id tiebreak, so the pool and the final top-k are
+# engine-independent row sets.
+_DOT_P = (
+    f"list_sum(list_transform(range(1, {PREFIX_DIMS} + 1),"
+    " i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+)
+_NQ_P = (
+    f"sqrt(list_sum(list_transform(qe[1:{PREFIX_DIMS}],"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_NC_P = (
+    f"sqrt(list_sum(list_transform(ce[1:{PREFIX_DIMS}],"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+ORACLES["sim_prefix_rerank"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    s1 AS (SELECT query_id, neighbor_id,
+                  ROUND(CASE WHEN {_NQ_P} * {_NC_P} = 0 THEN 0.0
+                             ELSE {_DOT_P} / ({_NQ_P} * {_NC_P}) END, 6)
+                      AS coarse
+           FROM c CROSS JOIN q),
+    p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY coarse DESC, neighbor_id) AS crn
+          FROM s1),
+    pool AS (SELECT query_id, neighbor_id, coarse FROM p
+             WHERE crn <= {RERANK_POOL}),
+    r AS (SELECT pool.query_id, pool.neighbor_id, pool.coarse,
+                 ROUND(CASE WHEN {_NQ} * {_NC} = 0 THEN 0.0
+                            ELSE {_DOT} / ({_NQ} * {_NC}) END, 6) AS cosine
+          FROM pool
+          JOIN c ON c.neighbor_id = pool.neighbor_id
+          JOIN q ON q.query_id = pool.query_id)
+    SELECT query_id, neighbor_id, coarse, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+    FROM r
+    QUALIFY rn <= {TOP_K}
+"""
