@@ -189,9 +189,75 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti")
 
 
+# --------------------------------------------- C39: graph centrality
+PR_ITERS = 5
+PR_TOTAL = 1_000_000_000_000  # total rank mass in integer micro-units
+PR_NUM, PR_DEN = 85, 100      # damping 0.85 as an exact ratio
+
+
+def graph_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39 — FIXED-POINT PAGERANK over the near-dup candidate graph
+    (PageRank as a duplicate-cluster centrality signal — the hub of a
+    template family has high rank; the same loop is the generic
+    power-iteration engine for any edge table).
+
+    Deterministic by construction: rank mass is INTEGER micro-units
+    (PR_TOTAL total), each step is
+        share(u) = rank(u) div deg(u)
+        rank'(v) = (15·(PR_TOTAL div N) + 85·Σ_{u~v} share(u)) div 100
+    — integer division and integer sums only, so the result is
+    bit-identical in any engine and under any aggregation order (the
+    float version would drift at the 10⁻¹⁶ level per merge order and
+    could flip a rounded digit; exact integers make the oracle a hash
+    check, the same reason the u256 path stays integral). PR_ITERS
+    fixed rounds ⇒ the oracle is a chained-CTE unrolling, no recursion.
+
+    Scale shape: per round ONE join on the edge key + ONE dst
+    aggregation — the standard distributed power iteration; the edge
+    table is the LSH candidate set (bucket-capped, linear in corpus)."""
+    from euclid_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sym = persist_tracked(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    n = deg.agg(F.count("*").alias("n"))
+    base = F.expr(f"div({PR_TOTAL}, n)")
+    ranks = deg.join(F.broadcast(n)).select(
+        F.col("src").alias("doc_id"), "d", "n", base.alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(sym, ranks.doc_id == sym.src)
+            .select("dst", F.expr("div(rank, d)").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg.src == contrib.dst)
+            .join(F.broadcast(n))
+            .select(
+                F.col("src").alias("doc_id"),
+                "d",
+                "n",
+                F.expr(
+                    f"div({PR_DEN - PR_NUM} * div({PR_TOTAL}, n) "
+                    f"+ {PR_NUM} * s, {PR_DEN})"
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "doc_id", F.col("d").alias("degree"), F.col("rank").alias("rank_micro")
+    )
+
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_list": dedup_keep_list,
+    "graph_doc_pagerank": graph_doc_pagerank,
 }
 
 # The keep-list IS oracle-checkable even though components is iterative:
@@ -251,3 +317,54 @@ ORACLES: dict[str, str] = {
         )
     """,
 }
+
+# C39 oracle: PR_ITERS chained-CTE power iterations in exact integer
+# arithmetic (// is floor division in DuckDB; operands are positive, so
+# it matches Spark's `div`). Edge CTEs are C2's LSH pair SQL.
+from euclid_spark.operators.dedup import (  # noqa: E402
+    MAX_BUCKET as _MB,
+    _BAND_SELECTS,
+    _SH,
+    _SIG_COLS,
+)
+def _pagerank_sql() -> str:
+    ctes = [
+        _SH,
+        f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)",
+        f"bands AS ({_BAND_SELECTS})",
+        "guarded AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx,"
+        " band_val) AS bucket_n FROM bands)",
+        f"""lsh_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM guarded a JOIN guarded b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            WHERE a.bucket_n <= {_MB} AND b.bucket_n <= {_MB})""",
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM lsh_pairs)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT deg.src AS doc_id, deg.d,"
+        f" {PR_TOTAL} // nn.n AS rank FROM deg, nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS doc_id, SUM(r.rank // r.d) AS s"
+            f" FROM sym e JOIN r{i - 1} r ON r.doc_id = e.src"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT deg.src AS doc_id, deg.d,"
+            f" ({PR_DEN - PR_NUM} * ({PR_TOTAL} // nn.n)"
+            f" + {PR_NUM} * c{i}.s) // {PR_DEN} AS rank"
+            f" FROM deg JOIN c{i} ON c{i}.doc_id = deg.src, nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, d AS degree, "
+        f"CAST(rank AS BIGINT) AS rank_micro FROM r{PR_ITERS}"
+    )
+
+
+ORACLES["graph_doc_pagerank"] = _pagerank_sql()
