@@ -1233,6 +1233,43 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 — FULL OUTER reconciliation report (the one join type the
+    inventory lacked): per-day order volume vs event volume with BOTH
+    unmatched sides preserved and classified — the daily audit every
+    multi-feed ingest pipeline runs (which days have orders but no
+    events, and vice versa). One shuffle per side on the day key; the
+    join key is the aggregation key, so no extra exchange; decimal
+    sums keep the totals order-independent."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("order_total"),
+        )
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    status = (
+        F.when(F.col("n_orders").isNull(), F.lit("events_only"))
+        .when(F.col("n_events").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+    )
+    return o.join(e, "day", "full_outer").select(
+        "day",
+        status.alias("status"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("order_total", F.lit(0.0)).alias("order_total"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "rel_bloom_join_prune": bloom_join_prune,
@@ -1260,6 +1297,7 @@ QUERIES = {
     "rel_asof_join": asof_join,
     "rel_sessionize": sessionize,
     "rel_set_ops": set_ops,
+    "rel_full_outer_reconcile": full_outer_reconcile,
     "rel_exploded_agg": exploded_agg,
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q12_ship_priority": q12_ship_priority,
@@ -1805,3 +1843,24 @@ ORACLES = {
         ORDER BY s_name
     """,
 }
+
+ORACLES["rel_full_outer_reconcile"] = """
+    WITH o AS (
+        SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS order_total
+        FROM orders GROUP BY o_orderdate
+    ),
+    e AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT COALESCE(o.day, e.day) AS day,
+           CASE WHEN o.n_orders IS NULL THEN 'events_only'
+                WHEN e.n_events IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_total, 0.0) AS order_total,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.day = e.day
+"""
