@@ -251,19 +251,12 @@ def merkle_opening_paths(
     )
 
 
-def _oracle_merkle(levels: int = LEVELS) -> str:
-    """Generate the chained-CTE ANSI oracle for `merkle_membership_proof`
-    (non-recursive: one CTE per tree level; promotion makes the fixed
-    depth exact)."""
-    ctes = [
-        """l0 AS (
-  SELECT c_nationkey AS group_key,
-         c_custkey,
-         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS pos,
-         sha256(c_custkey::VARCHAR || ':' || c_name) AS node_hash
-  FROM customer
-)"""
-    ]
+def merkle_proof_sql(l0_sql: str, entry_col: str, levels: int = LEVELS) -> str:
+    """Chained-CTE ANSI oracle for an opening-path query over any leaf
+    CTE (non-recursive: one CTE per tree level; promotion keeps levels
+    beyond the true depth the identity, so a fixed `levels` is exact).
+    `l0_sql` must yield (group_key, {entry_col}, pos, node_hash)."""
+    ctes = [f"l0 AS (\n{l0_sql}\n)"]
     for k in range(1, levels + 1):
         ctes.append(
             f"""l{k} AS (
@@ -283,7 +276,7 @@ nodes AS (
   {node_union}
 ),
 probes AS (
-  SELECT l.group_key, l.c_custkey, l.pos, l.node_hash AS leaf_hash,
+  SELECT l.group_key, l.{entry_col}, l.pos, l.node_hash AS leaf_hash,
          g.level,
          CASE WHEN (l.pos >> g.level) % 2 = 0
               THEN (l.pos >> g.level) + 1 ELSE (l.pos >> g.level) - 1
@@ -297,21 +290,115 @@ steps AS (
   LEFT JOIN nodes n ON n.group_key = p.group_key
                    AND n.level = p.level AND n.pos = p.sib_pos
 )
-SELECT s.group_key, s.c_custkey, s.pos AS leaf_pos, s.leaf_hash,
+SELECT s.group_key, s.{entry_col}, s.pos AS leaf_pos, s.leaf_hash,
        COALESCE(string_agg(s.level::VARCHAR || s.side || ':' || s.sib_hash,
                            '/' ORDER BY s.level)
                 FILTER (WHERE s.sib_hash IS NOT NULL), '') AS path,
        r.node_hash AS root
 FROM steps s
 JOIN l{levels} r ON r.group_key = s.group_key
-GROUP BY s.group_key, s.c_custkey, s.pos, s.leaf_hash, r.node_hash
+GROUP BY s.group_key, s.{entry_col}, s.pos, s.leaf_hash, r.node_hash
 """
+
+
+_CUSTOMER_L0 = """  SELECT c_nationkey AS group_key,
+         c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS pos,
+         sha256(c_custkey::VARCHAR || ':' || c_name) AS node_hash
+  FROM customer"""
+
+
+def _oracle_merkle(levels: int = LEVELS) -> str:
+    return merkle_proof_sql(_CUSTOMER_L0, "c_custkey", levels)
+
+
+def verifiable_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — the END DELIVERABLE of the reference's query phase, as one
+    row set: a VERIFIABLE QUERY RESPONSE (what the groth16 final proof
+    carries — query result + the public inputs binding it to the data
+    commitment; groth16-framework/, query2/revelation/). For
+    (OWNER, [B_min, B_max]):
+
+      - the owner's FULL distinct token set in range becomes the leaf
+        set of a Merkle commitment (the committed result universe),
+      - the revealed rows are the canonical-order top-L (A3's
+        revelation bound), each carrying its OPENING PATH to the
+        commitment root — the verifier refolds leaf→root,
+      - every row carries the provenance binding (min_block, max_block,
+        range_digest — A3's public inputs).
+
+    Composition shape (the C25/A19 pattern): the distinct-key
+    aggregation, the log₂-round tree build, and the path join all key
+    on the same owner/token columns; provenance is a broadcast one-row
+    aggregate; the top-L is ORDER BY + LIMIT (TakeOrderedAndProject).
+    Oracle: the A3 result CTE plugged into the generic chained-CTE
+    merkle construction (merkle_proof_sql), provenance cross-joined."""
+    from euclid_spark.operators.euclid import (
+        OWNER,
+        TOP_L,
+        _range_provenance,
+        q2_distinct_keys,
+    )
+
+    keys = (
+        q2_distinct_keys(spark, sf_dir)
+        .filter((F.col("owner") == OWNER) & F.col("token_id").isNotNull())
+        .select("token_id")
+    )
+    w = Window.partitionBy(F.lit(OWNER)).orderBy("token_id")
+    leaves = keys.select(
+        F.lit(OWNER).cast("long").alias("group_key"),
+        "token_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.sha2(F.col("token_id").cast("string"), 256).alias("node_hash"),
+    )
+    paths = merkle_opening_paths(leaves, entry_cols=["token_id"])
+    revealed = paths.orderBy("token_id").limit(TOP_L)
+    return revealed.crossJoin(
+        F.broadcast(_range_provenance(spark, sf_dir))
+    ).select(
+        "token_id",
+        "leaf_pos",
+        "leaf_hash",
+        "path",
+        "root",
+        "min_block",
+        "max_block",
+        "range_digest",
+    )
+
+
+def _oracle_verifiable_response() -> str:
+    from euclid_spark.operators.euclid import (
+        OWNER,
+        TOP_L,
+        _PROV_SQL,
+        _RANGE,
+        _TOKEN,
+    )
+
+    l0 = f"""  SELECT {OWNER} AS group_key, token_id,
+         row_number() OVER (ORDER BY token_id) - 1 AS pos,
+         sha256(token_id::VARCHAR) AS node_hash
+  FROM (SELECT DISTINCT {_TOKEN} AS token_id FROM events
+        WHERE {_RANGE} AND event_type = 'purchase'
+          AND user_id = {OWNER} AND {_TOKEN} IS NOT NULL)"""
+    return f"""
+        SELECT m.token_id, m.leaf_pos, m.leaf_hash, m.path, m.root,
+               p.min_block, p.max_block, p.range_digest
+        FROM ({merkle_proof_sql(l0, "token_id")}) m
+        CROSS JOIN ({_PROV_SQL}) p
+        ORDER BY m.token_id
+        LIMIT {TOP_L}
+    """
 
 
 QUERIES = {
     "euclid_merkle_proof": merkle_membership_proof,
+    "euclid_verifiable_response": verifiable_query_response,
 }
 
 ORACLES = {
     "euclid_merkle_proof": _oracle_merkle(),
+    "euclid_verifiable_response": _oracle_verifiable_response(),
 }

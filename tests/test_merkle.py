@@ -109,3 +109,35 @@ def test_leaf_hash_is_the_documented_encoding(spark):
         .collect()[0]
     )
     assert _sha(f"{cust['c_custkey']}:{cust['c_name']}") == row["leaf_hash"]
+
+
+def test_verifiable_response_refolds_and_binds(spark):
+    """A20: every revealed row's opening path refolds to the shared
+    commitment root, the revealed set is the canonical-order top-L of
+    the owner's token universe, and the provenance digest matches an
+    independent recomputation."""
+    from euclid_spark.operators.euclid import (
+        OWNER,
+        TOP_L,
+        _range_provenance,
+        q2_distinct_keys,
+    )
+    from euclid_spark.operators.merkle import verifiable_query_response
+
+    rows = verifiable_query_response(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= TOP_L
+    roots = {r["root"] for r in rows}
+    assert len(roots) == 1  # one commitment binds the whole response
+    for r in rows:
+        assert _refold(r["leaf_hash"], r["path"]) == r["root"]
+
+    toks = sorted(
+        x["token_id"]
+        for x in q2_distinct_keys(spark, SF_SMOKE)
+        .filter(f"owner = {OWNER} AND token_id IS NOT NULL")
+        .collect()
+    )
+    assert [r["token_id"] for r in sorted(rows, key=lambda r: r["token_id"])] \
+        == toks[:TOP_L]
+    prov = _range_provenance(spark, SF_SMOKE).collect()[0]
+    assert all(r["range_digest"] == prov["range_digest"] for r in rows)
