@@ -47,6 +47,10 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "euclid_preprocessing_pipeline",
+    "euclid_verifiable_response",
+    "graph_doc_pagerank",
+    "sim_prefix_rerank",
+    "rel_full_outer_reconcile",
     "rel_bloom_join_prune",
     "rel_range_join_bucketed",
     "euclid_merkle_proof",
