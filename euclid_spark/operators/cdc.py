@@ -54,3 +54,57 @@ def snapshot_at(scd2: DataFrame, version: int | str) -> DataFrame:
         (F.col("valid_from") <= v)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
     ).drop("valid_from", "valid_to", "is_current")
+
+
+def cdc_scd2_time_travel(spark, sf_dir: str) -> DataFrame:
+    """D9's registry face — BLOCK-HEIGHT TIME TRAVEL over an SCD2
+    history (the reference's core read pattern: query the state DB as
+    of a block; api.rs BlockDB/State): the events log is an
+    (account, version=event_id, value) change stream; scd2_apply gives
+    each version its [valid_from, valid_to) interval in ONE window
+    pass, and the snapshot keeps the row valid at the as-of height —
+    here the mid-range event id, computed as a broadcast one-row
+    aggregate so the query is scale-invariant config, not a collected
+    constant.
+
+    Scale: one shuffle on the account key (the window), then a
+    row-local interval filter — the history never shuffles again; at
+    100 TB the SCD2 table is a stored artifact and time travel is the
+    filter alone."""
+    from pyspark.sql import SparkSession  # noqa: F401 (signature parity)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    hist = scd2_apply(ev, "user_id", "event_id")
+    asof = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("as_of")
+    )
+    return (
+        hist.join(F.broadcast(asof))
+        .filter(
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("as_of")))
+        )
+        .select("user_id", "as_of", "value", "valid_from", "valid_to")
+    )
+
+
+QUERIES = {"cdc_scd2_time_travel": cdc_scd2_time_travel}
+
+ORACLES = {
+    "cdc_scd2_time_travel": """
+        WITH h AS (
+            SELECT user_id, event_id AS valid_from, value,
+                   LEAD(event_id) OVER (PARTITION BY user_id
+                        ORDER BY event_id) AS valid_to
+            FROM events
+        ),
+        v AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS as_of
+              FROM events)
+        SELECT user_id, as_of, value, valid_from, valid_to
+        FROM h, v
+        WHERE valid_from <= as_of
+          AND (valid_to IS NULL OR valid_to > as_of)
+    """
+}

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
+    cdc,
     components,
     skew,
     curation,
@@ -39,6 +40,7 @@ _MODULES = [
     curation,
     preprocessing,
     skew,
+    cdc,
     faces,
 ]
 
