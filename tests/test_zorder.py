@@ -100,3 +100,21 @@ def test_zorder_layout_preserves_rows(spark, tmp_path):
     want = sorted(r["event_id"] for r in ev.filter(pred).collect())
     got = sorted(r["event_id"] for r in back.filter(pred).collect())
     assert got == want
+
+
+def test_zvalue_roundtrip_property(spark):
+    """Property: the interleave is a bijection — compressing the even
+    bits recovers a, the odd bits recover b, for random 16-bit pairs."""
+    import random
+
+    rnd = random.Random(42)
+    pairs = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(64)]
+    df = spark.createDataFrame(pairs, "a int, b int").select(
+        "a", "b", zvalue(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        a = b = 0
+        for i in range(16):
+            a |= ((r["z"] >> (2 * i)) & 1) << i
+            b |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r["a"], r["b"])

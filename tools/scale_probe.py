@@ -1,0 +1,103 @@
+"""10× worst-case scale probe (SURVEY.md §6): replicate the sf0.1
+documents table 10× with offset doc_ids — 10 exact copies of EVERY
+document, the heaviest duplicate load the bucketed joins can see — and
+time a set of linear-design operators at 1× and 10×.
+
+What "passes": wall time growing ≈ linearly (≤ ~10×, typically much
+less on 32 cores absorbing parallel slack) and no skew-cap blowup. A
+quadratic shape announces itself unmistakably (100× pair volume).
+
+Usage: python tools/scale_probe.py [op ...]   (default: the linear set)
+Writes one JSON line; temp corpus lives under /tmp and is removed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from euclid_spark import registry
+from euclid_spark.cache import release_all
+from euclid_spark.session import get_session
+
+SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+DEFAULT_OPS = [
+    "text_bm25_topk",
+    "text_rag_chunks",
+    "text_data_card",
+    "dedup_substring_spans",
+    "dedup_minhash_lsh",
+    "graph_doc_pagerank",
+]
+
+
+def build_10x(spark, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    big = docs.join(reps).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    big.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    # the other tables are shared (the probe targets document ops)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        os.symlink(f"{SF}/{t}.parquet", os.path.join(out_dir, f"{t}.parquet"))
+
+
+def _time(qs, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    qs[name](sf_dir=sf_dir, spark=_time.spark).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    release_all()
+    return round(dt, 2)
+
+
+def main() -> None:
+    ops = sys.argv[1:] or DEFAULT_OPS
+    spark = get_session("scale_probe")
+    _time.spark = spark
+    qs = registry.queries()
+
+    tmp = tempfile.mkdtemp(prefix="euclid_10x_")
+    # keep 10× artifacts out of the repo store: they key on the temp
+    # corpus and would be one-shot garbage there
+    os.environ["EUCLID_SPARK_ARTIFACTS"] = os.path.join(tmp, "_arts")
+    try:
+        build_10x(spark, tmp)
+        out = {"sf": "0.1", "replicas": REPLICAS, "ops": {}}
+        for name in ops:
+            one_cold = _time(qs, name, SF)
+            one_warm = _time(qs, name, SF)
+            ten_cold = _time(qs, name, tmp)
+            ten_warm = _time(qs, name, tmp)
+            out["ops"][name] = {
+                "x1_cold": one_cold,
+                "x1_warm": one_warm,
+                "x10_cold": ten_cold,
+                "x10_warm": ten_warm,
+                "cold_ratio": round(ten_cold / max(one_cold, 1e-9), 1),
+            }
+            print(f"# {name}: 1x {one_cold}/{one_warm}s "
+                  f"10x {ten_cold}/{ten_warm}s", file=sys.stderr)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
