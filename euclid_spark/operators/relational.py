@@ -1233,6 +1233,75 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_ROWS = 4   # independent hash rows
+CMS_W = 256    # buckets per row
+CMS_TOP = 20   # heavy-hitter candidates reported
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan
+    2005, public): the sketch is a (row, bucket) → count table of
+    CMS_ROWS × CMS_W cells — a FIXED-SIZE commutative monoid (cells
+    add), which is the whole point: it map-side-combines to ~1 KB per
+    task regardless of corpus size, merges across batches/streams
+    (tests/test_batch_incremental_parity.py runs it through the D20
+    harness), and answers est(key) = min over rows of its cell. This
+    query reports, for the exact top-CMS_TOP users, the exact count
+    next to the sketch estimate and the (always ≥ 0) overcount — the
+    honest sketch-error audit, like C37 for MinHash.
+
+    Plan shape: sketch build = one explode(CMS_ROWS) + one bounded
+    aggregate; exact side = one hash aggregate + TakeOrdered; probes
+    join the 1024-cell sketch — broadcast-sized by construction."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    r = F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r")
+
+    def bucket(row_col: F.Column, key_col: F.Column) -> F.Column:
+        h = F.md5(
+            F.concat_ws(
+                "|", row_col.cast("string"), key_col.cast("string")
+            )
+        )
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(CMS_W)
+        )
+
+    cms = (
+        ev.select("user_id", r)
+        .select("r", bucket(F.col("r"), F.col("user_id")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-N via ORDER BY + LIMIT (TakeOrderedAndProject — no global
+    # sort); the rank window then runs over CMS_TOP rows, not the corpus
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(CMS_TOP)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("exact_n"), "user_id")),
+        )
+    )
+    probes = top.select(
+        "user_id", "exact_n", "rk", F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r")
+    )
+    probes = probes.withColumn("b", bucket(F.col("r"), F.col("user_id")))
+    return (
+        probes.join(F.broadcast(cms), ["r", "b"])
+        .groupBy("user_id", "exact_n", "rk")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+            "rk",
+        )
+    )
+
+
 def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B43 — FULL OUTER reconciliation report (the one join type the
     inventory lacked): per-day order volume vs event volume with BOTH
@@ -1298,6 +1367,7 @@ QUERIES = {
     "rel_sessionize": sessionize,
     "rel_set_ops": set_ops,
     "rel_full_outer_reconcile": full_outer_reconcile,
+    "rel_heavy_hitters_cms": heavy_hitters_cms,
     "rel_exploded_agg": exploded_agg,
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q12_ship_priority": q12_ship_priority,
@@ -1863,4 +1933,40 @@ ORACLES["rel_full_outer_reconcile"] = """
            COALESCE(o.order_total, 0.0) AS order_total,
            COALESCE(e.n_events, 0) AS n_events
     FROM o FULL OUTER JOIN e ON o.day = e.day
+"""
+
+ORACLES["rel_heavy_hitters_cms"] = f"""
+    WITH keyed AS (
+        SELECT user_id, unnest(range(0, {CMS_ROWS})) AS r FROM events
+    ),
+    cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR),
+                                   1, 8) AS BIGINT) % {CMS_W} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM keyed GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id
+        LIMIT {CMS_TOP}
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id)
+                       AS INT) AS rk
+        FROM top
+    ),
+    probes AS (
+        SELECT t.user_id, t.exact_n, t.rk, g.r,
+               CAST('0x' || substr(md5(g.r::VARCHAR || '|'
+                                       || t.user_id::VARCHAR),
+                                   1, 8) AS BIGINT) % {CMS_W} AS b
+        FROM ranked t
+        CROSS JOIN (SELECT unnest(range(0, {CMS_ROWS})) AS r) g
+    )
+    SELECT p.user_id, p.exact_n, MIN(c.c) AS est_n,
+           MIN(c.c) - p.exact_n AS overcount, p.rk
+    FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.user_id, p.exact_n, p.rk
 """

@@ -311,6 +311,36 @@ def _merkle_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.drop(columns=["leaf_hashes"])
 
 
+def _cms_partial(events: DataFrame) -> DataFrame:
+    """PER-DAY count-min sketch tiles over the batch's user_ids (B44's
+    sketch keyed by day: CMS_ROWS × CMS_W bounded cells per day — the
+    textbook mergeable-sketch monoid, cells ADD). Day tiling is the
+    production layout: a day-range estimate is the cell-wise sum of its
+    tiles, and the maintained view rewrites only touched days."""
+    from euclid_spark.operators.relational import CMS_ROWS, CMS_W
+
+    r = F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r")
+    h = F.md5(
+        F.concat_ws("|", F.col("r").cast("string"), F.col("user_id").cast("string"))
+    )
+    b = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(CMS_W))
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .select("day", "user_id", r)
+        .select("day", "r", b.alias("b"))
+        .groupBy("day", "r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _cms_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 SPECS = {
     "ivm_count_sum_digest": ParitySpec(
         "ivm_count_sum_digest", _partial, _merge
@@ -329,5 +359,8 @@ SPECS = {
     ),
     "merkle_day_root": ParitySpec(
         "merkle_day_root", _merkle_partial, _merkle_merge, _merkle_finalize
+    ),
+    "count_min_sketch": ParitySpec(
+        "count_min_sketch", _cms_partial, _cms_merge
     ),
 }
