@@ -207,10 +207,76 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WIN = 256        # samples per analysis window
+SILENCE_RMS = 1000.0   # windows below this RMS count as silence
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, n_windows long, "
+    "rms_mean double, rms_max double, silence_frac double"
+)
+
+
+def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-doc windowed PCM energy, numpy-vectorized per Arrow batch:
+    bytes → int16 little-endian samples → per-window RMS via one
+    reshape (no per-window Python loop)."""
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            buf = buf[: len(buf) // 2 * 2]  # PCM16: drop a trailing odd byte
+            x = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+            n = len(x)
+            nw = n // AUDIO_WIN
+            if nw == 0:
+                rows.append((doc_id, n, 0, 0.0, 0.0, 0.0))
+                continue
+            w = x[: nw * AUDIO_WIN].reshape(nw, AUDIO_WIN)
+            rms = np.sqrt((w * w).mean(axis=1))
+            rows.append(
+                (
+                    doc_id,
+                    n,
+                    nw,
+                    round(float(rms.mean()), 4),
+                    round(float(rms.max()), 4),
+                    round(float((rms < SILENCE_RMS).mean()), 4),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "n_windows",
+                "rms_mean", "rms_max", "silence_frac",
+            ],
+        )
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 — AUDIO WINDOW ENERGY over raw PCM payloads: the payload
+    bytes read as 16-bit little-endian samples (raw PCM IS the decoded
+    form — no codec needed, unlike the compressed modalities gated
+    behind decode_real), per-window RMS / peak / silence fraction —
+    the standard VAD-style triage signals an audio-corpus pipeline
+    computes at ingest (which clips are silence, which clip levels).
+
+    Same scale shape as C11: projection prunes to (doc_id, payload)
+    before the Arrow exchange; the extractor is numpy-vectorized per
+    record batch (one reshape per doc, no per-window loop); output is
+    one bounded row per document. Rows-only for the gate (binary →
+    numeric arrays is engine-side by definition); the semantics are
+    pinned by a pure-numpy reference comparison in
+    tests/test_multimodal.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    return binary.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)
+
+
 QUERIES = {
     "mm_binary_pipeline": mm_binary_pipeline,
     "mm_chunk_fingerprints": mm_chunk_fingerprints,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_energy": mm_audio_energy,
 }
 
 # mm_binary_pipeline is rows-only: the extractor is engine-side by
