@@ -111,8 +111,34 @@ def skew_salted_user_agg(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_enrich_join(spark, sf_dir: str) -> DataFrame:
+    """D8's JOIN face: the fact-side enrichment join through the
+    SALTED-JOIN rewrite — big side salted, small side replicated
+    n_salts×, join on (key, salt) — so a whale key's rows land on
+    DEFAULT_SALTS reducers instead of one (the join-skew remedy for
+    when AQE's skew split cannot apply, e.g. pre-AQE stages or
+    bucketed layouts). Salting is result-invariant, so the oracle is
+    the plain join + rollup; DECIMAL sums keep the per-segment totals
+    independent of the salt-induced addition order."""
+    from euclid_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(ev, cust, "user_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 QUERIES = {
     "rel_skew_salted_agg": skew_salted_user_agg,
+    "rel_skew_salted_join": skew_salted_enrich_join,
 }
 
 ORACLES = {
@@ -120,5 +146,12 @@ ORACLES = {
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY user_id
+    """,
+    "rel_skew_salted_join": """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
     """,
 }
