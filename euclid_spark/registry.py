@@ -10,6 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from euclid_spark.sources import bucketing
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     cdc,
@@ -41,6 +42,7 @@ _MODULES = [
     preprocessing,
     skew,
     cdc,
+    bucketing,
     faces,
 ]
 

@@ -30,3 +30,69 @@ def bucketed_join(
     """Join two tables bucketed on the same key: Catalyst sees the
     matching output partitioning and elides both Exchanges."""
     return spark.table(left_table).join(spark.table(right_table), on=key)
+
+
+def rel_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10's registry face — the SHUFFLE-FREE FACT-FACT JOIN: lineitem
+    and orders are persisted once as bucketed+sorted tables on the
+    order key (the one-time layout decision that deletes the dominant
+    per-query shuffle at 100 TB), then joined co-located — Catalyst
+    sees matching output partitioning and elides both Exchanges (the
+    plan shape tests/test_bucketing.py asserts). The face rolls the
+    join up per order month; bucketing is result-invariant, so the
+    oracle is the plain join + rollup.
+
+    The bucketed tables are per-process artifacts: with no external
+    metastore a fresh session re-registers them (one write each, the
+    ingest cost); the monthly rollup itself never re-shuffles the join.
+    DECIMAL revenue so the total is addition-order independent."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"],
+        op="bucketed_join",
+    )[:12]
+    li_t, o_t = f"li_bkt_{fp}", f"ord_bkt_{fp}"
+    if not spark.catalog.tableExists(li_t):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        write_bucketed(li, li_t, "l_orderkey")
+    if not spark.catalog.tableExists(o_t):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        )
+        write_bucketed(o, o_t, "l_orderkey")
+    joined = bucketed_join(spark, li_t, o_t, "l_orderkey")
+    return joined.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,8)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+QUERIES = {"rel_bucketed_colocated_join": rel_bucketed_colocated_join}
+
+ORACLES = {
+    "rel_bucketed_colocated_join": """
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(24,8))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """
+}
