@@ -51,6 +51,9 @@ HEADLINE = [
     "graph_doc_pagerank",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",
+    "rel_heavy_hitters_cms",
+    "cdc_scd2_time_travel",
+    "rel_skew_salted_join",
     "rel_bloom_join_prune",
     "rel_range_join_bucketed",
     "euclid_merkle_proof",
