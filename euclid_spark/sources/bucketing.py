@@ -50,21 +50,40 @@ def rel_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from euclid_spark import artifacts
 
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"],
         op="bucketed_join",
     )[:12]
     li_t, o_t = f"li_bkt_{fp}", f"ord_bkt_{fp}"
-    if not spark.catalog.tableExists(li_t):
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    # bucketing metadata lives in the session catalog; with no external
+    # metastore a fresh process must re-register. A warehouse directory
+    # left by a previous process is an orphan (its bucketing metadata
+    # died with that catalog) — remove it before the managed write, or
+    # saveAsTable refuses the location.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _ensure(table: str, df: DataFrame) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+        write_bucketed(df, table, "l_orderkey")
+
+    _ensure(
+        li_t,
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             "l_orderkey", "l_extendedprice", "l_discount"
-        )
-        write_bucketed(li, li_t, "l_orderkey")
-    if not spark.catalog.tableExists(o_t):
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        ),
+    )
+    _ensure(
+        o_t,
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
             F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
-        )
-        write_bucketed(o, o_t, "l_orderkey")
+        ),
+    )
     joined = bucketed_join(spark, li_t, o_t, "l_orderkey")
     return joined.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
