@@ -40,6 +40,15 @@ Faces:
                             keep-list computed over the LSH candidate
                             pair closure (the pair set D21 maintains),
                             as a recursive CTE.
+- `stream_substring_verdicts` — D24 incremental substring-span index
+                            (retroactive re-scoring). Oracle: C28.
+- `stream_mpt_entries`    — D15 park/resume MPT walk fed in node-hash
+                            order. Oracle: A16's derivation SQL.
+- `stream_ss_join`        — D13 watermarked stream-stream range join,
+                            TIME-ORDERED feed (watermark eviction makes
+                            arbitrary-order feeds out of contract —
+                            see _write_time_splits). Oracle: the batch
+                            range join.
 
 Cost model: a face pays the full streaming run ONCE per corpus version
 — the final state is a fingerprint-keyed disk artifact
@@ -108,6 +117,34 @@ def _write_splits(df: DataFrame, feed_dir: str, key: str) -> None:
         df.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
             part_dir
         )
+        parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        if parts:
+            os.replace(parts[0], os.path.join(feed_dir, f"b{i}.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def _write_time_splits(df: DataFrame, feed_dir: str, ts_col: str) -> None:
+    """Split into N_SPLITS consecutive event-time ranges (equal-width
+    over [min, max]) — the approximately-ordered arrival a watermarked
+    operator is specified against. Same executor-side mechanics as
+    _write_splits; the range bounds come from one broadcast stats row."""
+    import glob
+
+    os.makedirs(feed_dir, exist_ok=True)
+    # NTZ has no direct numeric cast — go through TIMESTAMP (UTC session)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    stats = df.agg(
+        F.min(sec).alias("lo"), F.max(sec).alias("hi")
+    )
+    frac = (sec - F.col("lo")) / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+    withb = df.join(F.broadcast(stats)).withColumn(
+        "_b", F.least(F.lit(N_SPLITS - 1), F.floor(frac * N_SPLITS).cast("int"))
+    )
+    for i in range(N_SPLITS):
+        part_dir = os.path.join(feed_dir, f"_tmp{i}")
+        withb.filter(F.col("_b") == i).drop("_b", "lo", "hi").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
         parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
         if parts:
             os.replace(parts[0], os.path.join(feed_dir, f"b{i}.parquet"))
@@ -432,6 +469,51 @@ def stream_mpt_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_mpt_entries", fp, build)
 
 
+# ---------------------------------------------------------------- D13 face
+
+def stream_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 face — the watermarked STREAM-STREAM range join (purchase ⋈
+    prior same-user clicks within 30 min) run as a real streaming
+    query over the 3-batch adversarial feed, results landed by the
+    parquet sink. Inner stream-stream joins emit on match, so once
+    every batch is processed the landed pairs equal the batch range
+    join — the oracle. The time-range predicate is what bounds both
+    join states at scale (O(rate × window), not stream lifetime)."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.joins import purchases_with_clicks
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_ss_join", n=N_SPLITS, v=3
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        # TIME-RANGE splits, not the hash scatter: a watermarked join
+        # CONTRACTUALLY drops rows later than the watermark bound, so
+        # the feed must be approximately time-ordered (as a real stream
+        # is) — the 1-hour watermark absorbs the boundary raggedness.
+        # The monoid faces tolerate arbitrary order; eviction-based
+        # operators define correctness only within their lateness bound.
+        _write_time_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "ts"
+        )
+        out = os.path.join(tmp, "out")
+        q = (
+            purchases_with_clicks(read_event_stream(spark, feed))
+            .select("purchase_id", "click_id", "p_user", "p_value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("stream_ss_join: did not quiesce in time")
+        return spark.read.parquet(out)
+
+    return _serve_streamed(spark, "stream_ss_join", fp, build)
+
+
 # ---------------------------------------------------------------- oracles
 
 # The streamed view sums DECIMAL(18,6); mirrored exactly.
@@ -551,6 +633,7 @@ QUERIES = {
     "stream_curation_kept": stream_curation_kept,
     "stream_substring_verdicts": stream_substring_verdicts,
     "stream_mpt_entries": stream_mpt_entries,
+    "stream_ss_join": stream_ss_join,
 }
 
 ORACLES = {
@@ -561,4 +644,14 @@ ORACLES = {
     "stream_curation_kept": _curation_kept_sql(),
     "stream_substring_verdicts": _spans_sql(),
     "stream_mpt_entries": _mpt_sql(),
+    "stream_ss_join": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS p_user, p.value AS p_value
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
 }
