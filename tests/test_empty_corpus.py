@@ -1,0 +1,86 @@
+"""Degenerate-input hardening: every representative operator family
+must handle an EMPTY corpus (0-row tables with the real schemas) by
+returning an empty — or well-defined scalar — result, never by
+throwing. At 100 TB empty slices are routine (a new partition, a
+filtered tenant, a dry source); an operator that crashes on empty
+input fails the pipeline at exactly the wrong time.
+
+The empty mirror reuses the REAL files' schemas (read schema, write 0
+rows), so column types — including the µs TIMESTAMP_NTZ events.ts —
+match production exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from euclid_spark import registry
+from euclid_spark.cache import release_all
+from tests.conftest import SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# one representative per operator family; scalar-result queries may
+# legitimately return one row of nulls/zeros
+EMPTY_OK = {
+    "euclid_block_range_scan": 0,
+    "euclid_q2_distinct_keys": 0,
+    "euclid_storage_digest": 0,
+    "euclid_state_rollup": 0,
+    "tpch_q1_pricing_summary": 0,
+    "tpch_q3_shipping_priority": 0,
+    "rel_window_topn_per_group": 0,
+    "rel_sessionize": 0,
+    "rel_full_outer_reconcile": 0,
+    "rel_heavy_hitters_cms": 0,
+    "dedup_exact": 0,
+    "dedup_minhash_lsh": 0,
+    "dedup_substring_spans": 0,
+    "text_token_count": 0,
+    "text_bm25_topk": 0,
+    "text_rag_chunks": 0,
+    "text_data_card": 0,
+    "sim_topk_cosine": 0,
+    "sim_prefix_rerank": 0,
+    "graph_doc_pagerank": 0,
+    "cdc_scd2_time_travel": 0,
+}
+SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        real = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        real.limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def test_operators_tolerate_empty_corpus(spark, empty_sf, monkeypatch, tmp_path):
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    qs = registry.queries()
+    failures = []
+    for name, want in EMPTY_OK.items():
+        try:
+            rows = qs[name](spark, empty_sf).collect()
+            if len(rows) != want:
+                failures.append(f"{name}: {len(rows)} rows (want {want})")
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: raised {type(ex).__name__}: {ex}"[:200])
+        finally:
+            release_all()
+    assert not failures, "\n".join(failures)
+
+
+def test_scalar_queries_return_defined_row(spark, empty_sf):
+    qs = registry.queries()
+    for name in SCALAR_ROWS_OK:
+        rows = qs[name](spark, empty_sf).collect()
+        assert len(rows) == 1
+        release_all()
