@@ -1302,6 +1302,28 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45 — UNPIVOT/MELT (the inverse of B12's pivot): lineitem's
+    measure columns to long (measure, value) rows via `stack` — the
+    wide→long reshape feeding generic per-measure pipelines (profiling,
+    anomaly screens) without one query per column. Aggregated per
+    (returnflag, measure) so the result is compact and exact: stack is
+    row-local (zero extra shuffle beyond the final rollup), decimal
+    sums keep totals order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', CAST(l_quantity AS DECIMAL(18,4)),"
+        " 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,4)),"
+        " 'discount', CAST(l_discount AS DECIMAL(18,4)))"
+        " AS (measure, value)",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).cast("double").alias("total"),
+    )
+
+
 def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B43 — FULL OUTER reconciliation report (the one join type the
     inventory lacked): per-day order volume vs event volume with BOTH
@@ -1368,6 +1390,7 @@ QUERIES = {
     "rel_set_ops": set_ops,
     "rel_full_outer_reconcile": full_outer_reconcile,
     "rel_heavy_hitters_cms": heavy_hitters_cms,
+    "rel_unpivot_measures": unpivot_measures,
     "rel_exploded_agg": exploded_agg,
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q12_ship_priority": q12_ship_priority,
@@ -1969,4 +1992,20 @@ ORACLES["rel_heavy_hitters_cms"] = f"""
            MIN(c.c) - p.exact_n AS overcount, p.rk
     FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
     GROUP BY p.user_id, p.exact_n, p.rk
+"""
+
+ORACLES["rel_unpivot_measures"] = """
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure,
+               CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice',
+               CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount',
+               CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+    )
+    SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+    FROM long GROUP BY l_returnflag, measure
 """
