@@ -885,11 +885,64 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- C41: winnowing
+WINNOW_K = 5  # words per k-gram
+WINNOW_W = 8  # hashes per selection window
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41 — WINNOWING fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS scheme, the local-sampling guarantee MinHash
+    lacks: every match of ≥ w+k-1 tokens is caught, because each
+    window of w consecutive k-gram hashes contributes its minimum,
+    rightmost on ties). Output: the selected (doc_id, pos, fp) rows —
+    the fingerprint index a plagiarism/near-dup system stores, at
+    ~2/(w+1) the density of the full hash stream.
+
+    Entirely row-local (hashes, windows, argmin all inside array
+    expressions — one explode of the SELECTED set only), so the plan
+    is scan → project → explode → distinct: the only exchange is the
+    final per-doc distinct, carrying the sampled fingerprints, not the
+    token stream."""
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", _nonempty_words().alias("ws"))
+    hashes = F.transform(
+        shingles(F.col("ws"), k=WINNOW_K),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    staged = ws.select("doc_id", hashes.alias("hs")).filter(
+        F.size("hs") >= WINNOW_W
+    )
+    n_win = F.size("hs") - F.lit(WINNOW_W - 1)
+    sel = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            # rightmost minimum of the window: first position of the
+            # min in the REVERSED slice, mapped back
+            (
+                i
+                + F.lit(WINNOW_W)
+                - F.array_position(
+                    F.reverse(F.slice(F.col("hs"), i + 1, WINNOW_W)),
+                    F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)),
+                )
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)).alias("fp"),
+        ),
+    )
+    return (
+        staged.select("doc_id", F.explode(sel).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_bm25_topk": text_bm25_topk,
     "text_data_card": text_data_card,
     "text_rag_chunks": text_rag_chunks,
+    "text_winnowing": text_winnowing,
     "text_stratified_sample": text_stratified_sample,
     "text_benchmark_overlap": text_benchmark_overlap,
     "text_token_count": text_token_count,
@@ -1285,4 +1338,33 @@ ORACLES["text_rag_chunks"] = f"""
            md5(list_aggregate(ws[start_tok + 1 : start_tok + {CHUNK_LEN}],
                               'string_agg', ' ')) AS chunk_md5
     FROM s
+"""
+
+# C41: k-gram list (1-indexed), min via list_aggregate, rightmost-tie
+# via first position in the reversed slice — mirrors the Spark exprs.
+_WIN_SH = (
+    f"list_transform(range(1, len(ws) - {WINNOW_K - 2}), "
+    f"i -> ws[i]" + "".join(f" || ' ' || ws[i+{j}]" for j in range(1, WINNOW_K))
+    + ")"
+)
+ORACLES["text_winnowing"] = f"""
+    WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform({_WIN_SH},
+                     s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+          FROM w WHERE len(ws) >= {WINNOW_K}),
+    st AS (SELECT doc_id, hs FROM h WHERE len(hs) >= {WINNOW_W}),
+    sel AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(hs) - {WINNOW_W - 1}),
+                   i -> struct_pack(
+                       pos := i + {WINNOW_W}
+                              - list_position(
+                                    list_reverse(hs[i+1 : i+{WINNOW_W}]),
+                                    list_aggregate(hs[i+1 : i+{WINNOW_W}],
+                                                   'min')),
+                       fp := list_aggregate(hs[i+1 : i+{WINNOW_W}], 'min')
+                   ))) AS s
+        FROM st)
+    SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel
 """
