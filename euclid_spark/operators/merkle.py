@@ -393,12 +393,80 @@ def _oracle_verifiable_response() -> str:
     """
 
 
+def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — A20 batched over EVERY owner (the A12 ⇄ A20 composition):
+    one query emits, for all owners at once, the canonical-order top-L
+    revealed tokens each carrying its opening path to that OWNER'S OWN
+    commitment root over their full in-range token set, plus the range
+    provenance. This is the reference's batched revelation surface
+    made verifiable end-to-end — the multi-group case the generic
+    merkle machinery (group_key = owner) exists for.
+
+    The revelation bound needs no window: leaf_pos IS the canonical
+    rank (leaves are numbered in token order per owner), so revealed =
+    leaf_pos < TOP_L — a row-local filter after the path join."""
+    from euclid_spark.operators.euclid import (
+        TOP_L,
+        _range_provenance,
+        q2_distinct_keys,
+    )
+
+    keys = q2_distinct_keys(spark, sf_dir).filter(F.col("token_id").isNotNull())
+    w = Window.partitionBy("owner").orderBy("token_id")
+    leaves = keys.select(
+        F.col("owner").alias("group_key"),
+        "token_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.sha2(F.col("token_id").cast("string"), 256).alias("node_hash"),
+    )
+    paths = merkle_opening_paths(leaves, entry_cols=["token_id"])
+    revealed = paths.filter(F.col("leaf_pos") < TOP_L)
+    return revealed.crossJoin(
+        F.broadcast(_range_provenance(spark, sf_dir))
+    ).select(
+        F.col("group_key").alias("owner"),
+        "token_id",
+        "leaf_pos",
+        "leaf_hash",
+        "path",
+        "root",
+        "min_block",
+        "max_block",
+        "range_digest",
+    )
+
+
+def _oracle_batch_responses() -> str:
+    from euclid_spark.operators.euclid import (
+        TOP_L,
+        _PROV_SQL,
+        _RANGE,
+        _TOKEN,
+    )
+
+    l0 = f"""  SELECT owner AS group_key, token_id,
+         row_number() OVER (PARTITION BY owner ORDER BY token_id) - 1 AS pos,
+         sha256(token_id::VARCHAR) AS node_hash
+  FROM (SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id FROM events
+        WHERE {_RANGE} AND event_type = 'purchase'
+          AND {_TOKEN} IS NOT NULL)"""
+    return f"""
+        SELECT m.group_key AS owner, m.token_id, m.leaf_pos, m.leaf_hash,
+               m.path, m.root, p.min_block, p.max_block, p.range_digest
+        FROM ({merkle_proof_sql(l0, "token_id")}) m
+        CROSS JOIN ({_PROV_SQL}) p
+        WHERE m.leaf_pos < {TOP_L}
+    """
+
+
 QUERIES = {
     "euclid_merkle_proof": merkle_membership_proof,
     "euclid_verifiable_response": verifiable_query_response,
+    "euclid_batch_verifiable_responses": batch_verifiable_responses,
 }
 
 ORACLES = {
     "euclid_merkle_proof": _oracle_merkle(),
     "euclid_verifiable_response": _oracle_verifiable_response(),
+    "euclid_batch_verifiable_responses": _oracle_batch_responses(),
 }

@@ -141,3 +141,18 @@ def test_verifiable_response_refolds_and_binds(spark):
         == toks[:TOP_L]
     prov = _range_provenance(spark, SF_SMOKE).collect()[0]
     assert all(r["range_digest"] == prov["range_digest"] for r in rows)
+
+
+def test_batch_responses_refold_per_owner(spark):
+    """A21: every revealed row refolds to ITS OWNER'S root; roots
+    differ across owners (per-owner commitments, not one global)."""
+    from euclid_spark.operators.merkle import batch_verifiable_responses
+
+    rows = batch_verifiable_responses(spark, SF_SMOKE).collect()
+    assert rows
+    by_owner = {}
+    for r in rows:
+        assert _refold(r["leaf_hash"], r["path"]) == r["root"]
+        by_owner.setdefault(r["owner"], set()).add(r["root"])
+    assert all(len(roots) == 1 for roots in by_owner.values())
+    assert len({next(iter(v)) for v in by_owner.values()}) > 1
