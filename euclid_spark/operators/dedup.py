@@ -726,9 +726,51 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_PAIR_MIN = 3  # shared fingerprints to call a pair
+MAX_FP_DF = 50       # fingerprint document-frequency skew guard
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 — WINNOWING-BASED near-dup pairs (the matching step of
+    MOSS, Schleimer et al. 2003): documents sharing ≥ WINNOW_PAIR_MIN
+    selected fingerprints. Because winnowing guarantees every
+    ≥ w+k-1-token shared run contributes a shared fingerprint, this
+    catches LOCALIZED copying (a plagiarized paragraph inside an
+    otherwise-unique doc) that whole-document MinHash dilutes away —
+    the complementary detector to C2.
+
+    Scale shape: the standard inverted-index join on the fingerprint
+    key with the document-frequency cap (boilerplate fingerprints in
+    > MAX_FP_DF docs carry no pair signal and would emit df² join
+    rows — same guard as C4's shingle index), never all-pairs."""
+    from euclid_spark.operators.textops import text_winnowing
+
+    fps = (
+        text_winnowing(spark, sf_dir).select("doc_id", "fp").distinct()
+    )
+    wdf = Window.partitionBy("fp")
+    fps = fps.withColumn("df", F.count("*").over(wdf)).filter(
+        F.col("df") <= MAX_FP_DF
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_PAIR_MIN)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -976,3 +1018,29 @@ ORACLES["dedup_minhash_estimate"] = f"""
     JOIN sz za ON za.doc_id = e.doc_a
     JOIN sz zb ON zb.doc_id = e.doc_b
 """
+
+# C42: the winnowing oracle wrapped as a subquery, then the capped
+# inverted-index pair join — the C4 shape on the sampled fingerprints.
+def _winnow_pairs_sql() -> str:
+    from euclid_spark.operators.textops import ORACLES as _TO
+
+    return f"""
+        WITH wf AS (
+            SELECT DISTINCT doc_id, fp FROM ({_TO["text_winnowing"]})
+        ),
+        capped AS (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+                FROM wf)
+            WHERE df <= {MAX_FP_DF}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
+    """
+
+
+ORACLES["dedup_winnow_pairs"] = _winnow_pairs_sql()
