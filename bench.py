@@ -48,6 +48,7 @@ HEADLINE = [
     "tpch_q9_product_type_profit",
     "euclid_preprocessing_pipeline",
     "euclid_verifiable_response",
+    "euclid_batch_verifiable_responses",
     "graph_doc_pagerank",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",
@@ -70,6 +71,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_fingerprint",
     "text_bm25_topk",
+    "text_winnowing",
     "text_rag_chunks",
     "text_data_card",
     "dedup_minhash_estimate",

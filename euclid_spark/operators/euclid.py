@@ -442,6 +442,56 @@ def block_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — STATE DIFF between two block heights, the natural query
+    pair over the reference's versioned state DB (block/mod.rs stores
+    every height; explorers and reorg audits ask "what changed between
+    H1 and H2"): per account, the latest value at H1 vs at H2, emitting
+    accounts that are NEW at H2 or whose value CHANGED — unchanged
+    accounts are filtered out, which at scale is the point (the diff is
+    sparse even when the state is huge).
+
+    Heights are broadcast one-row aggregates (⅓ and ⅔ of the max block
+    — scale-invariant probe points, not collected constants). Each side
+    is one argmax-by-block aggregate; the diff is one full-outer-shaped
+    left join on the account key. Values pass through unchanged (no
+    arithmetic), so equality filtering is engine-exact."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    bounds = ev.agg(
+        F.floor(F.max("event_id") / 3).cast("long").alias("h1"),
+        F.floor(F.max("event_id") * 2 / 3).cast("long").alias("h2"),
+    )
+    evb = ev.join(F.broadcast(bounds))
+    s1 = (
+        evb.filter(F.col("event_id") <= F.col("h1"))
+        .groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("old_value"))
+    )
+    s2 = (
+        evb.filter(F.col("event_id") <= F.col("h2"))
+        .groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("new_value"))
+    )
+    return (
+        s2.join(s1, "user_id", "left")
+        .join(F.broadcast(bounds))
+        .filter(
+            F.col("old_value").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "user_id",
+            "h1",
+            "h2",
+            "old_value",
+            "new_value",
+            F.when(F.col("old_value").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
+
+
 QUERIES = {
     "euclid_block_range_scan": block_range_scan,
     "euclid_block_linking": block_linking,
@@ -455,6 +505,7 @@ QUERIES = {
     "euclid_storage_digest": storage_digest,
     "euclid_length_match": length_match,
     "euclid_state_rollup": state_rollup,
+    "euclid_state_diff": state_diff,
     "euclid_block_db_metadata": block_db_metadata,
     "euclid_block_db_chain": block_db_chain,
     "euclid_membership_proof": membership_proof,
@@ -633,3 +684,20 @@ ORACLES = {
         WHERE c_custkey % 100 = 7
     """,
 }
+
+ORACLES["euclid_state_diff"] = """
+    WITH b AS (
+        SELECT CAST(FLOOR(MAX(event_id) / 3) AS BIGINT) AS h1,
+               CAST(FLOOR(MAX(event_id) * 2 / 3) AS BIGINT) AS h2
+        FROM events
+    ),
+    s1 AS (SELECT user_id, max_by(value, event_id) AS old_value
+           FROM events, b WHERE event_id <= b.h1 GROUP BY user_id),
+    s2 AS (SELECT user_id, max_by(value, event_id) AS new_value
+           FROM events, b WHERE event_id <= b.h2 GROUP BY user_id)
+    SELECT s2.user_id, b.h1, b.h2, s1.old_value, s2.new_value,
+           CASE WHEN s1.user_id IS NULL THEN 'added'
+                ELSE 'changed' END AS change
+    FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id, b
+    WHERE s1.user_id IS NULL OR s1.old_value <> s2.new_value
+"""
