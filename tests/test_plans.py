@@ -272,3 +272,41 @@ def test_bm25_no_corpus_shuffle(spark):
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffles <= 1, plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_rag_chunks_zero_exchanges(spark):
+    """C36: chunking is entirely row-local — no exchange of any kind."""
+    plan = _plan(textops.text_rag_chunks(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_winnowing_only_selected_fingerprints_shuffle(spark):
+    """C41: the only exchange is the final distinct over the SELECTED
+    fingerprints (sampled density), never the token stream."""
+    plan = _plan(textops.text_winnowing(spark, SF_SMOKE))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_state_diff_broadcasts_heights(spark):
+    """A22: the two probe heights join in as broadcasts; the account
+    join keys on the aggregation key."""
+    plan = _plan(euclid.state_diff(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_unpivot_is_single_rollup(spark):
+    """B45: stack is row-local — exactly the rollup's exchange."""
+    plan = _plan(relational.unpivot_measures(spark, SF_SMOKE))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 1, plan
+
+
+def test_cms_sketch_is_bounded_broadcast(spark):
+    """B44: the probe side joins the sketch via broadcast (the sketch
+    is 1024 cells by construction) and the top-N is TakeOrdered."""
+    plan = _plan(relational.heavy_hitters_cms(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
