@@ -1,0 +1,46 @@
+"""Partition-count invariance: results must be BIT-IDENTICAL under
+different `spark.sql.shuffle.partitions` settings. This is the
+determinism property the decimal/integer arithmetic rules exist for —
+a float accumulation ordered differently across 2 vs 32 reducers must
+never change a rounded digit (the q15 hazard), and rank/tie-break
+rules must not depend on physical row order. Representative queries
+from each family where the hazard is real."""
+
+from __future__ import annotations
+
+import pytest
+
+from euclid_spark import registry
+from euclid_spark.cache import release_all
+from tests.conftest import SF_SMOKE
+
+CASES = [
+    "tpch_q15_top_supplier",       # decimal-exact argmax at a rounding edge
+    "tpch_q1_pricing_summary",     # float aggs rounded
+    "euclid_storage_digest",       # mod-prime commutative digest
+    "dedup_minhash_lsh",           # min-aggregate signatures + bucket join
+    "text_bm25_topk",              # rounded-score top-k tiebreak
+    "graph_doc_pagerank",          # integer fixed-point iteration
+    "rel_unpivot_measures",        # decimal rollup
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_result_invariant_under_partitioning(spark, name, tmp_path, monkeypatch):
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    qs = registry.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("2", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(_rows(qs[name](spark, SF_SMOKE)))
+            release_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1], f"{name} varies with partition count"
