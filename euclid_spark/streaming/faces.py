@@ -49,6 +49,9 @@ Faces:
                             arbitrary-order feeds out of contract —
                             see _write_time_splits). Oracle: the batch
                             range join.
+- `stream_windowed_counts` — D4 watermarked tumbling-window standing
+                            aggregation, complete mode, DECIMAL sums.
+                            Oracle: the batch per-(hour, type) rollup.
 
 Cost model: a face pays the full streaming run ONCE per corpus version
 — the final state is a fingerprint-keyed disk artifact
@@ -514,6 +517,57 @@ def stream_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_ss_join", fp, build)
 
 
+# ---------------------------------------------------------------- D4 face
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 face — the WATERMARKED TUMBLING-WINDOW aggregation (the
+    standing query over the append stream) run as a real streaming
+    query in complete mode over the time-split feed; the final state
+    must equal the batch per-(hour, type) aggregate. DECIMAL sums so
+    streamed partial merges and the one-pass oracle agree exactly."""
+    from euclid_spark.streaming.block_db import read_event_stream
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_windowed_counts", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        _write_time_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "ts"
+        )
+        agg = (
+            read_event_stream(spark, feed)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(18,6)")
+                .alias("total_value"),
+            )
+        )
+        qname = f"wc_{fp[:12]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("stream_windowed_counts: did not quiesce")
+        return spark.table(qname).select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+
+    return _serve_streamed(spark, "stream_windowed_counts", fp, build)
+
+
 # ---------------------------------------------------------------- oracles
 
 # The streamed view sums DECIMAL(18,6); mirrored exactly.
@@ -634,6 +688,7 @@ QUERIES = {
     "stream_substring_verdicts": stream_substring_verdicts,
     "stream_mpt_entries": stream_mpt_entries,
     "stream_ss_join": stream_ss_join,
+    "stream_windowed_counts": stream_windowed_counts,
 }
 
 ORACLES = {
@@ -653,5 +708,14 @@ ORACLES = {
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL 30 MINUTE
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    "stream_windowed_counts": """
+        SELECT to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY 1, 2
     """,
 }
