@@ -54,6 +54,16 @@ def get_session(app_name: str = "euclid_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("EUCLID_SPARK_DRIVER_MEM", "16g"))
+        # a long-lived session compiles hundreds of whole-stage codegen
+        # classes (the full-registry sweep runs 120+ queries in one JVM);
+        # the JVM default 240 MB code cache fills, JIT compilation stops,
+        # and every later query runs interpreted 3-5× slower — measured
+        # as a creeping warm-pass slowdown late in bench.py. Only takes
+        # effect at JVM launch (getOrCreate), which is where this sits.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
