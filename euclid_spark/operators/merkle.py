@@ -404,22 +404,48 @@ def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The revelation bound needs no window: leaf_pos IS the canonical
     rank (leaves are numbered in token order per owner), so revealed =
-    leaf_pos < TOP_L — a row-local filter after the path join."""
+    leaf_pos < TOP_L — a row-local filter after the path join.
+
+    The per-owner token TREE (leaves + levels) is a fingerprint-keyed
+    DISK ARTIFACT like the customer tree: the reference STORES its
+    state DB and answers proofs as lookups (mrp2-utils/src/
+    merkle_tree/mod.rs); only the path join runs live."""
+    from euclid_spark import artifacts
     from euclid_spark.operators.euclid import (
         TOP_L,
         _range_provenance,
         q2_distinct_keys,
     )
 
-    keys = q2_distinct_keys(spark, sf_dir).filter(F.col("token_id").isNotNull())
-    w = Window.partitionBy("owner").orderBy("token_id")
-    leaves = keys.select(
-        F.col("owner").alias("group_key"),
-        "token_id",
-        (F.row_number().over(w) - 1).alias("pos"),
-        F.sha2(F.col("token_id").cast("string"), 256).alias("node_hash"),
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="owner_token_tree"
     )
-    paths = merkle_opening_paths(leaves, entry_cols=["token_id"])
+
+    def build_leaves() -> DataFrame:
+        keys = q2_distinct_keys(spark, sf_dir).filter(
+            F.col("token_id").isNotNull()
+        )
+        w = Window.partitionBy("owner").orderBy("token_id")
+        return keys.select(
+            F.col("owner").alias("group_key"),
+            "token_id",
+            (F.row_number().over(w) - 1).alias("pos"),
+            F.sha2(F.col("token_id").cast("string"), 256).alias("node_hash"),
+        )
+
+    leaves = artifacts.serve_frame(spark, "owner_token_leaves", fp, build_leaves)
+    nodes = artifacts.serve_frame(
+        spark,
+        "owner_token_nodes",
+        fp,
+        lambda: merkle_levels(
+            persist_tracked(leaves).select("group_key", "pos", "node_hash")
+        )[0],
+    )
+    depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    paths = merkle_opening_paths(
+        leaves, entry_cols=["token_id"], nodes=nodes, depth=depth
+    )
     revealed = paths.filter(F.col("leaf_pos") < TOP_L)
     return revealed.crossJoin(
         F.broadcast(_range_provenance(spark, sf_dir))
