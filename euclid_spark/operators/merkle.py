@@ -340,19 +340,15 @@ def verifiable_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2_distinct_keys,
     )
 
-    keys = (
-        q2_distinct_keys(spark, sf_dir)
-        .filter((F.col("owner") == OWNER) & F.col("token_id").isNotNull())
-        .select("token_id")
+    # the single-owner response is a FILTER of the all-owner tree
+    # artifact (A21's store): same leaf numbering, same per-owner
+    # subtree, so the served tree answers both faces
+    leaves, nodes, depth = _owner_token_tree(spark, sf_dir)
+    owner_leaves = leaves.filter(F.col("group_key") == OWNER)
+    owner_nodes = nodes.filter(F.col("group_key") == OWNER)
+    paths = merkle_opening_paths(
+        owner_leaves, entry_cols=["token_id"], nodes=owner_nodes, depth=depth
     )
-    w = Window.partitionBy(F.lit(OWNER)).orderBy("token_id")
-    leaves = keys.select(
-        F.lit(OWNER).cast("long").alias("group_key"),
-        "token_id",
-        (F.row_number().over(w) - 1).alias("pos"),
-        F.sha2(F.col("token_id").cast("string"), 256).alias("node_hash"),
-    )
-    paths = merkle_opening_paths(leaves, entry_cols=["token_id"])
     revealed = paths.orderBy("token_id").limit(TOP_L)
     return revealed.crossJoin(
         F.broadcast(_range_provenance(spark, sf_dir))
@@ -393,29 +389,13 @@ def _oracle_verifiable_response() -> str:
     """
 
 
-def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A21 — A20 batched over EVERY owner (the A12 ⇄ A20 composition):
-    one query emits, for all owners at once, the canonical-order top-L
-    revealed tokens each carrying its opening path to that OWNER'S OWN
-    commitment root over their full in-range token set, plus the range
-    provenance. This is the reference's batched revelation surface
-    made verifiable end-to-end — the multi-group case the generic
-    merkle machinery (group_key = owner) exists for.
-
-    The revelation bound needs no window: leaf_pos IS the canonical
-    rank (leaves are numbered in token order per owner), so revealed =
-    leaf_pos < TOP_L — a row-local filter after the path join.
-
-    The per-owner token TREE (leaves + levels) is a fingerprint-keyed
-    DISK ARTIFACT like the customer tree: the reference STORES its
-    state DB and answers proofs as lookups (mrp2-utils/src/
-    merkle_tree/mod.rs); only the path join runs live."""
+def _owner_token_tree(spark: SparkSession, sf_dir: str):
+    """The all-owner token-set Merkle tree (leaves + levels) as a
+    fingerprint-keyed DISK ARTIFACT — the stored state DB both
+    response faces (A20 single-owner, A21 all-owner) answer from;
+    only the path joins run live. Returns (leaves, nodes, depth)."""
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import (
-        TOP_L,
-        _range_provenance,
-        q2_distinct_keys,
-    )
+    from euclid_spark.operators.euclid import q2_distinct_keys
 
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"], op="owner_token_tree"
@@ -443,6 +423,34 @@ def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[0],
     )
     depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    return leaves, nodes, depth
+
+
+def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — A20 batched over EVERY owner (the A12 ⇄ A20 composition):
+    one query emits, for all owners at once, the canonical-order top-L
+    revealed tokens each carrying its opening path to that OWNER'S OWN
+    commitment root over their full in-range token set, plus the range
+    provenance. This is the reference's batched revelation surface
+    made verifiable end-to-end — the multi-group case the generic
+    merkle machinery (group_key = owner) exists for.
+
+    The revelation bound needs no window: leaf_pos IS the canonical
+    rank (leaves are numbered in token order per owner), so revealed =
+    leaf_pos < TOP_L — a row-local filter after the path join.
+
+    The per-owner token TREE (leaves + levels) is a fingerprint-keyed
+    DISK ARTIFACT like the customer tree: the reference STORES its
+    state DB and answers proofs as lookups (mrp2-utils/src/
+    merkle_tree/mod.rs); only the path join runs live."""
+    from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import (
+        TOP_L,
+        _range_provenance,
+        q2_distinct_keys,
+    )
+
+    leaves, nodes, depth = _owner_token_tree(spark, sf_dir)
     paths = merkle_opening_paths(
         leaves, entry_cols=["token_id"], nodes=nodes, depth=depth
     )
