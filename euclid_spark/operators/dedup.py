@@ -662,8 +662,13 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures served from the artifact index; the exact
     side restricts the inverted-index join to candidate-pair members
-    first (left-semi on doc_id), so its cost scales with the candidate
-    set, not the corpus."""
+    first (left-semi on doc_id), so its cost scales with the CANDIDATE
+    PAIR VOLUME, not the corpus — measured at the 10× worst-case
+    duplicate load (tools/scale_probe.py): 45× the pairs cost 12× the
+    wall, i.e. sublinear in its own output. The contract at production
+    scale: a calibration audit needs a SAMPLE of candidates, not all
+    of them — run it on an md5-bucket slice of the pair ledger (the
+    C22 sampling pattern) when the candidate volume is itself large."""
     pairs = persist_tracked(dedup_minhash_lsh(spark, sf_dir))
     sigs = signature_index(spark, sf_dir)
     sa = sigs.select(
