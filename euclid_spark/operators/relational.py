@@ -1302,6 +1302,49 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46 — COHORT RETENTION: users grouped by first-purchase week,
+    tracked by distinct activity in each later week — the canonical
+    product-analytics triangle every event warehouse serves. Two hash
+    aggregates (first month per user; distinct user-months) joined on
+    the user key, then one rollup per (cohort, month offset); the
+    retention rate divides exact integers, rounded once."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    activity = ev.distinct()
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size")
+    )
+    # both dates are week-truncated Mondays, so the day delta is an
+    # exact multiple of 7 in both engines
+    joined = activity.join(first, "user_id").select(
+        "cohort",
+        (F.datediff("week", "cohort") / 7).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
 def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B45 — UNPIVOT/MELT (the inverse of B12's pivot): lineitem's
     measure columns to long (measure, value) rows via `stack` — the
@@ -1391,6 +1434,7 @@ QUERIES = {
     "rel_full_outer_reconcile": full_outer_reconcile,
     "rel_heavy_hitters_cms": heavy_hitters_cms,
     "rel_unpivot_measures": unpivot_measures,
+    "rel_cohort_retention": cohort_retention,
     "rel_exploded_agg": exploded_agg,
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q12_ship_priority": q12_ship_priority,
@@ -2008,4 +2052,30 @@ ORACLES["rel_unpivot_measures"] = """
     SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
     FROM long GROUP BY l_returnflag, measure
+"""
+
+ORACLES["rel_cohort_retention"] = """
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events WHERE event_type = 'purchase'
+    ),
+    first AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort),
+    act AS (SELECT DISTINCT user_id, week FROM ev),
+    j AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.week) // 7 AS INT)
+                   AS week_offset,
+               a.user_id
+        FROM act a JOIN first f ON f.user_id = a.user_id
+    ),
+    r AS (
+        SELECT cohort, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM j GROUP BY cohort, week_offset
+    )
+    SELECT r.cohort, r.week_offset, r.n_active, s.cohort_size,
+           ROUND(r.n_active * 1.0 / s.cohort_size, 4) AS retention
+    FROM r JOIN sizes s ON s.cohort = r.cohort
 """
