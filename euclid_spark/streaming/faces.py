@@ -227,6 +227,12 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _run_stream(q, sink, N_SPLITS)
+        if not os.path.exists(view):  # zero-row corpus: nothing merged
+            return spark.createDataFrame(
+                [],
+                "user_id long, day date, n_events bigint, "
+                "total_value double, digest bigint",
+            )
         return sink.view(spark).select(
             "user_id",
             "day",
@@ -274,6 +280,12 @@ def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _run_stream(q, sink, N_SPLITS)
+        if not os.path.exists(view):  # zero-row corpus: nothing merged
+            return spark.createDataFrame(
+                [],
+                "user_id long, day date, last_value double, "
+                "last_event_id bigint, n_events bigint",
+            )
         return sink.view(spark).select(
             "user_id", "day", "last_value", "last_event_id", "n_events"
         )
@@ -512,7 +524,12 @@ def stream_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(600):
             raise RuntimeError("stream_ss_join: did not quiesce in time")
-        return spark.read.parquet(out)
+        schema = "purchase_id long, click_id long, p_user long, p_value double"
+        import glob as _g
+
+        if not _g.glob(os.path.join(out, "part-*")):  # no pairs landed
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(out)
 
     return _serve_streamed(spark, "stream_ss_join", fp, build)
 

@@ -121,6 +121,14 @@ class MaintainedAggregate:
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id:
             return  # fast path: watermark file says already merged
+        if batch_df.isEmpty():
+            # an empty micro-batch merges nothing — and MUST NOT write:
+            # a zero-row dynamic-partition overwrite creates a
+            # partition-less view directory whose later read fails
+            # schema inference (found by the empty-corpus net)
+            self.last_batch_id = batch_id
+            self._save()
+            return
         spark = batch_df.sparkSession
         partial = (self.partial_fn or _partial)(batch_df)
 

@@ -78,6 +78,19 @@ def test_operators_tolerate_empty_corpus(spark, empty_sf, monkeypatch, tmp_path)
     assert not failures, "\n".join(failures)
 
 
+def test_streaming_faces_tolerate_empty_corpus(spark, empty_sf, monkeypatch, tmp_path):
+    """The streaming faces must run their sinks to quiescence over an
+    empty feed and return empty frames, not crash on never-created
+    state paths."""
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    qs = registry.queries()
+    for name in ("stream_ivm_view", "stream_state_rollup", "stream_ss_join",
+                 "stream_dedup_pairs"):
+        rows = qs[name](spark, empty_sf).collect()
+        assert rows == [], name
+        release_all()
+
+
 def test_scalar_queries_return_defined_row(spark, empty_sf):
     qs = registry.queries()
     for name in SCALAR_ROWS_OK:
