@@ -1,9 +1,16 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "queries_warm": {name: sec, ...},
-   "sf": <sf>}
+Prints ONE compact JSON line:
+  {"metric": "...", "value": <total cold sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "warm_total": <sec>, "sf": <sf>,
+   "detail": "BENCH_DETAIL.json"}
+
+The printed line keeps the per-query COLD timings (rounded to 10 ms)
+but moves the warm per-query detail to BENCH_DETAIL.json next to this
+script: the r6 record was lost because the single line (~4 KB for 50
+queries × 2 passes at 3 decimals) exceeded the driver's stdout capture
+and only the tail survived (`parsed: null`). The full-precision
+cold+warm per-query map is always in BENCH_DETAIL.json.
 
 Each query executes its full physical plan into the noop sink (no driver
 collect — we measure the engine, not row transfer). `queries` is the
@@ -112,16 +119,31 @@ def main() -> None:
     for name in HEADLINE:
         warm[name] = _run(qs, name, sf_dir)
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "warm_total": detail["warm_total"],
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

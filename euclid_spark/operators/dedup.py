@@ -660,15 +660,25 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is small by construction (the only place exact Jaccard is
     affordable at corpus scale).
 
-    Scale shape: signatures served from the artifact index; the exact
-    side restricts the inverted-index join to candidate-pair members
-    first (left-semi on doc_id), so its cost scales with the CANDIDATE
-    PAIR VOLUME, not the corpus — measured at the 10× worst-case
-    duplicate load (tools/scale_probe.py): 45× the pairs cost 12× the
-    wall, i.e. sublinear in its own output. The contract at production
-    scale: a calibration audit needs a SAMPLE of candidates, not all
-    of them — run it on an md5-bucket slice of the pair ledger (the
-    C22 sampling pattern) when the candidate volume is itself large."""
+    Scale shape (r7, pair-driven): signatures served from the artifact
+    index; the exact side is driven FROM THE PAIR LEDGER — each pair is
+    exploded by doc_a's shingles, then doc_b's shingles are matched on
+    (doc_b, shingle) — so the intermediate is exactly
+    Σ_pairs |shingles(doc_a)| rows, LINEAR in the candidate-pair volume
+    at any corpus size. (The previous shape — a shingle-key self-join
+    over the members' uncapped shingle universe with the pair
+    restriction applied after the groupBy — produced every co-shingle
+    member pair as intermediate mass and went quadratic under total
+    duplication; VERDICT r6 #1.) The contract at production scale
+    still applies: a calibration audit needs a SAMPLE of candidates —
+    run it on an md5-bucket slice of the pair ledger (the C22 sampling
+    pattern) when the candidate volume is itself large.
+
+    Zero-overlap candidates are KEPT (r7 ADVICE): a pair with no
+    shared shingles is exactly the maximal-error row (est > 0,
+    exact = 0) a sketch-accuracy audit exists to surface — inter and
+    the sizes are left-joined from the pair ledger and coalesced, so
+    such pairs report exact_jaccard = 0 instead of vanishing."""
     pairs = persist_tracked(dedup_minhash_lsh(spark, sf_dir))
     sigs = signature_index(spark, sf_dir)
     sa = sigs.select(
@@ -698,27 +708,31 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingles(_docs(spark, sf_dir).join(members, "doc_id", "left_semi"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # pair-driven intersection: pairs × shingles(doc_a), matched against
+    # shingles(doc_b) on the (doc_b, shingle) key — plain shuffle hash
+    # joins, intermediate ∝ pair volume, never the co-shingle blowup
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        pairs.join(sh.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
+        .join(
+            sh.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"]
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
-        .join(pairs, ["doc_a", "doc_b"], "left_semi")
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    i0 = F.coalesce(F.col("inter"), F.lit(0))
+    denom = (
+        F.coalesce(F.col("na"), F.lit(0))
+        + F.coalesce(F.col("nb"), F.lit(0))
+        - i0
+    )
+    jac = F.when(denom > 0, i0 / denom).otherwise(F.lit(0.0))
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
-        .join(inter, ["doc_a", "doc_b"])
-        .join(sizes.selectExpr("doc_id AS doc_a", "n_sh AS na"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "n_sh AS nb"), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.selectExpr("doc_id AS doc_a", "n_sh AS na"), "doc_a", "left")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n_sh AS nb"), "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
@@ -1010,18 +1024,32 @@ ORACLES["dedup_minhash_estimate"] = f"""
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2
     )
     SELECT e.doc_a, e.doc_b, e.est_jaccard,
-           ROUND(i.i / (za.n_sh + zb.n_sh - i.i), 4) AS exact_jaccard,
+           ROUND(CASE WHEN COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+                           - COALESCE(i.i, 0) > 0
+                      THEN COALESCE(i.i, 0) * 1.0
+                           / (COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+                              - COALESCE(i.i, 0))
+                      ELSE 0.0 END, 4) AS exact_jaccard,
            ROUND(ABS(e.est_jaccard
-                     - ROUND(i.i / (za.n_sh + zb.n_sh - i.i), 4)), 4) AS abs_err
+                     - ROUND(CASE WHEN COALESCE(za.n_sh, 0)
+                                       + COALESCE(zb.n_sh, 0)
+                                       - COALESCE(i.i, 0) > 0
+                                  THEN COALESCE(i.i, 0) * 1.0
+                                       / (COALESCE(za.n_sh, 0)
+                                          + COALESCE(zb.n_sh, 0)
+                                          - COALESCE(i.i, 0))
+                                  ELSE 0.0 END, 4)), 4) AS abs_err
     FROM est e
-    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
-    JOIN sz za ON za.doc_id = e.doc_a
-    JOIN sz zb ON zb.doc_id = e.doc_b
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    LEFT JOIN sz za ON za.doc_id = e.doc_a
+    LEFT JOIN sz zb ON zb.doc_id = e.doc_b
 """
 
 # C42: the winnowing oracle wrapped as a subquery, then the capped

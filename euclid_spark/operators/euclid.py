@@ -455,7 +455,14 @@ def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     — scale-invariant probe points, not collected constants). Each side
     is one argmax-by-block aggregate; the diff is one full-outer-shaped
     left join on the account key. Values pass through unchanged (no
-    arithmetic), so equality filtering is engine-exact."""
+    arithmetic), so equality filtering is engine-exact.
+
+    NULL discipline (r7 ADVICE): "added" is keyed on ABSENCE AT H1 (a
+    has_h1 join flag, not old_value IS NULL — an account whose latest
+    h1 value is NULL is present, not added), and "changed" uses the
+    null-safe IS DISTINCT FROM so a NULL→x or x→NULL transition is a
+    change in both engines instead of silently dropping out of the
+    oracle (NULL <> x is NULL in SQL)."""
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
     bounds = ev.agg(
         F.floor(F.max("event_id") / 3).cast("long").alias("h1"),
@@ -466,6 +473,7 @@ def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         evb.filter(F.col("event_id") <= F.col("h1"))
         .groupBy("user_id")
         .agg(F.max_by("value", "event_id").alias("old_value"))
+        .withColumn("has_h1", F.lit(True))
     )
     s2 = (
         evb.filter(F.col("event_id") <= F.col("h2"))
@@ -476,8 +484,8 @@ def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.join(s1, "user_id", "left")
         .join(F.broadcast(bounds))
         .filter(
-            F.col("old_value").isNull()
-            | (F.col("old_value") != F.col("new_value"))
+            F.col("has_h1").isNull()
+            | ~(F.col("old_value").eqNullSafe(F.col("new_value")))
         )
         .select(
             "user_id",
@@ -485,7 +493,7 @@ def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h2",
             "old_value",
             "new_value",
-            F.when(F.col("old_value").isNull(), F.lit("added"))
+            F.when(F.col("has_h1").isNull(), F.lit("added"))
             .otherwise(F.lit("changed"))
             .alias("change"),
         )
@@ -699,5 +707,6 @@ ORACLES["euclid_state_diff"] = """
            CASE WHEN s1.user_id IS NULL THEN 'added'
                 ELSE 'changed' END AS change
     FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id, b
-    WHERE s1.user_id IS NULL OR s1.old_value <> s2.new_value
+    WHERE s1.user_id IS NULL
+       OR s1.old_value IS DISTINCT FROM s2.new_value
 """

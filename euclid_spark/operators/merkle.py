@@ -91,6 +91,18 @@ def merkle_levels(
             lvl.groupBy(group).count().agg(F.max("count").alias("m")).collect()
         )[0]["m"] or 1
         levels = max(1, math.ceil(math.log2(mx))) if mx > 1 else 1
+        # The chained-CTE oracles (merkle_proof_sql) are emitted with the
+        # fixed LEVELS bound; promotion makes levels ABOVE the true root
+        # the identity, so data-driven depth ≤ LEVELS always agrees with
+        # the oracle — but a group larger than 2^LEVELS leaves would make
+        # this tree DEEPER than the oracle's CTE chain and silently break
+        # parity (r7 ADVICE). Fail loudly instead; raise LEVELS to cover.
+        if levels > LEVELS:
+            raise ValueError(
+                f"merkle_levels: max group size {mx} needs depth {levels} > "
+                f"oracle bound LEVELS={LEVELS}; raise merkle.LEVELS so the "
+                "chained-CTE oracles stay in sync"
+            )
     out = [lvl.withColumn("level", F.lit(0))]
     for k in range(1, levels + 1):
         pos = F.col("pos")

@@ -93,7 +93,13 @@ def skew_salted_user_agg(spark, sf_dir: str) -> DataFrame:
     Salting is result-invariant — partials per (user, salt) re-fold to
     exactly the plain GROUP BY — so the oracle is the plain rollup,
     while the PLAN spreads any whale user's rows over DEFAULT_SALTS
-    reducers (the aggregation-skew remedy AQE does not provide)."""
+    reducers (the aggregation-skew remedy AQE does not provide).
+
+    Partials accumulate in DECIMAL (r7, mirroring the join face below):
+    salting makes the merge order structurally different from the plain
+    GROUP BY, so a double sum could land on the other side of a cent
+    boundary after ROUND(·, 2). Decimal addition is exact, hence
+    order-independent — the oracle uses the same decimal accumulation."""
     from euclid_spark.catalog import load_events
 
     ev = load_events(spark, sf_dir).select("user_id", "value")
@@ -102,11 +108,11 @@ def skew_salted_user_agg(spark, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         partial_aggs=[
             F.count("*").alias("c"),
-            F.sum("value").alias("s"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
         ],
         final_aggs=[
             F.sum("c").alias("n_events"),
-            F.round(F.sum("s"), 2).alias("total_value"),
+            F.round(F.sum("s"), 2).cast("double").alias("total_value"),
         ],
     )
 
@@ -144,7 +150,8 @@ QUERIES = {
 ORACLES = {
     "rel_skew_salted_agg": """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
         FROM events GROUP BY user_id
     """,
     "rel_skew_salted_join": """

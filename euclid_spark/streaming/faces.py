@@ -98,7 +98,7 @@ def _serve_streamed(
     return out
 
 
-def _write_splits(df: DataFrame, feed_dir: str, key: str) -> None:
+def _write_splits(df: DataFrame, feed_dir: str, key: str) -> int:
     """Split `df` into N_SPLITS parquet files by hash of `key` — a
     deterministic, deliberately NOT time-ordered partition of the
     input, so each micro-batch carries rows from the whole time range
@@ -110,11 +110,18 @@ def _write_splits(df: DataFrame, feed_dir: str, key: str) -> None:
     lists. Files land in batch order b0 < b1 < b2 by mtime. In
     production there is no feed construction at all — the stream IS
     the arrival order; this harness only manufactures an adversarial
-    one."""
+    one.
+
+    Returns the number of feed files ACTUALLY written (r7 ADVICE): an
+    empty hash bucket (empty/degenerate corpus) may produce no part
+    file, and whether a zero-row write emits one is an undocumented
+    engine behavior — callers pass this count to _run_stream instead
+    of assuming N_SPLITS micro-batches will fire."""
     import glob
 
     os.makedirs(feed_dir, exist_ok=True)
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(N_SPLITS))
+    written = 0
     for i in range(N_SPLITS):
         part_dir = os.path.join(feed_dir, f"_tmp{i}")
         df.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
@@ -123,7 +130,9 @@ def _write_splits(df: DataFrame, feed_dir: str, key: str) -> None:
         parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
         if parts:
             os.replace(parts[0], os.path.join(feed_dir, f"b{i}.parquet"))
+            written += 1
         shutil.rmtree(part_dir, ignore_errors=True)
+    return written
 
 
 def _write_time_splits(df: DataFrame, feed_dir: str, ts_col: str) -> None:
@@ -208,7 +217,7 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
-        _write_splits(
+        n_feeds = _write_splits(
             spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
@@ -226,7 +235,7 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         if not os.path.exists(view):  # zero-row corpus: nothing merged
             return spark.createDataFrame(
                 [],
@@ -261,7 +270,7 @@ def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
-        _write_splits(
+        n_feeds = _write_splits(
             spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
@@ -279,7 +288,7 @@ def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         if not os.path.exists(view):  # zero-row corpus: nothing merged
             return spark.createDataFrame(
                 [],
@@ -306,13 +315,13 @@ def stream_block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
-        _write_splits(
+        n_feeds = _write_splits(
             spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         q, sink = run_digest_chain(
             read_event_stream(spark, feed), os.path.join(tmp, "ck")
         )
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         return spark.createDataFrame(
             [(sink.chain, sink.n_rows)], "chain_digest long, n_rows long"
         )
@@ -346,7 +355,7 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
-        _write_splits(
+        n_feeds = _write_splits(
             spark.read.parquet(f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             ),
@@ -356,7 +365,7 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, sink = run_incremental_dedup(
             read_document_stream(spark, feed), os.path.join(tmp, "state")
         )
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         return sink.pairs()
 
     return _serve_streamed(spark, "stream_dedup_pairs", fp, build)
@@ -387,7 +396,7 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         feed = os.path.join(tmp, "feed")
-        _write_splits(
+        n_feeds = _write_splits(
             docs.select("doc_id", "text", "lang", "source"), feed, "doc_id"
         )
         # the STATIC held-out benchmark index (the streaming contract:
@@ -402,7 +411,7 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(feed)
         )
         q, sink = run_streaming_curation(stream, os.path.join(tmp, "state"), bench)
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         return sink.kept()
 
     return _serve_streamed(spark, "stream_curation_kept", fp, build)
@@ -430,7 +439,7 @@ def stream_substring_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
-        _write_splits(
+        n_feeds = _write_splits(
             spark.read.parquet(f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             ),
@@ -443,7 +452,7 @@ def stream_substring_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(feed)
         )
         q, sink = run_incremental_spans(stream, os.path.join(tmp, "state"))
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         return sink.verdicts()
 
     return _serve_streamed(spark, "stream_substring_verdicts", fp, build)
@@ -472,11 +481,13 @@ def stream_mpt_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         # hash-split on the content address: a child can arrive batches
         # before its parent and vice versa (structure-ignoring scatter)
-        _write_splits(synthesize_owner_tries(spark, sf_dir), feed, "node_hash")
+        n_feeds = _write_splits(
+            synthesize_owner_tries(spark, sf_dir), feed, "node_hash"
+        )
         q, sink = run_incremental_mpt(
             read_node_stream(spark, feed), os.path.join(tmp, "state")
         )
-        _run_stream(q, sink, N_SPLITS)
+        _run_stream(q, sink, n_feeds)
         if not sink.pending().isEmpty():
             raise RuntimeError("stream_mpt_entries: cursors still parked")
         return sink.entries()

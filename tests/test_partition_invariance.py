@@ -22,6 +22,7 @@ CASES = [
     "text_bm25_topk",              # rounded-score top-k tiebreak
     "graph_doc_pagerank",          # integer fixed-point iteration
     "rel_unpivot_measures",        # decimal rollup
+    "rel_skew_salted_agg",         # salted partials re-folded (decimal, r7)
 ]
 
 
