@@ -56,6 +56,8 @@ HEADLINE = [
     "euclid_preprocessing_pipeline",
     "euclid_verifiable_response",
     "euclid_batch_verifiable_responses",
+    "euclid_erc20_verifiable_response",
+    "euclid_erc20_batch_responses",
     "graph_doc_pagerank",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",

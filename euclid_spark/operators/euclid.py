@@ -302,40 +302,22 @@ def mapping_extract_keccak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("mpt_key", keccak256_hex(F.unhex(F.col("location"))))
 
 
-def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4u — the ERC-20 query in FULL 256-bit integer arithmetic, matching
-    query_erc20/storage/leaf.rs:88-106 exactly: per entry compute
-    ⌊balance · rewards_rate / supply⌋ with the circuit's two guards (mul
-    overflow asserted false; zero supply short-circuits to 0), then SUM
-    per owner mod 2²⁵⁶.
+def erc20_entry_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry ERC-20 u256 leaf rewards — the `query_erc20/storage/
+    leaf.rs:88-106` circuit applied to every in-range purchase entry:
+    (owner, event_id, l0..l3, zs, of) where (l3..l0) are the 64-bit
+    limbs of ⌊balance · rewards_rate / supply⌋ with the circuit's two
+    guards (mul overflow → 0 + flag; zero supply → 0 + flag).
 
-    Balances are synthesized > 2⁶⁴ (real wei magnitudes, where the
-    double-based A4 would silently lose precision):
-    balance = ⌊value·10⁴⌋·2⁶⁴ + event_id. The per-owner u256 sum is
-    limb-wise: 4 independent SUM aggregates (map-side combinable) with a
-    single carry-normalization after the aggregate — order-independent and
-    skew-immune like every digest here. Oracle: DuckDB HUGEINT (the data
-    keeps every intermediate < 2¹²⁶, so int128 is exact there, while the
-    Spark path exercises the full 256-bit semantics).
-
-    Engineering note (measured at sf0.1, local[32]): the per-row
-    ⌊balance·rate/supply⌋ runs in an Arrow-batched pandas UDF over exact
-    Python bigints. The pure-column alternatives were implemented first
-    (functions/u256.py, kept + randomized-tested): generic 256-step
-    binary-division fold 360 s, 16-step short-division fold 151 s —
-    runtime HOF folds pay ~1 ms/row in boxed struct state. The Arrow
-    batch pays one Python hop but ~2 µs/row; 256-bit arithmetic is the
-    documented case where built-in expressions genuinely cannot express
-    the semantics efficiently. The AGGREGATION stays in columns: 4
-    limb-wise SUMs are map-side combinable, so the shuffle carries one
-    partial per (owner, partition), not rows."""
+    Shared leaf stage of A13 (which limb-sums it per owner) and the
+    ERC-20 verifiable response (which commits the entries to a Merkle
+    tree; operators/merkle.py). Arrow-batched pandas UDF over exact
+    Python bigints — the documented built-ins-can't-express-it case,
+    see erc20_weighted_sum_u256's engineering note."""
     from decimal import Decimal
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DecimalType
-
-    from euclid_spark.functions.u256 import u256_to_hex
 
     LEAF_SCHEMA = (
         "l0 decimal(20,0), l1 decimal(20,0), l2 decimal(20,0), "
@@ -367,12 +349,49 @@ def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long"),
         F.coalesce(_token_id(), F.lit(0)).cast("long"),
     )
-    rows = ev.select(F.col("user_id").alias("owner"), leaf.alias("lf")).select(
+    return ev.select(
+        F.col("user_id").alias("owner"), "event_id", leaf.alias("lf")
+    ).select(
         "owner",
+        "event_id",
         *[F.col(f"lf.l{i}").alias(f"l{i}") for i in range(4)],
         F.col("lf.zs").alias("zs"),
         F.col("lf.of").alias("of"),
     )
+
+
+def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4u — the ERC-20 query in FULL 256-bit integer arithmetic, matching
+    query_erc20/storage/leaf.rs:88-106 exactly: per entry compute
+    ⌊balance · rewards_rate / supply⌋ with the circuit's two guards (mul
+    overflow asserted false; zero supply short-circuits to 0), then SUM
+    per owner mod 2²⁵⁶.
+
+    Balances are synthesized > 2⁶⁴ (real wei magnitudes, where the
+    double-based A4 would silently lose precision):
+    balance = ⌊value·10⁴⌋·2⁶⁴ + event_id. The per-owner u256 sum is
+    limb-wise: 4 independent SUM aggregates (map-side combinable) with a
+    single carry-normalization after the aggregate — order-independent and
+    skew-immune like every digest here. Oracle: DuckDB HUGEINT (the data
+    keeps every intermediate < 2¹²⁶, so int128 is exact there, while the
+    Spark path exercises the full 256-bit semantics).
+
+    Engineering note (measured at sf0.1, local[32]): the per-row
+    ⌊balance·rate/supply⌋ runs in an Arrow-batched pandas UDF over exact
+    Python bigints. The pure-column alternatives were implemented first
+    (functions/u256.py, kept + randomized-tested): generic 256-step
+    binary-division fold 360 s, 16-step short-division fold 151 s —
+    runtime HOF folds pay ~1 ms/row in boxed struct state. The Arrow
+    batch pays one Python hop but ~2 µs/row; 256-bit arithmetic is the
+    documented case where built-in expressions genuinely cannot express
+    the semantics efficiently. The AGGREGATION stays in columns: 4
+    limb-wise SUMs are map-side combinable, so the shuffle carries one
+    partial per (owner, partition), not rows."""
+    from pyspark.sql.types import DecimalType
+
+    from euclid_spark.functions.u256 import u256_to_hex
+
+    rows = erc20_entry_rows(spark, sf_dir)
     agged = rows.groupBy("owner").agg(
         *[F.sum(f"l{i}").alias(f"s{i}") for i in range(4)],
         F.sum("zs").cast("long").alias("n_zero_supply"),

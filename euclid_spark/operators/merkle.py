@@ -263,11 +263,18 @@ def merkle_opening_paths(
     )
 
 
-def merkle_proof_sql(l0_sql: str, entry_col: str, levels: int = LEVELS) -> str:
+def merkle_proof_sql(
+    l0_sql: str, entry_col: "str | list[str]", levels: int = LEVELS
+) -> str:
     """Chained-CTE ANSI oracle for an opening-path query over any leaf
     CTE (non-recursive: one CTE per tree level; promotion keeps levels
     beyond the true depth the identity, so a fixed `levels` is exact).
-    `l0_sql` must yield (group_key, {entry_col}, pos, node_hash)."""
+    `l0_sql` must yield (group_key, {entry_col…}, pos, node_hash);
+    `entry_col` may be one column name or a list (r7: the ERC-20
+    response carries (event_id, entry_reward_hex) per leaf)."""
+    entry_cols = [entry_col] if isinstance(entry_col, str) else list(entry_col)
+    e_l = ", ".join(f"l.{c}" for c in entry_cols)
+    e_s = ", ".join(f"s.{c}" for c in entry_cols)
     ctes = [f"l0 AS (\n{l0_sql}\n)"]
     for k in range(1, levels + 1):
         ctes.append(
@@ -288,7 +295,7 @@ nodes AS (
   {node_union}
 ),
 probes AS (
-  SELECT l.group_key, l.{entry_col}, l.pos, l.node_hash AS leaf_hash,
+  SELECT l.group_key, {e_l}, l.pos, l.node_hash AS leaf_hash,
          g.level,
          CASE WHEN (l.pos >> g.level) % 2 = 0
               THEN (l.pos >> g.level) + 1 ELSE (l.pos >> g.level) - 1
@@ -302,14 +309,14 @@ steps AS (
   LEFT JOIN nodes n ON n.group_key = p.group_key
                    AND n.level = p.level AND n.pos = p.sib_pos
 )
-SELECT s.group_key, s.{entry_col}, s.pos AS leaf_pos, s.leaf_hash,
+SELECT s.group_key, {e_s}, s.pos AS leaf_pos, s.leaf_hash,
        COALESCE(string_agg(s.level::VARCHAR || s.side || ':' || s.sib_hash,
                            '/' ORDER BY s.level)
                 FILTER (WHERE s.sib_hash IS NOT NULL), '') AS path,
        r.node_hash AS root
 FROM steps s
 JOIN l{levels} r ON r.group_key = s.group_key
-GROUP BY s.group_key, s.{entry_col}, s.pos, s.leaf_hash, r.node_hash
+GROUP BY s.group_key, {e_s}, s.pos, s.leaf_hash, r.node_hash
 """
 
 
@@ -505,14 +512,244 @@ def _oracle_batch_responses() -> str:
     """
 
 
+def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
+    """The per-owner ERC-20 CONTRIBUTING-ENTRY Merkle tree (leaves +
+    levels) as a fingerprint-keyed DISK ARTIFACT — the query_erc20 twin
+    of _owner_token_tree. Each leaf commits one in-range purchase entry
+    of its owner: sha256(event_id ':' entry_reward_hex), where
+    entry_reward_hex is the leaf circuit's own output
+    ⌊balance·rate/supply⌋ (query_erc20/storage/leaf.rs:88-106) — the
+    commitment binds the per-entry REWARDS, not just the raw entries,
+    exactly as the reference's leaf proof does. Canonical order =
+    event_id (block order) per owner. Returns (leaves, nodes, depth)."""
+    from euclid_spark import artifacts
+    from euclid_spark.functions.u256 import u256_to_hex
+    from euclid_spark.operators.euclid import erc20_entry_rows
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree"
+    )
+
+    def build_leaves() -> DataFrame:
+        rows = erc20_entry_rows(spark, sf_dir)
+        entry_hex = u256_to_hex(
+            (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
+        )
+        w = Window.partitionBy("owner").orderBy("event_id")
+        return rows.select(
+            F.col("owner").alias("group_key"),
+            "event_id",
+            entry_hex.alias("entry_reward_hex"),
+            (F.row_number().over(w) - 1).alias("pos"),
+        ).withColumn(
+            "node_hash",
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), "entry_reward_hex"
+                ),
+                256,
+            ),
+        )
+
+    leaves = artifacts.serve_frame(spark, "erc20_entry_leaves", fp, build_leaves)
+    nodes = artifacts.serve_frame(
+        spark,
+        "erc20_entry_nodes",
+        fp,
+        lambda: merkle_levels(
+            persist_tracked(leaves).select("group_key", "pos", "node_hash")
+        )[0],
+    )
+    depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    return leaves, nodes, depth
+
+
+def erc20_verifiable_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — the ERC-20 VERIFIABLE RESPONSE, the A20 twin for the
+    reference's second query family (query_erc20/revelation/{mod.rs,
+    circuit.rs}; public_inputs.rs:89-160 exposes block range,
+    rewards_rate, the reward result, and the block-DB binding;
+    exercised end-to-end by query_erc20/tests.rs). For
+    (OWNER, [B_min, B_max]):
+
+      - the owner's contributing entries (each with its leaf-circuit
+        reward ⌊balance·rate/supply⌋ in u256) form the leaf set of a
+        Merkle commitment — the committed computation trace,
+      - the revealed rows are the first L entries in canonical block
+        order, EACH carrying its opening path to the owner's root,
+      - every row carries the owner's TOTAL reward (A13's u256
+        limb-sum) and the public-input binding
+        (min_block, max_block, range_digest, rewards_rate).
+
+    The single-owner response is a FILTER of the all-owner entry-tree
+    artifact (per-owner subtrees share nothing), so the served tree
+    answers both this and the batched face. Oracle: the per-entry
+    HUGEINT leaf CTE plugged into the leaf-pluggable merkle_proof_sql
+    + A13's reward oracle + the provenance cross join."""
+    from euclid_spark.operators.euclid import (
+        OWNER,
+        REWARDS_RATE,
+        TOP_L,
+        _range_provenance,
+        erc20_weighted_sum_u256,
+    )
+
+    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir)
+    paths = merkle_opening_paths(
+        leaves.filter(F.col("group_key") == OWNER),
+        entry_cols=["event_id", "entry_reward_hex"],
+        nodes=nodes.filter(F.col("group_key") == OWNER),
+        depth=depth,
+    )
+    # leaf numbering IS the canonical (block-order) rank — no window
+    revealed = paths.filter(F.col("leaf_pos") < TOP_L)
+    reward = (
+        erc20_weighted_sum_u256(spark, sf_dir)
+        .filter(F.col("owner") == OWNER)
+        .drop("owner")
+    )
+    return (
+        revealed.crossJoin(F.broadcast(reward))
+        .crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
+        .select(
+            "event_id",
+            "entry_reward_hex",
+            "leaf_pos",
+            "leaf_hash",
+            "path",
+            "root",
+            "reward_hex",
+            "n_zero_supply",
+            "n_overflow",
+            "min_block",
+            "max_block",
+            "range_digest",
+            F.lit(REWARDS_RATE).alias("rewards_rate"),
+        )
+    )
+
+
+def erc20_batch_verifiable_responses(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A24 — A23 batched over EVERY owner (the A21 shape on the ERC-20
+    family): per owner, the first-L contributing entries in block order
+    each with its opening path to that OWNER'S commitment root, the
+    owner's total u256 reward, and the shared range/rate binding. The
+    reward join keys on the same owner column the tree is grouped by;
+    provenance is one broadcast row."""
+    from euclid_spark.operators.euclid import (
+        REWARDS_RATE,
+        TOP_L,
+        _range_provenance,
+        erc20_weighted_sum_u256,
+    )
+
+    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir)
+    paths = merkle_opening_paths(
+        leaves, entry_cols=["event_id", "entry_reward_hex"],
+        nodes=nodes, depth=depth,
+    )
+    revealed = paths.filter(F.col("leaf_pos") < TOP_L)
+    rewards = erc20_weighted_sum_u256(spark, sf_dir)
+    return (
+        revealed.join(
+            rewards, revealed.group_key == rewards.owner
+        )
+        .crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
+        .select(
+            "owner",
+            "event_id",
+            "entry_reward_hex",
+            "leaf_pos",
+            "leaf_hash",
+            "path",
+            "root",
+            "reward_hex",
+            "n_zero_supply",
+            "n_overflow",
+            "min_block",
+            "max_block",
+            "range_digest",
+            F.lit(REWARDS_RATE).alias("rewards_rate"),
+        )
+    )
+
+
+def _erc20_l0_sql(owner_filter: bool) -> str:
+    from euclid_spark.operators.euclid import (
+        OWNER,
+        REWARDS_RATE,
+        _RANGE,
+        _TOKEN,
+    )
+
+    own = f" AND user_id = {OWNER}" if owner_filter else ""
+    return f"""  SELECT user_id AS group_key, event_id, entry_reward_hex,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pos,
+         sha256(event_id::VARCHAR || ':' || entry_reward_hex) AS node_hash
+  FROM (
+    SELECT user_id, event_id,
+           lpad(lower(to_hex(
+               CASE WHEN tok IS NULL OR tok = 0 THEN CAST(0 AS HUGEINT)
+                    ELSE (CAST(FLOOR(value * 10000) AS HUGEINT)
+                          * CAST('18446744073709551616' AS HUGEINT)
+                          + event_id) * {REWARDS_RATE} // tok
+               END)), 64, '0') AS entry_reward_hex
+    FROM (SELECT user_id, event_id, value, {_TOKEN} AS tok FROM events
+          WHERE {_RANGE} AND event_type = 'purchase'{own})
+  )"""
+
+
+def _oracle_erc20_response() -> str:
+    from euclid_spark.operators import euclid as _e
+
+    a13 = _e.ORACLES["euclid_erc20_weighted_sum_u256"]
+    return f"""
+        SELECT m.event_id, m.entry_reward_hex, m.leaf_pos, m.leaf_hash,
+               m.path, m.root,
+               w.reward_hex, w.n_zero_supply, w.n_overflow,
+               p.min_block, p.max_block, p.range_digest,
+               {_e.REWARDS_RATE} AS rewards_rate
+        FROM ({merkle_proof_sql(_erc20_l0_sql(True),
+                                ["event_id", "entry_reward_hex"])}) m
+        CROSS JOIN (SELECT reward_hex, n_zero_supply, n_overflow
+                    FROM ({a13}) WHERE owner = {_e.OWNER}) w
+        CROSS JOIN ({_e._PROV_SQL}) p
+        WHERE m.leaf_pos < {_e.TOP_L}
+    """
+
+
+def _oracle_erc20_batch() -> str:
+    from euclid_spark.operators import euclid as _e
+
+    a13 = _e.ORACLES["euclid_erc20_weighted_sum_u256"]
+    return f"""
+        SELECT m.group_key AS owner, m.event_id, m.entry_reward_hex,
+               m.leaf_pos, m.leaf_hash, m.path, m.root,
+               w.reward_hex, w.n_zero_supply, w.n_overflow,
+               p.min_block, p.max_block, p.range_digest,
+               {_e.REWARDS_RATE} AS rewards_rate
+        FROM ({merkle_proof_sql(_erc20_l0_sql(False),
+                                ["event_id", "entry_reward_hex"])}) m
+        JOIN ({a13}) w ON w.owner = m.group_key
+        CROSS JOIN ({_e._PROV_SQL}) p
+        WHERE m.leaf_pos < {_e.TOP_L}
+    """
+
+
 QUERIES = {
     "euclid_merkle_proof": merkle_membership_proof,
     "euclid_verifiable_response": verifiable_query_response,
     "euclid_batch_verifiable_responses": batch_verifiable_responses,
+    "euclid_erc20_verifiable_response": erc20_verifiable_response,
+    "euclid_erc20_batch_responses": erc20_batch_verifiable_responses,
 }
 
 ORACLES = {
     "euclid_merkle_proof": _oracle_merkle(),
     "euclid_verifiable_response": _oracle_verifiable_response(),
     "euclid_batch_verifiable_responses": _oracle_batch_responses(),
+    "euclid_erc20_verifiable_response": _oracle_erc20_response(),
+    "euclid_erc20_batch_responses": _oracle_erc20_batch(),
 }

@@ -156,3 +156,52 @@ def test_batch_responses_refold_per_owner(spark):
         by_owner.setdefault(r["owner"], set()).add(r["root"])
     assert all(len(roots) == 1 for roots in by_owner.values())
     assert len({next(iter(v)) for v in by_owner.values()}) > 1
+
+
+def test_erc20_response_refolds_and_binds(spark):
+    """A23: every revealed contributing-entry row refolds to the
+    owner's commitment root; the revealed set is the first-L entries in
+    block (event_id) order; the total reward equals A13's u256 sum for
+    the owner; per-entry leaf hashes commit to the entry reward."""
+    from euclid_spark.operators.euclid import (
+        OWNER,
+        TOP_L,
+        erc20_weighted_sum_u256,
+    )
+    from euclid_spark.operators.merkle import erc20_verifiable_response
+
+    rows = erc20_verifiable_response(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= TOP_L
+    assert len({r["root"] for r in rows}) == 1
+    for r in rows:
+        assert _refold(r["leaf_hash"], r["path"]) == r["root"]
+        assert _sha(f"{r['event_id']}:{r['entry_reward_hex']}") == r["leaf_hash"]
+        assert len(r["entry_reward_hex"]) == 64
+    # revealed = canonical block-order prefix (leaf_pos is the rank)
+    ordered = sorted(rows, key=lambda r: r["event_id"])
+    assert [r["leaf_pos"] for r in ordered] == list(range(len(rows)))
+    # owner total binds to A13
+    a13 = (
+        erc20_weighted_sum_u256(spark, SF_SMOKE)
+        .filter(f"owner = {OWNER}")
+        .collect()[0]
+    )
+    assert all(r["reward_hex"] == a13["reward_hex"] for r in rows)
+
+
+def test_erc20_batch_responses_refold_per_owner(spark):
+    """A24: per-owner roots; every path refolds; each owner's rows
+    carry that owner's own total reward."""
+    from euclid_spark.operators.merkle import erc20_batch_verifiable_responses
+
+    rows = erc20_batch_verifiable_responses(spark, SF_SMOKE).collect()
+    assert rows
+    by_owner = {}
+    for r in rows:
+        assert _refold(r["leaf_hash"], r["path"]) == r["root"]
+        by_owner.setdefault(r["owner"], {"roots": set(), "rewards": set()})
+        by_owner[r["owner"]]["roots"].add(r["root"])
+        by_owner[r["owner"]]["rewards"].add(r["reward_hex"])
+    assert all(len(v["roots"]) == 1 for v in by_owner.values())
+    assert all(len(v["rewards"]) == 1 for v in by_owner.values())
+    assert len({next(iter(v["roots"])) for v in by_owner.values()}) > 1
