@@ -58,6 +58,7 @@ HEADLINE = [
     "euclid_batch_verifiable_responses",
     "euclid_erc20_verifiable_response",
     "euclid_erc20_batch_responses",
+    "euclid_range_tree_agg",
     "graph_doc_pagerank",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",

@@ -1,0 +1,264 @@
+"""O(log-range) block-range aggregation over a hierarchical tile tree
+(SURVEY.md §2.A25; VERDICT r6 next-round #2).
+
+The reference answers any `[B_min, B_max]` aggregate by combining
+PRECOMPUTED per-node proofs up a tree — `query2/block/partial_node.rs`
+and `full_node.rs` (and the same shape in `query_erc20/block/`): query
+cost ∝ log(range), not rows-in-range. The Spark analog built here:
+
+- **The tile artifact**: a segment-tree of partial aggregates over the
+  block dimension. Level 0 groups events into TILE_SIZE-block cells;
+  level k+1 merges cell pairs — log₂ geometrically-shrinking hash
+  aggregations (the merkle_levels build shape, but carrying the
+  A4/A8-family monoid: count, DECIMAL value sum, min/max block, and
+  the additive mod-prime range digest — every one commutative, so tile
+  merge ≡ re-aggregation in any order). Stored as a fingerprint-keyed
+  disk artifact: built once per corpus version, served as a scan.
+
+- **The query face**: an arbitrary `[B_min, B_max)` aggregate reads
+  the CANONICAL SEGMENT-TREE COVER — at most 2 aligned tiles per level
+  (≤ 2·log₂(cells) tile rows) — plus two edge scans of < TILE_SIZE
+  blocks each, pushed down to the events scan. At 100 TB with a 2-year
+  range this is the difference between scanning the range and reading
+  a few thousand tile rows: cost ∝ log(range) + 2·TILE_SIZE.
+
+- **Maintenance**: the tiles are a commutative monoid keyed by
+  (level, cell), so the D19 IVM machinery maintains them per
+  micro-batch (each event touches one cell per level — the streaming
+  partial explodes levels; merge = the same fold the build uses) and
+  the D20 parity harness asserts incremental ≡ from-scratch at every
+  quiescent point (streaming/parity.py `range_tree_tiles` spec).
+
+Oracle: the full-recompute SQL over the same range — the gate proves
+the tile path returns exactly what scanning the rows would.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark.catalog import load_events
+from euclid_spark.functions.hashing import DIGEST_PRIME, digest_agg, digest_term
+
+TILE_SIZE = 256  # blocks per level-0 tile (the finest granularity)
+
+
+def _leaf_partials(ev: DataFrame) -> DataFrame:
+    """Level-0 tile partials from raw events: one row per occupied
+    TILE_SIZE-block cell. Every aggregate is a commutative monoid."""
+    term = digest_term(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long")
+    )
+    return (
+        ev.groupBy(
+            F.floor(F.col("event_id") / TILE_SIZE).cast("long").alias("cell")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_block"),
+            F.max("event_id").alias("max_block"),
+            digest_agg(term).alias("digest"),
+        )
+    )
+
+
+def _fold_up(lvl: DataFrame) -> DataFrame:
+    """One tree level up: merge cell pairs (the partial_node.rs fold)."""
+    return (
+        lvl.groupBy(F.shiftright(F.col("cell"), 1).alias("cell"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+            F.min("min_block").alias("min_block"),
+            F.max("max_block").alias("max_block"),
+            F.pmod(F.sum("digest"), F.lit(DIGEST_PRIME))
+            .cast("long")
+            .alias("digest"),
+        )
+    )
+
+
+def build_range_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All tree levels as one frame (level, cell, monoid columns).
+    log₂(cells) chained aggregations, each level half the size — total
+    build work ≈ 2× the level-0 aggregation, all map-side combinable."""
+    import math
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    lvl = _leaf_partials(ev)
+    n_cells = lvl.agg(F.max("cell")).collect()[0][0]  # one-row fetch
+    n_cells = int(n_cells or 0) + 1
+    depth = max(1, math.ceil(math.log2(n_cells))) if n_cells > 1 else 1
+    out = [lvl.withColumn("level", F.lit(0))]
+    for k in range(1, depth + 1):
+        lvl = _fold_up(lvl)
+        out.append(lvl.withColumn("level", F.lit(k)))
+    tiles = out[0]
+    for o in out[1:]:
+        tiles = tiles.unionByName(o)
+    return tiles.select(
+        "level", "cell", "n_events", "sum_value", "min_block", "max_block",
+        "digest",
+    )
+
+
+def serve_range_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile tree as a fingerprint-keyed disk artifact — precomputed
+    at ingest (the reference commits its block tree the same way),
+    served to every query as a short-lineage scan."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="range_tree", tile=TILE_SIZE
+    )
+    return artifacts.serve_frame(
+        spark, "range_tree_tiles", fp, lambda: build_range_tree(spark, sf_dir)
+    )
+
+
+def tile_cover(
+    b_min: int, b_max: int, max_level: int
+) -> "tuple[list[tuple[int, int]], list[tuple[int, int]]]":
+    """Canonical segment-tree decomposition of [b_min, b_max) over
+    TILE_SIZE-block cells: returns (tiles, edges) where tiles is a list
+    of (level, cell) — at most 2 per level — and edges are < TILE_SIZE
+    wide [lo, hi) block ranges at the two ends. Pure integer math on
+    two numbers: orchestration, not data work."""
+    s = TILE_SIZE
+    lo_cell = -(-b_min // s)  # ceil: first fully-covered cell
+    hi_cell = b_max // s      # first cell NOT fully covered
+    if lo_cell >= hi_cell:
+        return [], [(b_min, b_max)] if b_min < b_max else []
+    edges = []
+    if b_min < lo_cell * s:
+        edges.append((b_min, lo_cell * s))
+    if hi_cell * s < b_max:
+        edges.append((hi_cell * s, b_max))
+    tiles: list[tuple[int, int]] = []
+    lo = lo_cell
+    while lo < hi_cell:
+        align = (lo & -lo).bit_length() - 1 if lo > 0 else max_level
+        fit = (hi_cell - lo).bit_length() - 1
+        k = min(align, fit, max_level)
+        tiles.append((k, lo >> k))
+        lo += 1 << k
+    return tiles, edges
+
+
+def range_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — the O(log-range) block-range aggregate: count, exact value
+    total, block bounds, and range digest for `[B_min, B_max)` answered
+    from the tile cover + two edge scans. B_min/B_max are the ⅕ and ⅘
+    points of the block space (scale-invariant probe, the A22 pattern).
+
+    Plan shape: the tile filter is an OR of per-level `cell IN (...)`
+    lists over the served artifact (≤ 2 cells per level — a few dozen
+    rows); the edge predicate is a 2-range OR pushed to the events
+    parquet scan (row-group pruning keeps it ∝ TILE_SIZE); the final
+    fold is one aggregate over ~40 bounded rows. Nothing scans the
+    range interior."""
+    tiles = serve_range_tree(spark, sf_dir)
+    meta = tiles.agg(
+        F.max("level").alias("max_level"),
+        F.max(F.col("max_block")).alias("max_block"),
+    ).collect()[0]  # bounded parameter fetch (two scalars)
+    max_level, max_block = int(meta["max_level"]), int(meta["max_block"])
+    b_min, b_max = max_block // 5, max_block * 4 // 5
+    cover, edges = tile_cover(b_min, b_max, max_level)
+
+    parts = []
+    if cover:
+        by_level: dict[int, list[int]] = {}
+        for k, c in cover:
+            by_level.setdefault(k, []).append(c)
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("level") == k) & F.col("cell").isin(cells)
+                for k, cells in by_level.items()
+            ],
+        )
+        parts.append(
+            tiles.filter(cond).select(
+                "n_events", "sum_value", "min_block", "max_block", "digest"
+            )
+        )
+    if edges:
+        ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+        econd = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                for lo, hi in edges
+            ],
+        )
+        term = digest_term(
+            F.col("event_id").cast("long"), F.col("user_id").cast("long")
+        )
+        parts.append(
+            ev.filter(econd).agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("sum_value"),
+                F.min("event_id").alias("min_block"),
+                F.max("event_id").alias("max_block"),
+                digest_agg(term).alias("digest"),
+            )
+        )
+    partials = parts[0]
+    for p in parts[1:]:
+        partials = partials.unionByName(p)
+    return partials.agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).cast("double").alias("total_value"),
+        F.min("min_block").alias("min_block"),
+        F.max("max_block").alias("max_block"),
+        F.pmod(F.sum("digest"), F.lit(DIGEST_PRIME))
+        .cast("long")
+        .alias("range_digest"),
+    ).select(
+        F.lit(b_min).alias("b_min"),
+        F.lit(b_max).alias("b_max"),
+        "n_events",
+        "total_value",
+        "min_block",
+        "max_block",
+        "range_digest",
+    )
+
+
+QUERIES = {
+    "euclid_range_tree_agg": range_tree_agg,
+}
+
+from euclid_spark.functions.hashing import MIX  # noqa: E402
+
+ORACLES = {
+    # full recompute over the same range — the gate proves the tile
+    # path equals scanning the rows
+    "euclid_range_tree_agg": f"""
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(event_id) / 5) AS BIGINT) AS b_min,
+                   CAST(FLOOR(MAX(event_id) * 4 / 5) AS BIGINT) AS b_max
+            FROM events
+        )
+        SELECT b.b_min, b.b_max,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value,
+               MIN(event_id) AS min_block,
+               MAX(event_id) AS max_block,
+               CAST(SUM((event_id * {MIX} + user_id * 97) % {DIGEST_PRIME})
+                    % {DIGEST_PRIME} AS BIGINT) AS range_digest
+        FROM events, b
+        WHERE event_id >= b.b_min AND event_id < b.b_max
+        GROUP BY b.b_min, b.b_max
+    """,
+}

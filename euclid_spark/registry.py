@@ -23,6 +23,7 @@ from euclid_spark.operators import (
     mpt_ingest,
     multimodal,
     preprocessing,
+    range_tree,
     relational,
     similarity,
     textops,
@@ -44,6 +45,7 @@ _MODULES = [
     cdc,
     bucketing,
     faces,
+    range_tree,
 ]
 
 def _with_session_confs(

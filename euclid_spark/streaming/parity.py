@@ -341,6 +341,74 @@ def _cms_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- A25's range-tree tiles as a maintained aggregate ------------------------
+
+_RT_LEVELS = 6  # tree levels maintained by the streaming spec
+
+
+def _range_tree_partial(events: DataFrame) -> DataFrame:
+    """The A25 tile tree as a streaming monoid: each event contributes
+    one (level, cell) partial per tree level (cell = block cell >> k),
+    so a micro-batch's partials cover every level at batch cost ×
+    (levels+1). The partition key (`day` in the IVM machinery's terms)
+    is the level-_RT_LEVELS chunk — every tile at level ≤ _RT_LEVELS
+    lies inside exactly one chunk, so a batch rewrites only the block
+    chunks it touches (partial_node.rs's locality: appending block n
+    re-proves one path, not the tree)."""
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    term = digest_term(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long")
+    )
+    cell0 = f"CAST(FLOOR(event_id / {TILE_SIZE}) AS BIGINT)"
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(_RT_LEVELS))).alias("level"),
+        )
+        .select(
+            # INT not LONG: the view's day-partition directory values are
+            # re-inferred as int32 on read — match that type up front
+            F.expr(f"shiftright({cell0}, {_RT_LEVELS})")
+            .cast("int")
+            .alias("day"),
+            "level",
+            F.expr(f"shiftright({cell0}, CAST(level AS INT))").alias("cell"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+        .groupBy("day", "level", "cell")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_block"),
+            F.max("event_id").alias("max_block"),
+            digest_agg(term).alias("digest"),
+        )
+    )
+
+
+def _range_tree_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "level", "cell")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+            F.min("min_block").alias("min_block"),
+            F.max("max_block").alias("max_block"),
+            F.pmod(F.sum("digest"), F.lit(DIGEST_PRIME))
+            .cast("long")
+            .alias("digest"),
+        )
+    )
+
+
 SPECS = {
     "ivm_count_sum_digest": ParitySpec(
         "ivm_count_sum_digest", _partial, _merge
@@ -362,5 +430,8 @@ SPECS = {
     ),
     "count_min_sketch": ParitySpec(
         "count_min_sketch", _cms_partial, _cms_merge
+    ),
+    "range_tree_tiles": ParitySpec(
+        "range_tree_tiles", _range_tree_partial, _range_tree_merge
     ),
 }
