@@ -124,3 +124,47 @@ def test_embedding_cosine_captures_known_near_dups(spark, tmp_path):
     assert got.get((1, 2)) == 1.0
     assert (1, 3) in got and got[(1, 3)] >= 0.7
     assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_minhash_estimate_pair_driven_and_complete(spark, tmp_path, monkeypatch):
+    """C37's r7 scale-shape contract: the exact-Jaccard side is driven
+    from the pair ledger (cost ∝ candidate pairs), not the co-shingle
+    universe — on a corpus where EVERY doc shares a boilerplate trigram
+    (the co-shingle blowup case) the calibration still reports only the
+    genuine candidate pairs, with exact Jaccard over the FULL uncapped
+    universe (boilerplate included). And NO candidate pair is dropped:
+    one output row per ledger pair (zero-overlap candidates would
+    surface as exact=0 — the maximal-error rows the audit exists for)."""
+    from euclid_spark.operators.dedup import (
+        dedup_minhash_estimate,
+        dedup_minhash_lsh,
+    )
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    # 40 identical-pair groups, every doc also carrying the same
+    # boilerplate opener ("terms of service apply here") — the hot
+    # co-shingle mass that made the old shape quadratic
+    rows = []
+    for g in range(40):
+        body = f"terms of service apply here unique{g}a unique{g}b unique{g}c"
+        rows.append((2 * g, body))
+        rows.append((2 * g + 1, body))
+    _write_docs(spark, str(tmp_path), rows)
+
+    got = dedup_minhash_estimate(spark, str(tmp_path)).collect()
+    ledger = dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    # completeness: exactly one calibration row per candidate pair
+    assert len(got) == len(ledger) > 0
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in got}
+    for g in range(40):
+        pair = (2 * g, 2 * g + 1)
+        assert pair in by_pair, f"identical pair {pair} missing"
+        r = by_pair[pair]
+        assert r["exact_jaccard"] == 1.0  # full uncapped universe
+        assert r["est_jaccard"] == 1.0
+        assert r["abs_err"] == 0.0
+    # no cross-group pair can report exact > 0.5: groups share ONLY the
+    # boilerplate prefix (3 of 9+ shingles)
+    for (a, b), r in by_pair.items():
+        if a // 2 != b // 2:
+            assert r["exact_jaccard"] < 0.5
