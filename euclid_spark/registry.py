@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from euclid_spark.sources import bucketing
+from euclid_spark.sources import bucketing, partitioned
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     cdc,
@@ -44,6 +44,7 @@ _MODULES = [
     skew,
     cdc,
     bucketing,
+    partitioned,
     faces,
     range_tree,
 ]

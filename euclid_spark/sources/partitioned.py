@@ -37,3 +37,69 @@ def read_events_range(
     PARTITION filter (directory pruning), not just a row-group one."""
     ev = spark.read.parquet(part_dir)
     return ev.filter((F.col("day") >= day_from) & (F.col("day") < day_to))
+
+
+def serve_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """The day-partitioned layout as a fingerprint-keyed DISK ARTIFACT
+    directory (the ingest-time rewrite a production deployment runs
+    once per corpus version): built with the same atomic temp+rename
+    discipline as artifacts.save_frame, returned as the directory path
+    the partition-pruned reads point at."""
+    import os
+    import shutil
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="events_by_day"
+    )
+    path = os.path.join(artifacts.artifact_dir(), f"events_by_day_{fp}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(artifacts.artifact_dir(), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "day", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won — identical bytes
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def day_partitioned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18's QUERY FACE (r7, VERDICT r6 #7): the A1-style block-range
+    scan answered from the day-partitioned layout — the day predicates
+    become PartitionFilters (pruned directories never listed or
+    opened; scan ∝ range width, the property every [B_min, B_max]
+    query at 100 TB depends on), while the oracle runs the plain
+    ts-range filter over the unpartitioned table. Result invariance of
+    the LAYOUT is what the gate checks — the D10 bucketed-join
+    precedent. tests/test_partitioned.py asserts the face's
+    post-pruning numFiles == days-in-range."""
+    from euclid_spark.operators.euclid import T_MAX, T_MIN
+
+    part_dir = serve_partitioned_events(spark, sf_dir)
+    return read_events_range(spark, part_dir, T_MIN, T_MAX).select(
+        "event_id", "user_id", "day", "value", "event_type"
+    )
+
+
+def _oracle_day_range() -> str:
+    from euclid_spark.operators.euclid import T_MAX, T_MIN
+
+    return f"""
+        SELECT event_id, user_id, CAST(ts AS DATE) AS day, value, event_type
+        FROM events
+        WHERE ts >= TIMESTAMP '{T_MIN}' AND ts < TIMESTAMP '{T_MAX}'
+    """
+
+
+QUERIES = {
+    "euclid_day_partitioned_range": day_partitioned_range,
+}
+
+ORACLES = {
+    "euclid_day_partitioned_range": _oracle_day_range(),
+}
