@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "text_benchmark_overlap",
     "text_pack_sequences",
+    "text_bpe_token_count",
     "text_importance_resample",
     "curation_training_mix",
 ]

@@ -975,6 +975,123 @@ def _winnow_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+BPE_N_MERGES = 256   # learned merge-table size
+BPE_VOCAB_TOP = 10_000  # histogram rows the trainer sees (scale-invariant)
+
+
+def bpe_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (rank, left, right) as a
+    fingerprint-keyed DISK ARTIFACT — a tokenizer vocabulary is
+    corpus-version state, trained once and applied everywhere (the
+    production shape: GPT-2's merges file is exactly this table).
+
+    Training input is the word HISTOGRAM: one map-side-combinable
+    aggregate over the corpus, truncated to the top BPE_VOCAB_TOP
+    words by (count DESC, word ASC) — a deterministic, bounded,
+    scale-invariant table the driver can hold (TakeOrderedAndProject,
+    no full sort). The merge loop itself is inherently sequential
+    (each merge conditions on the last) and runs driver-side over that
+    bounded histogram — orchestration on ~10⁴ rows, not data work."""
+    from euclid_spark import artifacts
+    from euclid_spark.functions.bpe import train_bpe
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="bpe_merges",
+        n=BPE_N_MERGES,
+        v=BPE_VOCAB_TOP,
+    )
+
+    def build() -> DataFrame:
+        hist = (
+            _docs(spark, sf_dir)
+            .select(F.explode(_nonempty_words()).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("word"))
+            .limit(BPE_VOCAB_TOP)
+            .collect()
+        )
+        merges = train_bpe({r["word"]: r["c"] for r in hist}, BPE_N_MERGES)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
+
+    return artifacts.serve_frame(spark, "bpe_merges", fp, build)
+
+
+def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc EXACT BPE token counts, served as an artifact (the
+    quality-signal-table precedent: tokenize once per corpus version,
+    read thin everywhere). The encode loop is word-local and the
+    vocabulary Zipf-shaped, so an Arrow-batched pandas UDF with a
+    per-batch word→count memo does a dict hit for all but first
+    sightings — the A13/C41 documented Python-boundary case (a merge
+    loop is not expressible as efficient column expressions)."""
+    from euclid_spark import artifacts
+    from euclid_spark.functions.bpe import count_tokens, merge_ranks
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="bpe_token_counts",
+        n=BPE_N_MERGES,
+        v=BPE_VOCAB_TOP,
+    )
+
+    def build() -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        mrows = bpe_merges_table(spark, sf_dir).collect()  # ≤ BPE_N_MERGES
+        ranks = merge_ranks(
+            [(r["left"], r["right"]) for r in sorted(mrows, key=lambda r: r["rank"])]
+        )
+
+        @pandas_udf("long")
+        def _count(texts):
+            import re
+
+            cache: dict = {}
+            out = []
+            for t in texts:
+                ws = re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+                out.append(count_tokens(ws, ranks, cache))
+            return pd.Series(out, dtype="int64")
+
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(_nonempty_words()).alias("n_ws_tokens"),
+            _count(F.col("text")).alias("n_bpe_tokens"),
+        )
+
+    return artifacts.serve_frame(spark, "bpe_token_counts", fp, build)
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7x — EXACT BPE token counts per document (VERDICT r6 #6: the
+    regex counts feeding the token-economics operators were
+    approximations). Rows-only at the driver (a merge loop is not
+    SQL); bit-exactness is pinned instead by tests/test_bpe.py — the
+    trainer against hand-derived merges on the Sennrich fixture, and
+    the whole Spark pipeline against an independent pure-Python
+    reference over every smoke-corpus document."""
+    return _bpe_counts(spark, sf_dir)
+
+
+def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26x — C26's sequence packing computed over EXACT BPE token
+    counts: every packed-stream offset (start_tok, bin coordinates) is
+    now true token economics under the learned tokenizer, not a regex
+    estimate. Same two-level prefix sum core (pack_stream); rows-only
+    like its input, with the gapless-stream invariant asserted in
+    tests/test_bpe.py."""
+    toks = _bpe_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return pack_stream(toks)
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_bm25_topk": text_bm25_topk,
@@ -995,6 +1112,10 @@ QUERIES = {
     "text_importance_resample": text_importance_resample,
     "text_perplexity_buckets": text_perplexity_buckets,
     "text_ngram_counts": text_ngram_counts,
+    # rows-only (a BPE merge loop is not SQL): pinned by tests/test_bpe.py
+    # against a pure-Python reference, the keccak/A14 precedent
+    "text_bpe_token_count": text_bpe_token_count,
+    "text_pack_sequences_bpe": text_pack_sequences_bpe,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
