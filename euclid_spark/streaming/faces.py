@@ -707,6 +707,88 @@ def _mpt_sql() -> str:
     return _MO["euclid_mpt_reassemble"]
 
 
+def stream_range_tree_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the A25 RANGE-TREE TILE monoid (r7): the
+    hierarchical partial-aggregate store maintained per micro-batch
+    over the adversarial hash-split feed — the streamed analog of
+    `query2/block/partial_node.rs` (appending blocks updates one path
+    of tiles, not the tree). The gate compares the FULL maintained tile
+    store against the batch SQL computing every (chunk, level, cell)
+    tile from the events table directly — incremental ≡ batch for the
+    exact structure the O(log-range) query face reads."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import (
+        _range_tree_merge,
+        _range_tree_partial,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_range_tree", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_range_tree_partial,
+            merge_fn=_range_tree_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):  # zero-row corpus: nothing merged
+            return spark.createDataFrame(
+                [],
+                "day int, level int, cell long, n_events bigint, "
+                "sum_value double, min_block long, max_block long, "
+                "digest bigint",
+            )
+        return sink.view(spark).select(
+            "day",
+            "level",
+            "cell",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "min_block",
+            "max_block",
+            "digest",
+        )
+
+    return _serve_streamed(spark, "stream_range_tree_tiles", fp, build)
+
+
+def _range_tree_tiles_sql() -> str:
+    from euclid_spark.operators.range_tree import TILE_SIZE
+    from euclid_spark.streaming.parity import _RT_LEVELS
+
+    return f"""
+        SELECT CAST((event_id // {TILE_SIZE}) >> {_RT_LEVELS} AS INT) AS day,
+               CAST(g.level AS INT) AS level,
+               (event_id // {TILE_SIZE}) >> g.level AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               MIN(event_id) AS min_block,
+               MAX(event_id) AS max_block,
+               CAST(SUM((event_id * {MIX} + user_id * 97) % {DIGEST_PRIME})
+                    % {DIGEST_PRIME} AS BIGINT) AS digest
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, {_RT_LEVELS + 1})) AS level) g
+        GROUP BY 1, 2, 3
+    """
+
+
 QUERIES = {
     "stream_ivm_view": stream_ivm_view,
     "stream_state_rollup": stream_state_rollup,
@@ -717,9 +799,11 @@ QUERIES = {
     "stream_mpt_entries": stream_mpt_entries,
     "stream_ss_join": stream_ss_join,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_range_tree_tiles": stream_range_tree_tiles,
 }
 
 ORACLES = {
+    "stream_range_tree_tiles": _range_tree_tiles_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,
