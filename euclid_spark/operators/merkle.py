@@ -527,7 +527,7 @@ def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
     from euclid_spark.operators.euclid import erc20_entry_rows
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree"
+        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2
     )
 
     def build_leaves() -> DataFrame:
@@ -536,10 +536,16 @@ def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
             (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
         )
         w = Window.partitionBy("owner").orderBy("event_id")
+        # zs/of ride along (not committed in the hash — they are owner-
+        # level audit counters): the response faces fold owner totals
+        # straight from these served leaves, so the Arrow u256 leaf
+        # stage runs once at ARTIFACT BUILD, never per query
         return rows.select(
             F.col("owner").alias("group_key"),
             "event_id",
             entry_hex.alias("entry_reward_hex"),
+            "zs",
+            "of",
             (F.row_number().over(w) - 1).alias("pos"),
         ).withColumn(
             "node_hash",
@@ -562,6 +568,43 @@ def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
     )
     depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
     return leaves, nodes, depth
+
+
+def _owner_rewards_from_leaves(leaves: DataFrame) -> DataFrame:
+    """Per-owner TOTAL u256 reward folded from the served entry leaves
+    — pure column expressions (hex → 4 decimal limbs via conv, limb-
+    wise map-side-combinable sums, one carry normalization mod 2²⁵⁶),
+    value-identical to A13's aggregate because the leaf hex IS the A13
+    leaf output. This keeps the query path free of the Arrow u256
+    stage: Python runs once at artifact build, never per response."""
+    from pyspark.sql.types import DecimalType
+
+    from euclid_spark.functions.u256 import u256_to_hex
+
+    DEC38 = DecimalType(38, 0)
+    # entry_reward_hex concatenates limbs HIGH→LOW (u256_to_hex), so
+    # substring 1..16 is l3 (highest) … 49..64 is l0 (lowest)
+    limb = lambda i: F.conv(  # noqa: E731
+        F.substring("entry_reward_hex", 1 + 16 * (3 - i), 16), 16, 10
+    ).cast(DEC38)
+    agged = leaves.groupBy(F.col("group_key").alias("owner")).agg(
+        *[F.sum(limb(i)).alias(f"s{i}") for i in range(4)],
+        F.sum("zs").cast("long").alias("n_zero_supply"),
+        F.sum("of").cast("long").alias("n_overflow"),
+    )
+    two64 = F.lit(str(2**64)).cast(DEC38)
+    limbs, carry = [], F.lit(0).cast(DEC38)
+    for i in range(4):
+        t = F.col(f"s{i}").cast(DEC38) + carry
+        lo = F.pmod(t, two64)
+        carry = ((t - lo) / two64).cast(DEC38)
+        limbs.append(lo.cast(DecimalType(20, 0)))
+    return agged.select(
+        "owner",
+        u256_to_hex(tuple(reversed(limbs))).alias("reward_hex"),
+        "n_zero_supply",
+        "n_overflow",
+    )
 
 
 def erc20_verifiable_response(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,23 +634,19 @@ def erc20_verifiable_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         REWARDS_RATE,
         TOP_L,
         _range_provenance,
-        erc20_weighted_sum_u256,
     )
 
     leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir)
+    owner_leaves = leaves.filter(F.col("group_key") == OWNER)
     paths = merkle_opening_paths(
-        leaves.filter(F.col("group_key") == OWNER),
+        owner_leaves.drop("zs", "of"),
         entry_cols=["event_id", "entry_reward_hex"],
         nodes=nodes.filter(F.col("group_key") == OWNER),
         depth=depth,
     )
     # leaf numbering IS the canonical (block-order) rank — no window
     revealed = paths.filter(F.col("leaf_pos") < TOP_L)
-    reward = (
-        erc20_weighted_sum_u256(spark, sf_dir)
-        .filter(F.col("owner") == OWNER)
-        .drop("owner")
-    )
+    reward = _owner_rewards_from_leaves(owner_leaves).drop("owner")
     return (
         revealed.crossJoin(F.broadcast(reward))
         .crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
@@ -642,16 +681,15 @@ def erc20_batch_verifiable_responses(
         REWARDS_RATE,
         TOP_L,
         _range_provenance,
-        erc20_weighted_sum_u256,
     )
 
     leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir)
     paths = merkle_opening_paths(
-        leaves, entry_cols=["event_id", "entry_reward_hex"],
+        leaves.drop("zs", "of"), entry_cols=["event_id", "entry_reward_hex"],
         nodes=nodes, depth=depth,
     )
     revealed = paths.filter(F.col("leaf_pos") < TOP_L)
-    rewards = erc20_weighted_sum_u256(spark, sf_dir)
+    rewards = _owner_rewards_from_leaves(leaves)
     return (
         revealed.join(
             rewards, revealed.group_key == rewards.owner
