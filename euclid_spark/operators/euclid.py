@@ -386,33 +386,23 @@ def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented case where built-in expressions genuinely cannot express
     the semantics efficiently. The AGGREGATION stays in columns: 4
     limb-wise SUMs are map-side combinable, so the shuffle carries one
-    partial per (owner, partition), not rows."""
-    from pyspark.sql.types import DecimalType
+    partial per (owner, partition), not rows.
 
-    from euclid_spark.functions.u256 import u256_to_hex
+    r7: the per-entry leaf outputs are a SERVED ARTIFACT shared with
+    the ERC-20 verifiable-response faces (merkle.erc20_entry_leaves —
+    the reference's own shape: the leaf proofs are committed storage,
+    queries aggregate them). The Arrow leaf pass runs once per corpus
+    version at artifact build; this query is then the pure-column
+    limb fold (hex → conv → decimal limb sums + one carry
+    normalization mod 2²⁵⁶, merkle._owner_rewards_from_leaves) —
+    deterministic, so serve ≡ recompute, asserted by the same HUGEINT
+    oracle."""
+    from euclid_spark.operators.merkle import (
+        _owner_rewards_from_leaves,
+        erc20_entry_leaves,
+    )
 
-    rows = erc20_entry_rows(spark, sf_dir)
-    agged = rows.groupBy("owner").agg(
-        *[F.sum(f"l{i}").alias(f"s{i}") for i in range(4)],
-        F.sum("zs").cast("long").alias("n_zero_supply"),
-        F.sum("of").cast("long").alias("n_overflow"),
-    )
-    # carry renormalization of the limb-wise sums (mod 2²⁵⁶)
-    DEC38 = DecimalType(38, 0)
-    two64 = F.lit(str(2**64)).cast(DEC38)
-    limbs, carry = [], F.lit(0).cast(DEC38)
-    for i in range(4):
-        t = F.col(f"s{i}").cast(DEC38) + carry
-        limb = F.pmod(t, two64)
-        carry = ((t - limb) / two64).cast(DEC38)
-        limbs.append(limb.cast(DecimalType(20, 0)))
-    reward_hex = u256_to_hex(tuple(reversed(limbs)))
-    return agged.select(
-        "owner",
-        reward_hex.alias("reward_hex"),
-        "n_zero_supply",
-        "n_overflow",
-    )
+    return _owner_rewards_from_leaves(erc20_entry_leaves(spark, sf_dir))
 
 
 def block_linking(spark: SparkSession, sf_dir: str) -> DataFrame:

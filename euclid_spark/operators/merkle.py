@@ -512,23 +512,29 @@ def _oracle_batch_responses() -> str:
     """
 
 
-def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
-    """The per-owner ERC-20 CONTRIBUTING-ENTRY Merkle tree (leaves +
-    levels) as a fingerprint-keyed DISK ARTIFACT — the query_erc20 twin
-    of _owner_token_tree. Each leaf commits one in-range purchase entry
-    of its owner: sha256(event_id ':' entry_reward_hex), where
-    entry_reward_hex is the leaf circuit's own output
+def _erc20_fp(sf_dir: str) -> str:
+    from euclid_spark import artifacts
+
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2
+    )
+
+
+def erc20_entry_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-owner ERC-20 CONTRIBUTING-ENTRY leaf table as a
+    fingerprint-keyed DISK ARTIFACT. Each leaf commits one in-range
+    purchase entry of its owner: sha256(event_id ':' entry_reward_hex),
+    where entry_reward_hex is the leaf circuit's own output
     ⌊balance·rate/supply⌋ (query_erc20/storage/leaf.rs:88-106) — the
-    commitment binds the per-entry REWARDS, not just the raw entries,
-    exactly as the reference's leaf proof does. Canonical order =
-    event_id (block order) per owner. Returns (leaves, nodes, depth)."""
+    commitment binds the per-entry REWARDS, exactly as the reference's
+    leaf proof does. Canonical pos = event_id (block) order per owner.
+    zs/of ride along uncommitted (owner-level audit counters): both the
+    response faces and A13's total fold read them from here, so the
+    Arrow u256 leaf stage runs once at ARTIFACT BUILD, never per
+    query."""
     from euclid_spark import artifacts
     from euclid_spark.functions.u256 import u256_to_hex
     from euclid_spark.operators.euclid import erc20_entry_rows
-
-    fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2
-    )
 
     def build_leaves() -> DataFrame:
         rows = erc20_entry_rows(spark, sf_dir)
@@ -536,10 +542,6 @@ def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
             (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
         )
         w = Window.partitionBy("owner").orderBy("event_id")
-        # zs/of ride along (not committed in the hash — they are owner-
-        # level audit counters): the response faces fold owner totals
-        # straight from these served leaves, so the Arrow u256 leaf
-        # stage runs once at ARTIFACT BUILD, never per query
         return rows.select(
             F.col("owner").alias("group_key"),
             "event_id",
@@ -557,11 +559,21 @@ def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
             ),
         )
 
-    leaves = artifacts.serve_frame(spark, "erc20_entry_leaves", fp, build_leaves)
+    return artifacts.serve_frame(
+        spark, "erc20_entry_leaves", _erc20_fp(sf_dir), build_leaves
+    )
+
+
+def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
+    """Leaves + all tree levels (the query_erc20 twin of
+    _owner_token_tree). Returns (leaves, nodes, depth)."""
+    from euclid_spark import artifacts
+
+    leaves = erc20_entry_leaves(spark, sf_dir)
     nodes = artifacts.serve_frame(
         spark,
         "erc20_entry_nodes",
-        fp,
+        _erc20_fp(sf_dir),
         lambda: merkle_levels(
             persist_tracked(leaves).select("group_key", "pos", "node_hash")
         )[0],
