@@ -196,6 +196,18 @@ def merkle_opening_paths(
     skip the level build."""
     if nodes is None:
         nodes, depth = merkle_levels(leaves.select(group, "pos", "node_hash"))
+    if depth is None or depth < 1:
+        # empty tree (zero-row corpus): a served nodes artifact reports
+        # max(level) = NULL — emit the typed empty response instead of
+        # building a negative-length level sequence
+        return leaves.select(
+            group,
+            *entry_cols,
+            F.col("pos").alias("leaf_pos"),
+            F.col("node_hash").alias("leaf_hash"),
+            F.lit("").alias("path"),
+            F.lit("").alias("root"),
+        ).limit(0)
 
     roots = nodes.filter(F.col("level") == depth).select(
         group, F.col("node_hash").alias("root")

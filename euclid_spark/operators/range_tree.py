@@ -168,6 +168,12 @@ def range_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("level").alias("max_level"),
         F.max(F.col("max_block")).alias("max_block"),
     ).collect()[0]  # bounded parameter fetch (two scalars)
+    if meta["max_level"] is None:  # zero-row corpus: no tiles, no range
+        return spark.createDataFrame(
+            [],
+            "b_min long, b_max long, n_events long, total_value double, "
+            "min_block long, max_block long, range_digest long",
+        )
     max_level, max_block = int(meta["max_level"]), int(meta["max_block"])
     b_min, b_max = max_block // 5, max_block * 4 // 5
     cover, edges = tile_cover(b_min, b_max, max_level)

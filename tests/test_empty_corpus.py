@@ -49,6 +49,15 @@ EMPTY_OK = {
     "sim_prefix_rerank": 0,
     "graph_doc_pagerank": 0,
     "cdc_scd2_time_travel": 0,
+    # r7 faces + the latent depth-None path they exposed in A20
+    "euclid_range_tree_agg": 0,
+    "euclid_erc20_verifiable_response": 0,
+    "euclid_erc20_batch_responses": 0,
+    "euclid_erc20_weighted_sum_u256": 0,
+    "euclid_day_partitioned_range": 0,
+    "euclid_verifiable_response": 0,
+    "text_bpe_token_count": 0,
+    "text_pack_sequences_bpe": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
@@ -85,7 +94,7 @@ def test_streaming_faces_tolerate_empty_corpus(spark, empty_sf, monkeypatch, tmp
     monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
     qs = registry.queries()
     for name in ("stream_ivm_view", "stream_state_rollup", "stream_ss_join",
-                 "stream_dedup_pairs"):
+                 "stream_dedup_pairs", "stream_range_tree_tiles"):
         rows = qs[name](spark, empty_sf).collect()
         assert rows == [], name
         release_all()
