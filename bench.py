@@ -67,6 +67,7 @@ HEADLINE = [
     "rel_skew_salted_join",
     "rel_bloom_join_prune",
     "rel_range_join_bucketed",
+    "rel_hdr_quantile_sketch",
     "euclid_merkle_proof",
     "rel_window_running_agg",
     "rel_sessionize",

@@ -1,0 +1,208 @@
+"""Mergeable quantile SKETCH with deterministic integer bucketing
+(SURVEY.md §2.B47) — the scale path for percentiles.
+
+Exact percentiles (B25) need a per-group sort; at 100 TB the standard
+answer is a mergeable sketch (t-digest / DDSketch / HdrHistogram). The
+variant here is the HdrHistogram bucket scheme (Gray & Tene's public
+design; DDSketch's log-bucket idea, Masson et al. 2019, with the
+log base-2 + linear sub-bucket layout): values scaled to integers,
+bucket key = (bit_length, top-SUB_BITS bits below the leading bit) —
+a log₂ histogram with 2^SUB_BITS linear sub-buckets per octave, giving
+a ≤ 2^-SUB_BITS (≈ 6 %, at SUB_BITS=4 ≈ 3.1 % mid-bucket) relative
+error bound with a FIXED bucket universe (≤ 64·16 buckets for any
+int64 range).
+
+Why this variant and not approx_percentile / a true t-digest: the
+bucket function is PURE INTEGER ARITHMETIC (binary-string length,
+shifts, masks) — bit-identical in any engine — so unlike B14's
+approx sketches the whole pipeline (bucket counts AND the quantile
+estimates read off the cumulative histogram) is hash-checked against
+the DuckDB oracle, while keeping the properties that matter at scale:
+
+- the sketch is a (group, bucket) → count table: a commutative MONOID
+  (counts add), map-side combinable, mergeable across partitions /
+  days / streams — run through the D20 parity harness as per-day
+  tiles (streaming/parity.py `hdr_quantile_tiles`);
+- fixed size regardless of data volume (the CMS/B44 property);
+- quantile extraction = one cumulative-sum window over ≤ ~1000
+  bucket rows per group, never a data sort.
+
+The face reports the sketch estimates BESIDE the exact interpolated
+percentiles (the B44 sketch-error-audit pattern) with the relative
+error gate-checked implicitly: both columns are in the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SUB_BITS = 4  # 16 linear sub-buckets per octave
+QS = (50, 90, 99)  # report p50/p90/p99
+
+
+def hdr_sketch(df: DataFrame, grp: str, v: str) -> DataFrame:
+    """(grp, nbits, sub, cnt): the mergeable sketch rows. `v` must be a
+    positive BIGINT column (scale fixed-point values first). Values
+    < 2^(SUB_BITS+1) get exact singleton buckets (nbits pinned to
+    SUB_BITS+1, sub = v); larger values bucket by (bit length, the
+    SUB_BITS bits after the leading 1)."""
+    lo = 1 << (SUB_BITS + 1)  # below this, buckets are exact
+    staged = df.select(
+        F.col(grp).alias("grp"),
+        F.col(v).alias("v"),
+        F.length(F.conv(F.col(v).cast("string"), 10, 2)).alias("nbits0"),
+    )
+    return (
+        staged.select(
+            "grp",
+            F.when(F.col("v") < lo, F.lit(SUB_BITS + 1))
+            .otherwise(F.col("nbits0"))
+            .cast("int")
+            .alias("nbits"),
+            F.when(F.col("v") < lo, F.col("v"))
+            .otherwise(
+                F.expr(
+                    f"shiftright(v, CAST(nbits0 - {SUB_BITS + 1} AS INT))"
+                    f" & {(1 << SUB_BITS) - 1}"
+                )
+            )
+            .cast("long")
+            .alias("sub"),
+        )
+        .groupBy("grp", "nbits", "sub")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bucket_lb() -> F.Column:
+    """Deterministic lower bound of a bucket — the reported estimate."""
+    return F.when(F.col("nbits") == SUB_BITS + 1, F.col("sub")).otherwise(
+        F.expr(
+            f"shiftleft({1 << SUB_BITS} + sub,"
+            f" CAST(nbits - {SUB_BITS + 1} AS INT))"
+        )
+    )
+
+
+def hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47 — per-returnflag price quantiles from the mergeable integer
+    sketch, reported beside the exact interpolated percentiles (the
+    sketch-error audit, B44's pattern). Prices fixed-point scaled
+    (cents) so every step is integer-exact in both engines; quantile
+    ranks use integer ceiling division (no float thresholds)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    sk = hdr_sketch(li, "grp", "v")
+    w = Window.partitionBy("grp").orderBy("nbits", "sub").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sk.select(
+        "grp", "nbits", "sub", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+        _bucket_lb().alias("lb"),
+    )
+    # ceil(q·n/100) in integers: (q·n + 99) div 100
+    ests = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") * q + 99) / 100),
+                    F.col("lb"),
+                )
+            )
+            / 100.0,
+            2,
+        ).alias(f"p{q}_est")
+        for q in QS
+    ]
+    sketch_side = cum.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"), *ests
+    )
+    exact_side = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        )
+        .groupBy("grp")
+        .agg(
+            *[
+                F.round(F.percentile("v", q / 100.0) / 100.0, 4).alias(
+                    f"p{q}_exact"
+                )
+                for q in QS
+            ]
+        )
+    )
+    return sketch_side.join(exact_side, "grp").select(
+        "grp", "n",
+        *[c for q in QS for c in (f"p{q}_est", f"p{q}_exact")],
+    )
+
+
+QUERIES = {
+    "rel_hdr_quantile_sketch": hdr_quantiles,
+}
+
+_LO = 1 << (SUB_BITS + 1)
+_MASK = (1 << SUB_BITS) - 1
+
+ORACLES = {
+    "rel_hdr_quantile_sketch": f"""
+        WITH vals AS (
+            SELECT l_returnflag AS grp,
+                   CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        keyed AS (
+            SELECT grp, v,
+                   CASE WHEN v < {_LO} THEN {SUB_BITS + 1}
+                        ELSE LENGTH(printf('%b', v)) END AS nbits,
+                   CASE WHEN v < {_LO} THEN v
+                        ELSE (v >> (LENGTH(printf('%b', v)) - {SUB_BITS + 1}))
+                             & {_MASK} END AS sub
+            FROM vals
+        ),
+        sk AS (
+            SELECT grp, nbits, sub, COUNT(*) AS cnt
+            FROM keyed GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT grp, nbits, sub, cnt,
+                   SUM(cnt) OVER (PARTITION BY grp ORDER BY nbits, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY grp) AS n,
+                   CASE WHEN nbits = {SUB_BITS + 1} THEN sub
+                        ELSE ({1 << SUB_BITS} + sub)
+                             << (nbits - {SUB_BITS + 1}) END AS lb
+            FROM sk
+        ),
+        sketch_side AS (
+            SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+                   {", ".join(
+                       f"ROUND(MIN(CASE WHEN cum >= (n * {q} + 99) // 100 "
+                       f"THEN lb END) / 100.0, 2) AS p{q}_est"
+                       for q in QS
+                   )}
+            FROM cum GROUP BY grp
+        ),
+        exact_side AS (
+            SELECT grp,
+                   {", ".join(
+                       f"ROUND(quantile_cont(v, {q / 100.0}) / 100.0, 4)"
+                       f" AS p{q}_exact"
+                       for q in QS
+                   )}
+            FROM vals GROUP BY grp
+        )
+        SELECT s.grp, s.n,
+               {", ".join(
+                   f"s.p{q}_est, e.p{q}_exact" for q in QS
+               )}
+        FROM sketch_side s JOIN exact_side e USING (grp)
+    """,
+}

@@ -23,6 +23,7 @@ from euclid_spark.operators import (
     mpt_ingest,
     multimodal,
     preprocessing,
+    quantile_sketch,
     range_tree,
     relational,
     similarity,
@@ -47,6 +48,7 @@ _MODULES = [
     partitioned,
     faces,
     range_tree,
+    quantile_sketch,
 ]
 
 def _with_session_confs(

@@ -341,6 +341,29 @@ def _cms_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- B47's quantile-sketch tiles as a maintained aggregate -------------------
+
+def _hdr_partial(events: DataFrame) -> DataFrame:
+    """B47's integer log-histogram as PER-DAY tiles over event values
+    (cents): a day-range quantile is the bucket-wise sum of its tiles —
+    the mergeable-sketch monoid, exactly like the CMS tiles."""
+    from euclid_spark.operators.quantile_sketch import hdr_sketch
+
+    vals = events.select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).filter(F.col("v") >= 1)
+    return hdr_sketch(vals, "day", "v").withColumnRenamed("grp", "day")
+
+
+def _hdr_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "nbits", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 # --- A25's range-tree tiles as a maintained aggregate ------------------------
 
 _RT_LEVELS = 6  # tree levels maintained by the streaming spec
@@ -433,5 +456,8 @@ SPECS = {
     ),
     "range_tree_tiles": ParitySpec(
         "range_tree_tiles", _range_tree_partial, _range_tree_merge
+    ),
+    "hdr_quantile_tiles": ParitySpec(
+        "hdr_quantile_tiles", _hdr_partial, _hdr_merge
     ),
 }
