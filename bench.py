@@ -59,6 +59,7 @@ HEADLINE = [
     "euclid_erc20_verifiable_response",
     "euclid_erc20_batch_responses",
     "euclid_range_tree_agg",
+    "euclid_day_partitioned_range",
     "graph_doc_pagerank",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",
