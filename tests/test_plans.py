@@ -310,3 +310,50 @@ def test_cms_sketch_is_bounded_broadcast(spark):
     plan = _plan(relational.heavy_hitters_cms(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_tree_reads_tiles_not_range(spark, tmp_path, monkeypatch):
+    """A25: both scans carry pushed filters (the tile (level, cell)
+    cover and the sub-tile edge ranges), and the only SinglePartition
+    exchanges are the two bounded final folds — the plan must never
+    scan the range interior."""
+    from euclid_spark.operators import range_tree
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    plan = _plan(range_tree.range_tree_agg(spark, SF_SMOKE))
+    pushed = [
+        seg[:300] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("level" in s and "cell" in s for s in pushed), \
+        "tile cover not pushed to the tiles scan"
+    assert any("event_id" in s for s in pushed), \
+        "edge ranges not pushed to the events scan"
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_erc20_responses_served_plans_have_no_arrow(spark, tmp_path, monkeypatch):
+    """r7: the response faces fold owner totals from the served leaf
+    artifact — the Arrow u256 stage must appear ONLY at artifact
+    build, never in the served query plan."""
+    from euclid_spark.operators import merkle
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    # first call builds the artifacts (Arrow allowed there)
+    merkle.erc20_verifiable_response(spark, SF_SMOKE).collect()
+    for fn in (
+        merkle.erc20_verifiable_response,
+        merkle.erc20_batch_verifiable_responses,
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "ArrowEvalPython" not in plan, f"{fn.__name__} re-runs the leaf"
+        assert "BatchEvalPython" not in plan
+
+
+def test_quantile_sketch_stays_jvm_side(spark):
+    """B47: integer bucketing is pure column arithmetic — no Python
+    anywhere, and the sketch aggregation is a plain hash aggregate."""
+    from euclid_spark.operators import quantile_sketch
+
+    plan = _plan(quantile_sketch.hdr_quantiles(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
