@@ -23,6 +23,9 @@ CASES = [
     "graph_doc_pagerank",          # integer fixed-point iteration
     "rel_unpivot_measures",        # decimal rollup
     "rel_skew_salted_agg",         # salted partials re-folded (decimal, r7)
+    "rel_hdr_quantile_sketch",     # integer buckets + window cum (r7)
+    "euclid_range_tree_agg",       # tile cover + decimal/digest folds (r7)
+    "euclid_erc20_batch_responses",  # u256 limb folds + sha2 paths (r7)
 ]
 
 
