@@ -40,7 +40,7 @@ DEFAULT_OPS = [
 ]
 
 
-def build_10x(spark, out_dir: str) -> None:
+def build_10x(spark, out_dir: str, scale_events: bool = False) -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
@@ -49,11 +49,25 @@ def build_10x(spark, out_dir: str) -> None:
         *[c for c in docs.columns if c != "doc_id"],
     )
     big.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
-    # the other tables are shared (the probe targets document ops)
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "embeddings".split()
-    ):
+    shared = (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split()
+    if scale_events:
+        # --events: replicate the block dimension too (offset event_ids)
+        # — the probe for block-range structures: the range-tree query
+        # must stay FLAT (cost ∝ log(range)) while the corpus grows 10×
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        m = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        bige = ev.join(reps).select(
+            (F.col("event_id") + F.col("rep") * m).alias("event_id"),
+            *[c for c in ev.columns if c != "event_id"],
+        )
+        bige.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
+    else:
+        shared.append("events")
+    for t in shared:
         os.symlink(f"{SF}/{t}.parquet", os.path.join(out_dir, f"{t}.parquet"))
 
 
@@ -68,7 +82,10 @@ def _time(qs, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
-    ops = sys.argv[1:] or DEFAULT_OPS
+    args = sys.argv[1:]
+    scale_events = "--events" in args
+    args = [a for a in args if a != "--events"]
+    ops = args or DEFAULT_OPS
     spark = get_session("scale_probe")
     _time.spark = spark
     qs = registry.queries()
@@ -78,7 +95,7 @@ def main() -> None:
     # corpus and would be one-shot garbage there
     os.environ["EUCLID_SPARK_ARTIFACTS"] = os.path.join(tmp, "_arts")
     try:
-        build_10x(spark, tmp)
+        build_10x(spark, tmp, scale_events=scale_events)
         out = {"sf": "0.1", "replicas": REPLICAS, "ops": {}}
         for name in ops:
             one_cold = _time(qs, name, SF)
