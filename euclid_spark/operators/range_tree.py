@@ -177,6 +177,12 @@ def range_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_level, max_block = int(meta["max_level"]), int(meta["max_block"])
     b_min, b_max = max_block // 5, max_block * 4 // 5
     cover, edges = tile_cover(b_min, b_max, max_level)
+    if not cover and not edges:  # degenerate range (≤ 4 blocks total)
+        return spark.createDataFrame(
+            [],
+            "b_min long, b_max long, n_events long, total_value double, "
+            "min_block long, max_block long, range_digest long",
+        )
 
     parts = []
     if cover:

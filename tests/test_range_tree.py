@@ -105,3 +105,24 @@ def test_result_equals_full_scan(spark):
     assert row["min_block"] == ref["mn"]
     assert row["max_block"] == ref["mx"]
     assert row["range_digest"] == ref["dg"]
+
+
+def test_degenerate_tiny_corpus(spark, tmp_path, monkeypatch):
+    """A 2-block corpus (event_ids 0 and 1) makes the probe range
+    empty (b_min == b_max == 0): the face must return its typed empty
+    frame, matching the oracle's zero rows, not crash on an empty
+    cover."""
+    from pyspark.sql import Window
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    w = Window.orderBy("event_id")
+    src = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .limit(2)
+        .withColumn("event_id", F.row_number().over(w).cast("long") - 1)
+    )
+    out = str(tmp_path / "tiny")
+    src.write.parquet(f"{out}/events.parquet")
+    got = range_tree_agg(spark, out)
+    assert got.count() == 0
+    assert "n_events" in got.columns and "range_digest" in got.columns
