@@ -217,7 +217,26 @@ def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — exact trigram-Jaccard pairs ≥ threshold via inverted-index
-    join: only pairs sharing ≥1 (df-capped) shingle are scored."""
+    join: only pairs sharing ≥1 (df-capped) shingle are scored.
+
+    r7: the VERIFIED pair table is itself a fingerprint-keyed disk
+    artifact (the C2 pair-ledger precedent): deterministic corpus
+    state, built once per corpus version; the component labeling
+    (C14/C16) reads the served scan."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="jaccard_pairs",
+        cap=MAX_SHINGLE_DF,
+        thr=JACCARD_THRESHOLD,
+    )
+    return artifacts.serve_frame(
+        spark, "jaccard_pairs", fp, lambda: _build_jaccard_pairs(spark, sf_dir)
+    )
+
+
+def _build_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = persist_tracked(_capped_shingles(spark, sf_dir))  # read 3× below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
