@@ -69,6 +69,7 @@ HEADLINE = [
     "rel_bloom_join_prune",
     "rel_range_join_bucketed",
     "rel_hdr_quantile_sketch",
+    "rel_linear_count_distinct",
     "euclid_merkle_proof",
     "rel_window_running_agg",
     "rel_sessionize",

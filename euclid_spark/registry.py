@@ -18,6 +18,7 @@ from euclid_spark.operators import (
     skew,
     curation,
     dedup,
+    distinct_sketch,
     euclid,
     merkle,
     mpt_ingest,
@@ -49,6 +50,7 @@ _MODULES = [
     faces,
     range_tree,
     quantile_sketch,
+    distinct_sketch,
 ]
 
 def _with_session_confs(

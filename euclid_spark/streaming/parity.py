@@ -364,6 +364,26 @@ def _hdr_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- B48's linear-counting bitmaps as a maintained aggregate -----------------
+
+def _lc_partial(events: DataFrame) -> DataFrame:
+    """B48's distinct-user bitmap as PER-DAY tiles: a day-range distinct
+    estimate is the bit_or of its tiles' words — the set-union monoid
+    in packed form (bit_or is idempotent, so replay is free)."""
+    from euclid_spark.operators.distinct_sketch import lc_bitmap
+
+    keyed = events.select(F.to_date("ts").alias("day"), "user_id")
+    return lc_bitmap(keyed, "day", "user_id").withColumnRenamed("grp", "day")
+
+
+def _lc_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
 # --- A25's range-tree tiles as a maintained aggregate ------------------------
 
 _RT_LEVELS = 6  # tree levels maintained by the streaming spec
@@ -459,5 +479,8 @@ SPECS = {
     ),
     "hdr_quantile_tiles": ParitySpec(
         "hdr_quantile_tiles", _hdr_partial, _hdr_merge
+    ),
+    "lc_distinct_tiles": ParitySpec(
+        "lc_distinct_tiles", _lc_partial, _lc_merge
     ),
 }
