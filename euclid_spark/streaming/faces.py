@@ -789,6 +789,134 @@ def _range_tree_tiles_sql() -> str:
     """
 
 
+def stream_hdr_quantile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the B47 QUANTILE-SKETCH monoid (r7): per-day
+    integer log-histogram tiles maintained per micro-batch; the gate
+    compares the full maintained tile store against the batch SQL
+    computing the same buckets from the events table — the mergeable-
+    sketch path a 100 TB deployment serves quantiles from."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import _hdr_merge, _hdr_partial
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_hdr_tiles", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_hdr_partial,
+            merge_fn=_hdr_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [], "day date, nbits int, sub long, cnt bigint"
+            )
+        return sink.view(spark).select("day", "nbits", "sub", "cnt")
+
+    return _serve_streamed(spark, "stream_hdr_quantile_tiles", fp, build)
+
+
+def stream_lc_distinct_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the B48 LINEAR-COUNTING bitmap monoid (r7):
+    per-day distinct-user bitmaps maintained per micro-batch (bit_or
+    merge — idempotent, so replay is free); gate = the batch bitmap
+    SQL per day."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import _lc_merge, _lc_partial
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_lc_tiles", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_lc_partial,
+            merge_fn=_lc_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [], "day date, word_idx int, word bigint"
+            )
+        return sink.view(spark).select("day", "word_idx", "word")
+
+    return _serve_streamed(spark, "stream_lc_distinct_tiles", fp, build)
+
+
+def _hdr_tiles_sql() -> str:
+    from euclid_spark.operators.quantile_sketch import SUB_BITS
+
+    lo = 1 << (SUB_BITS + 1)
+    mask = (1 << SUB_BITS) - 1
+    return f"""
+        WITH vals AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events
+        )
+        SELECT day,
+               CAST(CASE WHEN v < {lo} THEN {SUB_BITS + 1}
+                         ELSE LENGTH(printf('%b', v)) END AS INT) AS nbits,
+               CASE WHEN v < {lo} THEN v
+                    ELSE (v >> (LENGTH(printf('%b', v)) - {SUB_BITS + 1}))
+                         & {mask} END AS sub,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals WHERE v >= 1
+        GROUP BY 1, 2, 3
+    """
+
+
+def _lc_tiles_sql() -> str:
+    from euclid_spark.operators.distinct_sketch import LC_BITS
+
+    return f"""
+        WITH bits AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS BIGINT)
+                       % {LC_BITS} AS bit
+            FROM events
+        )
+        SELECT day, CAST(bit // 64 AS INT) AS word_idx,
+               bit_or(CASE WHEN bit % 64 = 63
+                           THEN -9223372036854775807 - 1
+                           ELSE 1::BIGINT << (bit % 64) END) AS word
+        FROM bits GROUP BY 1, 2
+    """
+
+
 QUERIES = {
     "stream_ivm_view": stream_ivm_view,
     "stream_state_rollup": stream_state_rollup,
@@ -800,10 +928,14 @@ QUERIES = {
     "stream_ss_join": stream_ss_join,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_range_tree_tiles": stream_range_tree_tiles,
+    "stream_hdr_quantile_tiles": stream_hdr_quantile_tiles,
+    "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
 }
 
 ORACLES = {
     "stream_range_tree_tiles": _range_tree_tiles_sql(),
+    "stream_hdr_quantile_tiles": _hdr_tiles_sql(),
+    "stream_lc_distinct_tiles": _lc_tiles_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,
