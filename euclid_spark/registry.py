@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from euclid_spark.sources import bucketing, partitioned
+from euclid_spark.sources import bucketing, partitioned, zorder
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     cdc,
@@ -47,6 +47,7 @@ _MODULES = [
     cdc,
     bucketing,
     partitioned,
+    zorder,
     faces,
     range_tree,
     quantile_sketch,

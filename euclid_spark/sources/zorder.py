@@ -91,3 +91,83 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+# ---------------------------------------------------------------- query face
+
+# the owner half of the 2-D query box — ids dense from 1 at every SF,
+# so the box is non-empty at the smoke SF and a ~1 % slice at sf0.1
+Z_USER_LO, Z_USER_HI = 3, 11
+
+
+def serve_zordered_events(spark, sf_dir: str) -> str:
+    """The z-ordered events layout as a fingerprint-keyed ARTIFACT
+    directory (the ingest/OPTIMIZE-time rewrite, built once per corpus
+    version — the day-partitioned layout's 2-D sibling). Clustered on
+    (user_id, event time): the (owner, block-range) box every
+    reference query scopes."""
+    import os
+    import shutil
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="events_zorder", bits=ZBITS
+    )
+    path = os.path.join(artifacts.artifact_dir(), f"events_zorder_{fp}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(artifacts.artifact_dir(), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts_epoch", F.col("ts").cast("timestamp").cast("long")
+        )
+        write_zordered(ev, tmp, "user_id", "ts_epoch")
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won — identical bytes
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def zorder_box_scan(spark, sf_dir: str) -> DataFrame:
+    """D26's QUERY FACE (r7): the 2-D (owner-range × block-range) box
+    query answered from the served z-ordered layout — the layout whose
+    parquet min/max footers make BOTH predicates file-pruning (the
+    measured 2-D box pruning of tests/test_zorder.py), while the
+    oracle runs the plain filter over the unpartitioned table: layout
+    result-invariance, gate-checked (the D10/D18 precedent)."""
+    import calendar
+    from datetime import datetime
+
+    from euclid_spark.operators.euclid import T_MAX, T_MIN
+
+    def _epoch(d: str) -> int:
+        return calendar.timegm(datetime.strptime(d, "%Y-%m-%d").timetuple())
+
+    path = serve_zordered_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return ev.filter(
+        (F.col("user_id") >= Z_USER_LO)
+        & (F.col("user_id") <= Z_USER_HI)
+        & (F.col("ts_epoch") >= _epoch(T_MIN))
+        & (F.col("ts_epoch") < _epoch(T_MAX))
+    ).select("event_id", "user_id", "value", "event_type")
+
+
+def _oracle_box() -> str:
+    from euclid_spark.operators.euclid import T_MAX, T_MIN
+
+    return f"""
+        SELECT event_id, user_id, value, event_type FROM events
+        WHERE user_id BETWEEN {Z_USER_LO} AND {Z_USER_HI}
+          AND ts >= TIMESTAMP '{T_MIN}' AND ts < TIMESTAMP '{T_MAX}'
+    """
+
+
+QUERIES = {
+    "euclid_zorder_box_scan": zorder_box_scan,
+}
+
+ORACLES = {
+    "euclid_zorder_box_scan": _oracle_box(),
+}
