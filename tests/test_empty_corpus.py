@@ -58,6 +58,9 @@ EMPTY_OK = {
     "euclid_verifiable_response": 0,
     "text_bpe_token_count": 0,
     "text_pack_sequences_bpe": 0,
+    "rel_hdr_quantile_sketch": 0,
+    "rel_linear_count_distinct": 0,
+    "euclid_zorder_box_scan": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
