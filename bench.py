@@ -70,6 +70,8 @@ HEADLINE = [
     "rel_range_join_bucketed",
     "rel_hdr_quantile_sketch",
     "rel_linear_count_distinct",
+    "rel_gap_fill_locf",
+    "rel_time_weighted_avg",
     "euclid_merkle_proof",
     "rel_window_running_agg",
     "rel_sessionize",

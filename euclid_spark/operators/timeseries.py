@@ -1,0 +1,146 @@
+"""Time-series operators over the irregular event stream (SURVEY.md
+§2.B49-B50) — the hypertable-style surface (gap filling and
+time-weighted aggregation are the two canonical continuous-time
+operations; public shapes: TimescaleDB's time_bucket_gapfill/locf and
+time_weight, kdb's fills).
+
+Both are pure column-expression pipelines with deterministic
+arithmetic (integer day steps; DECIMAL value·µs products), so both are
+fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49 — GAP FILLING with last-observation-carried-forward: the
+    per-(user, day) state series (A7's rollup) has holes on days a
+    user was silent; downstream joins and charts need a dense series.
+    Per user, every calendar day in [their first day, their last day]
+    is emitted; missing days carry the last observed value forward
+    (is_observed marks the provenance — LOCF values are imputations,
+    a data-card would count them).
+
+    Scale shape: the day explode is bounded by span-days per user (a
+    calendar, not the corpus); the carry-forward window is partitioned
+    by user and ordered on the day key — no global sort, no
+    SinglePartition. The last aggregation key (user, day) is the same
+    key the explode produced, so the window rides the join's
+    partitioning."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", "event_id").alias("obs_value"))
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        days.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("obs_value", ignorenulls=True).over(w).alias("value"),
+            F.col("obs_value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 — TIME-WEIGHTED AVERAGE value per user: events sample an
+    underlying state at irregular times, so the plain AVG over-weights
+    chatty periods; the continuous-time mean weights each observation
+    by how long it was current: TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ with
+    Δtᵢ = tᵢ₊₁ − tᵢ (the final observation has no successor and drops
+    out — the standard left-closed convention).
+
+    Determinism: Δt in exact integer MICROSECONDS (the µs NTZ column),
+    v·Δt accumulated in DECIMAL(38,6) — addition-order independent, so
+    the hash matches the oracle under any merge order (the q15 rule).
+    One lead() window per user + one aggregation on the same key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    us = (F.unix_micros(F.lead("t").over(w)) - F.unix_micros(F.col("t")))
+    staged = ev.select(
+        "user_id",
+        "value",
+        us.alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    vdt = (
+        F.col("value").cast("decimal(18,6)") * F.col("dt_us")
+    ).cast("decimal(38,6)")
+    return staged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_us").cast("long").alias("span_us"),
+        F.round(
+            (F.sum(vdt) / F.sum("dt_us")).cast("decimal(38,12)"), 6
+        )
+        .cast("double")
+        .alias("twa_value"),
+    )
+
+
+QUERIES = {
+    "rel_gap_fill_locf": gap_fill_locf,
+    "rel_time_weighted_avg": time_weighted_avg,
+}
+
+ORACLES = {
+    "rel_gap_fill_locf": """
+        WITH obs AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   max_by(value, event_id) AS obs_value
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM obs GROUP BY user_id
+        ),
+        days AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM span
+        )
+        SELECT d.user_id, d.day,
+               last_value(o.obs_value IGNORE NULLS)
+                   OVER (PARTITION BY d.user_id ORDER BY d.day
+                         ROWS UNBOUNDED PRECEDING) AS value,
+               o.obs_value IS NOT NULL AS is_observed
+        FROM days d
+        LEFT JOIN obs o ON o.user_id = d.user_id AND o.day = d.day
+    """,
+    "rel_time_weighted_avg": """
+        WITH staged AS (
+            SELECT user_id, value,
+                   epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)) * dt_us)
+                          / SUM(dt_us), 6) AS DOUBLE) AS twa_value
+        FROM staged WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+    """,
+}

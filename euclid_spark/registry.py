@@ -29,6 +29,7 @@ from euclid_spark.operators import (
     relational,
     similarity,
     textops,
+    timeseries,
 )
 
 _MODULES = [
@@ -52,6 +53,7 @@ _MODULES = [
     range_tree,
     quantile_sketch,
     distinct_sketch,
+    timeseries,
 ]
 
 def _with_session_confs(
