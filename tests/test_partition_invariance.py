@@ -26,6 +26,8 @@ CASES = [
     "rel_hdr_quantile_sketch",     # integer buckets + window cum (r7)
     "euclid_range_tree_agg",       # tile cover + decimal/digest folds (r7)
     "euclid_erc20_batch_responses",  # u256 limb folds + sha2 paths (r7)
+    "rel_linear_count_distinct",   # bit_or bitmap + libm-ln estimate (r7)
+    "rel_time_weighted_avg",       # decimal v·Δt accumulation (r7)
 ]
 
 
