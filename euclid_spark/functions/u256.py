@@ -340,3 +340,21 @@ def u256_divmod_small(a: U256, d: Column) -> Column:
         F.lit(0).cast("long").alias("rem"),
     )
     return F.aggregate(F.sequence(F.lit(0), F.lit(15)), init, step, finish)
+
+
+def u256_carry_hex(s0: Column, s1: Column, s2: Column, s3: Column) -> Column:
+    """64-char hex of a u256 given FOUR PER-LIMB SUM columns (low limb
+    first), each possibly exceeding 2⁶⁴ (the limb-wise aggregation
+    trick: SUM each limb independently — map-side combinable — then
+    carry-normalize ONCE here, mod 2²⁵⁶). Shared by A13's total fold
+    (operators/merkle._owner_rewards_from_leaves) and the streaming
+    reward view (streaming/faces.stream_erc20_rewards)."""
+    two64 = F.lit(str(2**64)).cast(DEC38)
+    limbs: list[Column] = []
+    carry: Column = F.lit(0).cast(DEC38)
+    for s in (s0, s1, s2, s3):
+        t = s.cast(DEC38) + carry
+        lo = F.pmod(t, two64)
+        carry = ((t - lo) / two64).cast(DEC38)
+        limbs.append(lo.cast(DEC20))
+    return u256_to_hex(tuple(reversed(limbs)))

@@ -302,18 +302,16 @@ def mapping_extract_keccak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("mpt_key", keccak256_hex(F.unhex(F.col("location"))))
 
 
-def erc20_entry_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-entry ERC-20 u256 leaf rewards — the `query_erc20/storage/
-    leaf.rs:88-106` circuit applied to every in-range purchase entry:
-    (owner, event_id, l0..l3, zs, of) where (l3..l0) are the 64-bit
-    limbs of ⌊balance · rewards_rate / supply⌋ with the circuit's two
-    guards (mul overflow → 0 + flag; zero supply → 0 + flag).
-
-    Shared leaf stage of A13 (which limb-sums it per owner) and the
-    ERC-20 verifiable response (which commits the entries to a Merkle
-    tree; operators/merkle.py). Arrow-batched pandas UDF over exact
-    Python bigints — the documented built-ins-can't-express-it case,
-    see erc20_weighted_sum_u256's engineering note."""
+def erc20_leaf_rows(ev: DataFrame) -> DataFrame:
+    """The `query_erc20/storage/leaf.rs:88-106` circuit applied to an
+    ALREADY-FILTERED purchase-entry frame: (owner, event_id, l0..l3,
+    zs, of) where (l3..l0) are the 64-bit limbs of
+    ⌊balance · rewards_rate / supply⌋ with the circuit's two guards
+    (mul overflow → 0 + flag; zero supply → 0 + flag). Arrow-batched
+    pandas UDF over exact Python bigints — the documented
+    built-ins-can't-express-it case, see erc20_weighted_sum_u256's
+    engineering note. Taking a frame (not sf_dir) lets the streaming
+    twin apply the same leaf circuit per micro-batch."""
     from decimal import Decimal
 
     import pandas as pd
@@ -343,7 +341,6 @@ def erc20_entry_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["of"].append(int(of))
         return pd.DataFrame(out)
 
-    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
     leaf = _leaf(
         F.floor(F.col("value") * 10000).cast("long"),
         F.col("event_id").cast("long"),
@@ -358,6 +355,15 @@ def erc20_entry_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lf.zs").alias("zs"),
         F.col("lf.of").alias("of"),
     )
+
+
+def erc20_entry_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry ERC-20 u256 leaf rewards over the in-range purchase
+    scan — shared leaf stage of A13 (which limb-sums it per owner) and
+    the ERC-20 verifiable response (which commits the entries to a
+    Merkle tree; operators/merkle.py)."""
+    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return erc20_leaf_rows(ev)
 
 
 def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -603,7 +603,7 @@ def _owner_rewards_from_leaves(leaves: DataFrame) -> DataFrame:
     stage: Python runs once at artifact build, never per response."""
     from pyspark.sql.types import DecimalType
 
-    from euclid_spark.functions.u256 import u256_to_hex
+    from euclid_spark.functions.u256 import u256_carry_hex
 
     DEC38 = DecimalType(38, 0)
     # entry_reward_hex concatenates limbs HIGH→LOW (u256_to_hex), so
@@ -616,16 +616,11 @@ def _owner_rewards_from_leaves(leaves: DataFrame) -> DataFrame:
         F.sum("zs").cast("long").alias("n_zero_supply"),
         F.sum("of").cast("long").alias("n_overflow"),
     )
-    two64 = F.lit(str(2**64)).cast(DEC38)
-    limbs, carry = [], F.lit(0).cast(DEC38)
-    for i in range(4):
-        t = F.col(f"s{i}").cast(DEC38) + carry
-        lo = F.pmod(t, two64)
-        carry = ((t - lo) / two64).cast(DEC38)
-        limbs.append(lo.cast(DecimalType(20, 0)))
     return agged.select(
         "owner",
-        u256_to_hex(tuple(reversed(limbs))).alias("reward_hex"),
+        u256_carry_hex(
+            F.col("s0"), F.col("s1"), F.col("s2"), F.col("s3")
+        ).alias("reward_hex"),
         "n_zero_supply",
         "n_overflow",
     )

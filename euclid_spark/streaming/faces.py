@@ -876,6 +876,115 @@ def stream_lc_distinct_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_lc_distinct_tiles", fp, build)
 
 
+def _erc20_partial(events: DataFrame) -> DataFrame:
+    """A13's ERC-20 reward view as a streaming monoid: the leaf circuit
+    (Arrow u256 stage — run PER BATCH, the ingest-time pattern) maps
+    each in-range purchase entry to its reward limbs; partials are
+    limb-wise DECIMAL(38) sums per owner — carry normalization is
+    deferred to READ (u256_carry_hex), so the maintained state is a
+    plain commutative monoid and merge order cannot matter. Partition
+    chunk = owner mod 16 (a batch rewrites only touched chunks)."""
+    from euclid_spark.operators.euclid import (
+        T_MAX,
+        T_MIN,
+        erc20_leaf_rows,
+    )
+
+    ev = events.filter(
+        (F.col("ts") >= F.lit(T_MIN).cast("timestamp"))
+        & (F.col("ts") < F.lit(T_MAX).cast("timestamp"))
+        & (F.col("event_type") == "purchase")
+    )
+    rows = erc20_leaf_rows(ev)
+    return rows.groupBy(
+        F.pmod(F.col("owner"), F.lit(16)).cast("int").alias("day"),
+        "owner",
+    ).agg(
+        *[
+            F.sum(F.col(f"l{i}").cast("decimal(38,0)")).alias(f"s{i}")
+            for i in range(4)
+        ],
+        F.sum("zs").cast("long").alias("zs"),
+        F.sum("of").cast("long").alias("of"),
+    )
+
+
+def _erc20_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "owner")
+        .agg(
+            *[
+                F.sum(F.col(f"s{i}")).cast("decimal(38,0)").alias(f"s{i}")
+                for i in range(4)
+            ],
+            F.sum("zs").cast("long").alias("zs"),
+            F.sum("of").cast("long").alias("of"),
+        )
+    )
+
+
+def stream_erc20_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the ERC-20 u256 REWARD monoid (r7): A13's query
+    maintained incrementally — the reference's IVC story applied to
+    its own second query family (query_erc20 + block/mod.rs: each new
+    block's entries fold into the running result). The leaf circuit
+    runs per micro-batch; the maintained per-owner limb sums carry-
+    normalize at read into the same reward_hex A13's HUGEINT oracle
+    checks."""
+    from euclid_spark.functions.u256 import u256_carry_hex
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_erc20_rewards", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_erc20_partial,
+            merge_fn=_erc20_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [],
+                "owner long, reward_hex string, n_zero_supply long, "
+                "n_overflow long",
+            )
+        return sink.view(spark).select(
+            "owner",
+            u256_carry_hex(
+                F.col("s0"), F.col("s1"), F.col("s2"), F.col("s3")
+            ).alias("reward_hex"),
+            F.col("zs").alias("n_zero_supply"),
+            F.col("of").alias("n_overflow"),
+        )
+
+    return _serve_streamed(spark, "stream_erc20_rewards", fp, build)
+
+
+def _erc20_rewards_sql() -> str:
+    from euclid_spark.operators import euclid as _e
+
+    return _e.ORACLES["euclid_erc20_weighted_sum_u256"]
+
+
 def _hdr_tiles_sql() -> str:
     from euclid_spark.operators.quantile_sketch import SUB_BITS
 
@@ -930,12 +1039,14 @@ QUERIES = {
     "stream_range_tree_tiles": stream_range_tree_tiles,
     "stream_hdr_quantile_tiles": stream_hdr_quantile_tiles,
     "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
+    "stream_erc20_rewards": stream_erc20_rewards,
 }
 
 ORACLES = {
     "stream_range_tree_tiles": _range_tree_tiles_sql(),
     "stream_hdr_quantile_tiles": _hdr_tiles_sql(),
     "stream_lc_distinct_tiles": _lc_tiles_sql(),
+    "stream_erc20_rewards": _erc20_rewards_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,
