@@ -876,52 +876,6 @@ def stream_lc_distinct_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_lc_distinct_tiles", fp, build)
 
 
-def _erc20_partial(events: DataFrame) -> DataFrame:
-    """A13's ERC-20 reward view as a streaming monoid: the leaf circuit
-    (Arrow u256 stage — run PER BATCH, the ingest-time pattern) maps
-    each in-range purchase entry to its reward limbs; partials are
-    limb-wise DECIMAL(38) sums per owner — carry normalization is
-    deferred to READ (u256_carry_hex), so the maintained state is a
-    plain commutative monoid and merge order cannot matter. Partition
-    chunk = owner mod 16 (a batch rewrites only touched chunks)."""
-    from euclid_spark.operators.euclid import (
-        T_MAX,
-        T_MIN,
-        erc20_leaf_rows,
-    )
-
-    ev = events.filter(
-        (F.col("ts") >= F.lit(T_MIN).cast("timestamp"))
-        & (F.col("ts") < F.lit(T_MAX).cast("timestamp"))
-        & (F.col("event_type") == "purchase")
-    )
-    rows = erc20_leaf_rows(ev)
-    return rows.groupBy(
-        F.pmod(F.col("owner"), F.lit(16)).cast("int").alias("day"),
-        "owner",
-    ).agg(
-        *[
-            F.sum(F.col(f"l{i}").cast("decimal(38,0)")).alias(f"s{i}")
-            for i in range(4)
-        ],
-        F.sum("zs").cast("long").alias("zs"),
-        F.sum("of").cast("long").alias("of"),
-    )
-
-
-def _erc20_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
-    return (
-        old.unionByName(partial)
-        .groupBy("day", "owner")
-        .agg(
-            *[
-                F.sum(F.col(f"s{i}")).cast("decimal(38,0)").alias(f"s{i}")
-                for i in range(4)
-            ],
-            F.sum("zs").cast("long").alias("zs"),
-            F.sum("of").cast("long").alias("of"),
-        )
-    )
 
 
 def stream_erc20_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +889,7 @@ def stream_erc20_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark.functions.u256 import u256_carry_hex
     from euclid_spark.streaming.block_db import read_event_stream
     from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import _erc20_merge, _erc20_partial
 
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"], op="stream_erc20_rewards", n=N_SPLITS, v=1

@@ -364,6 +364,56 @@ def _hdr_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- A13's ERC-20 u256 reward view as a maintained aggregate -----------------
+
+def _erc20_partial(events: DataFrame) -> DataFrame:
+    """A13's ERC-20 reward view as a streaming monoid: the leaf circuit
+    (Arrow u256 stage — run PER BATCH, the ingest-time pattern) maps
+    each in-range purchase entry to its reward limbs; partials are
+    limb-wise DECIMAL(38) sums per owner — carry normalization is
+    deferred to READ (u256_carry_hex), so the maintained state is a
+    plain commutative monoid and merge order cannot matter. Partition
+    chunk = owner mod 16 (a batch rewrites only touched chunks)."""
+    from euclid_spark.operators.euclid import (
+        T_MAX,
+        T_MIN,
+        erc20_leaf_rows,
+    )
+
+    ev = events.filter(
+        (F.col("ts") >= F.lit(T_MIN).cast("timestamp"))
+        & (F.col("ts") < F.lit(T_MAX).cast("timestamp"))
+        & (F.col("event_type") == "purchase")
+    )
+    rows = erc20_leaf_rows(ev)
+    return rows.groupBy(
+        F.pmod(F.col("owner"), F.lit(16)).cast("int").alias("day"),
+        "owner",
+    ).agg(
+        *[
+            F.sum(F.col(f"l{i}").cast("decimal(38,0)")).alias(f"s{i}")
+            for i in range(4)
+        ],
+        F.sum("zs").cast("long").alias("zs"),
+        F.sum("of").cast("long").alias("of"),
+    )
+
+
+def _erc20_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "owner")
+        .agg(
+            *[
+                F.sum(F.col(f"s{i}")).cast("decimal(38,0)").alias(f"s{i}")
+                for i in range(4)
+            ],
+            F.sum("zs").cast("long").alias("zs"),
+            F.sum("of").cast("long").alias("of"),
+        )
+    )
+
+
 # --- B48's linear-counting bitmaps as a maintained aggregate -----------------
 
 def _lc_partial(events: DataFrame) -> DataFrame:
@@ -482,5 +532,8 @@ SPECS = {
     ),
     "lc_distinct_tiles": ParitySpec(
         "lc_distinct_tiles", _lc_partial, _lc_merge
+    ),
+    "erc20_reward_view": ParitySpec(
+        "erc20_reward_view", _erc20_partial, _erc20_merge
     ),
 }
