@@ -60,6 +60,7 @@ HEADLINE = [
     "euclid_erc20_batch_responses",
     "euclid_range_tree_agg",
     "euclid_day_partitioned_range",
+    "euclid_zorder_box_scan",
     "graph_doc_pagerank",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",

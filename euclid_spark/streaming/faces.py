@@ -52,6 +52,19 @@ Faces:
 - `stream_windowed_counts` — D4 watermarked tumbling-window standing
                             aggregation, complete mode, DECIMAL sums.
                             Oracle: the batch per-(hour, type) rollup.
+- `stream_range_tree_tiles` — (r7) the A25 segment-tree tile store
+                            maintained per micro-batch; oracle = the
+                            batch per-(chunk, level, cell) SQL.
+- `stream_hdr_quantile_tiles` — (r7) B47's per-day integer quantile-
+                            histogram tiles; oracle = the batch bucket
+                            SQL.
+- `stream_lc_distinct_tiles` — (r7) B48's per-day distinct bitmaps
+                            (idempotent bit_or); oracle = the batch
+                            bitmap SQL.
+- `stream_erc20_rewards`  — (r7) A13's u256 reward view maintained
+                            incrementally (leaf circuit per batch,
+                            limb-sum monoid, carry at read); oracle =
+                            A13's HUGEINT SQL.
 
 Cost model: a face pays the full streaming run ONCE per corpus version
 — the final state is a fingerprint-keyed disk artifact
