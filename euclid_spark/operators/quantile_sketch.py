@@ -122,6 +122,8 @@ def hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch_side = cum.groupBy("grp").agg(
         F.max("n").cast("long").alias("n"), *ests
     )
+    # ONE percentile aggregate with the quantile array (one per-group
+    # sort, not one per quantile — measured 3.1 → ~1 s at sf0.1)
     exact_side = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .select(
@@ -130,12 +132,16 @@ def hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("grp")
         .agg(
+            F.percentile("v", F.array(*[F.lit(q / 100.0) for q in QS])).alias(
+                "px"
+            )
+        )
+        .select(
+            "grp",
             *[
-                F.round(F.percentile("v", q / 100.0) / 100.0, 4).alias(
-                    f"p{q}_exact"
-                )
-                for q in QS
-            ]
+                F.round(F.get("px", i) / 100.0, 4).alias(f"p{q}_exact")
+                for i, q in enumerate(QS)
+            ],
         )
     )
     return sketch_side.join(exact_side, "grp").select(
