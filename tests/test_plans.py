@@ -162,9 +162,17 @@ def test_benchmark_overlap_single_exchange_and_broadcast(spark):
     """C23's r5 one-pass shape: the train side must reach the doc_id
     aggregation through a BROADCAST join against the (fixed-size)
     benchmark shingle set — no shuffle of the corpus's shingle strings.
-    The only allowed wide exchanges are the benchmark side's own small
-    distinct and the final one-row-per-doc aggregation."""
-    df = textops.text_benchmark_overlap(spark, SF_SMOKE)
+    Since r7 the registry face serves the verdict ARTIFACT (a plain
+    scan), so this asserts the BUILD pipeline's plan — the shape the
+    once-per-corpus-version build actually executes."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    is_bench = F.col("source").isin(*textops.BENCH_SOURCES)
+    df = textops.contamination_overlap(
+        docs.filter(~is_bench),
+        textops.benchmark_shingles(docs.filter(is_bench)),
+    )
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "corpus-wide shingle shuffle is back"
