@@ -719,7 +719,29 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared shingles is exactly the maximal-error row (est > 0,
     exact = 0) a sketch-accuracy audit exists to surface — inter and
     the sizes are left-joined from the pair ledger and coalesced, so
-    such pairs report exact_jaccard = 0 instead of vanishing."""
+    such pairs report exact_jaccard = 0 instead of vanishing.
+
+    The report is itself a served ARTIFACT: a calibration audit is run
+    once per (corpus version, k, band shape) to pick the sketch
+    parameters — per-query recompute is precisely what it does not
+    need."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="minhash_calibration",
+        n_hashes=N_HASHES,
+        band=BAND_SIZE,
+    )
+    return artifacts.serve_frame(
+        spark,
+        "minhash_calibration",
+        fp,
+        lambda: _build_minhash_estimate(spark, sf_dir),
+    )
+
+
+def _build_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = persist_tracked(dedup_minhash_lsh(spark, sf_dir))
     sigs = signature_index(spark, sf_dir)
     sa = sigs.select(
