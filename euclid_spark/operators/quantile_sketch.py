@@ -150,14 +150,180 @@ def hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def serve_hdr_day_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day sketch tiles over event values (cents) as a
+    fingerprint-keyed ARTIFACT — the exact structure the D20
+    `hdr_quantile_tiles` parity spec maintains incrementally; batch
+    deployments build it once per corpus version at ingest."""
+    from euclid_spark import artifacts
+
+    def build() -> DataFrame:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        ).filter(F.col("v") >= 1)
+        return hdr_sketch(ev, "day", "v").withColumnRenamed("grp", "day")
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="hdr_day_tiles", sb=SUB_BITS
+    )
+    return artifacts.serve_frame(spark, "hdr_day_tiles", fp, build)
+
+
+def hdr_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51 — quantiles over an ARBITRARY DAY RANGE answered from the
+    served per-day sketch tiles: merge = bucket-wise count sum (the
+    monoid), so the query reads tile rows ∝ days × buckets — never the
+    events in range. This is the serving path the tile artifacts exist
+    for (a day-range p99 at 100 TB = a few thousand tile rows), made
+    gate-checkable: the estimates must hash-match the oracle computing
+    the same buckets from the raw rows, and the exact interpolated
+    percentiles ride beside them as the error audit (B44 pattern).
+    Range = the middle ⅕..⅘ of the day span (scale-invariant probe
+    bounds, the A22/A25 pattern; two collected scalars)."""
+    from datetime import timedelta
+
+    tiles = serve_hdr_day_tiles(spark, sf_dir)
+    meta = tiles.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).collect()[0]  # bounded parameter fetch
+    if meta["d0"] is None:  # zero-row corpus
+        return spark.createDataFrame(
+            [],
+            "d_lo date, d_hi date, n long, "
+            + ", ".join(
+                f"p{q}_est double, p{q}_exact double" for q in QS
+            ),
+        )
+    span = (meta["d1"] - meta["d0"]).days
+    d_lo = meta["d0"] + timedelta(days=span // 5)
+    d_hi = meta["d0"] + timedelta(days=span * 4 // 5)
+
+    merged = (
+        tiles.filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
+        .groupBy("nbits", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("grp", F.lit("range"))
+    )
+    w = Window.partitionBy("grp").orderBy("nbits", "sub").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.select(
+        "grp", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+        _bucket_lb().alias("lb"),
+    )
+    ests = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") * q + 99) / 100),
+                    F.col("lb"),
+                )
+            )
+            / 100.0,
+            2,
+        ).alias(f"p{q}_est")
+        for q in QS
+    ]
+    sk = cum.groupBy("grp").agg(F.max("n").cast("long").alias("n"), *ests)
+    # the exact audit side scans the range rows (what the tiles avoid)
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .filter(
+            (F.col("v") >= 1) & (F.col("day") >= d_lo) & (F.col("day") < d_hi)
+        )
+        .agg(
+            F.percentile("v", F.array(*[F.lit(q / 100.0) for q in QS])).alias(
+                "px"
+            )
+        )
+        .select(
+            *[
+                F.round(F.get("px", i) / 100.0, 4).alias(f"p{q}_exact")
+                for i, q in enumerate(QS)
+            ]
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.lit(d_lo).alias("d_lo"),
+        F.lit(d_hi).alias("d_hi"),
+        "n",
+        *[c for q in QS for c in (f"p{q}_est", f"p{q}_exact")],
+    )
+
+
 QUERIES = {
     "rel_hdr_quantile_sketch": hdr_quantiles,
+    "rel_hdr_range_quantiles": hdr_range_quantiles,
 }
 
 _LO = 1 << (SUB_BITS + 1)
 _MASK = (1 << SUB_BITS) - 1
 
 ORACLES = {
+    "rel_hdr_range_quantiles": f"""
+        WITH b AS (
+            SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+            FROM events
+        ),
+        bounds AS (
+            SELECT (d0 + ((d1 - d0) // 5) * INTERVAL 1 DAY)::DATE AS d_lo,
+                   (d0 + (((d1 - d0) * 4) // 5) * INTERVAL 1 DAY)::DATE AS d_hi
+            FROM b
+        ),
+        vals AS (
+            SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events, bounds
+            WHERE CAST(ts AS DATE) >= d_lo AND CAST(ts AS DATE) < d_hi
+              AND CAST(FLOOR(value * 100) AS BIGINT) >= 1
+        ),
+        keyed AS (
+            SELECT v,
+                   CASE WHEN v < {_LO} THEN {SUB_BITS + 1}
+                        ELSE LENGTH(printf('%b', v)) END AS nbits,
+                   CASE WHEN v < {_LO} THEN v
+                        ELSE (v >> (LENGTH(printf('%b', v)) - {SUB_BITS + 1}))
+                             & {_MASK} END AS sub
+            FROM vals
+        ),
+        sk AS (SELECT nbits, sub, COUNT(*) AS cnt FROM keyed GROUP BY 1, 2),
+        cum AS (
+            SELECT nbits, sub, cnt,
+                   SUM(cnt) OVER (ORDER BY nbits, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER () AS n,
+                   CASE WHEN nbits = {SUB_BITS + 1} THEN sub
+                        ELSE ({1 << SUB_BITS} + sub)
+                             << (nbits - {SUB_BITS + 1}) END AS lb
+            FROM sk
+        ),
+        est AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   {", ".join(
+                       f"ROUND(MIN(CASE WHEN cum >= (n * {q} + 99) // 100 "
+                       f"THEN lb END) / 100.0, 2) AS p{q}_est"
+                       for q in QS
+                   )}
+            FROM cum
+        ),
+        ex AS (
+            SELECT {", ".join(
+                       f"ROUND(quantile_cont(v, {q / 100.0}) / 100.0, 4)"
+                       f" AS p{q}_exact"
+                       for q in QS
+                   )}
+            FROM vals
+        )
+        SELECT bounds.d_lo, bounds.d_hi, est.n,
+               {", ".join(f"est.p{q}_est, ex.p{q}_exact" for q in QS)}
+        FROM est, ex, bounds
+    """,
     "rel_hdr_quantile_sketch": f"""
         WITH vals AS (
             SELECT l_returnflag AS grp,
