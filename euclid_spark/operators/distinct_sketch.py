@@ -89,11 +89,128 @@ def lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def serve_lc_day_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user bitmaps as a fingerprint-keyed ARTIFACT —
+    the structure the D20 `lc_distinct_tiles` spec maintains
+    incrementally; batch deployments build it once at ingest."""
+    from euclid_spark import artifacts
+
+    def build() -> DataFrame:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        return lc_bitmap(ev, "day", "user_id").withColumnRenamed("grp", "day")
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="lc_day_tiles", m=LC_BITS
+    )
+    return artifacts.serve_frame(spark, "lc_day_tiles", fp, build)
+
+
+def lc_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52 — distinct users over an ARBITRARY DAY RANGE from the served
+    per-day bitmaps: range bitmap = bit_or of the days' words (the
+    set-union monoid in packed form — cost ∝ days × words, never the
+    events in range), estimate beside the exact COUNT(DISTINCT) over
+    the range (the audit the tiles replace at scale). The B51 pattern
+    for the distinct-count monoid; same probe bounds (⅕..⅘ days)."""
+    from datetime import timedelta
+
+    tiles = serve_lc_day_tiles(spark, sf_dir)
+    meta = tiles.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).collect()[0]  # bounded parameter fetch
+    if meta["d0"] is None:  # zero-row corpus
+        return spark.createDataFrame(
+            [],
+            "d_lo date, d_hi date, n_rows long, exact_distinct long, "
+            "n_set_bits long, lc_estimate double",
+        )
+    span = (meta["d1"] - meta["d0"]).days
+    d_lo = meta["d0"] + timedelta(days=span // 5)
+    d_hi = meta["d0"] + timedelta(days=span * 4 // 5)
+
+    merged = (
+        tiles.filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    setbits = merged.agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_set_bits")
+    )
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("exact_distinct"),
+        )
+    )
+    zero_frac = (F.lit(LC_BITS) - F.col("n_set_bits")) / F.lit(LC_BITS)
+    return exact.crossJoin(F.broadcast(setbits)).select(
+        F.lit(d_lo).alias("d_lo"),
+        F.lit(d_hi).alias("d_hi"),
+        "n_rows",
+        "exact_distinct",
+        "n_set_bits",
+        F.when(
+            F.col("n_set_bits") < LC_BITS,
+            F.round(-F.lit(float(LC_BITS)) * F.log(zero_frac), 2),
+        ).alias("lc_estimate"),
+    )
+
+
 QUERIES = {
     "rel_linear_count_distinct": lc_distinct,
+    "rel_lc_range_distinct": lc_range_distinct,
 }
 
 ORACLES = {
+    "rel_lc_range_distinct": f"""
+        WITH b AS (
+            SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+            FROM events
+        ),
+        bounds AS (
+            SELECT (d0 + ((d1 - d0) // 5) * INTERVAL 1 DAY)::DATE AS d_lo,
+                   (d0 + (((d1 - d0) * 4) // 5) * INTERVAL 1 DAY)::DATE AS d_hi
+            FROM b
+        ),
+        ev AS (
+            SELECT user_id FROM events, bounds
+            WHERE CAST(ts AS DATE) >= d_lo AND CAST(ts AS DATE) < d_hi
+        ),
+        bits AS (
+            SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS BIGINT)
+                       % {LC_BITS} AS bit
+            FROM ev
+        ),
+        words AS (
+            SELECT bit // 64 AS word_idx,
+                   bit_or(CASE WHEN bit % 64 = 63
+                               THEN -9223372036854775807 - 1
+                               ELSE 1::BIGINT << (bit % 64) END) AS word
+            FROM bits GROUP BY 1
+        ),
+        sb AS (
+            SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS n_set_bits
+            FROM words
+        ),
+        ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM ev
+        )
+        SELECT bounds.d_lo, bounds.d_hi, ex.n_rows, ex.exact_distinct,
+               sb.n_set_bits,
+               CASE WHEN sb.n_set_bits < {LC_BITS}
+                    THEN ROUND(-{float(LC_BITS)!r}
+                               * ln(({LC_BITS} - sb.n_set_bits) * 1.0
+                                    / {LC_BITS}), 2)
+               END AS lc_estimate
+        FROM ex, sb, bounds
+    """,
     "rel_linear_count_distinct": f"""
         WITH ev AS (
             SELECT event_type AS grp, user_id FROM events
