@@ -73,6 +73,9 @@ HEADLINE = [
     "rel_linear_count_distinct",
     "rel_gap_fill_locf",
     "rel_time_weighted_avg",
+    "rel_hdr_range_quantiles",
+    "rel_lc_range_distinct",
+    "rel_cms_range_topk",
     "euclid_merkle_proof",
     "rel_window_running_agg",
     "rel_sessionize",

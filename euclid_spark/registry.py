@@ -14,6 +14,7 @@ from euclid_spark.sources import bucketing, partitioned, zorder
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     cdc,
+    cms_range,
     components,
     skew,
     curation,
@@ -54,6 +55,7 @@ _MODULES = [
     quantile_sketch,
     distinct_sketch,
     timeseries,
+    cms_range,
 ]
 
 def _with_session_confs(
