@@ -61,6 +61,11 @@ EMPTY_OK = {
     "rel_hdr_quantile_sketch": 0,
     "rel_linear_count_distinct": 0,
     "euclid_zorder_box_scan": 0,
+    "rel_hdr_range_quantiles": 0,
+    "rel_lc_range_distinct": 0,
+    "rel_cms_range_topk": 0,
+    "rel_gap_fill_locf": 0,
+    "rel_time_weighted_avg": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
