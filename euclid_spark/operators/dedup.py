@@ -690,6 +690,96 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45 — CONTAINMENT scoring over the candidate pairs (Broder
+    1997's second resemblance measure): c(A→B) = |A∩B| / |A|. The
+    ASYMMETRIC near-dup detector: a short document pasted inside a
+    longer one scores c ≈ 1 while symmetric Jaccard — diluted by the
+    longer doc's extra content — stays far below its threshold, so
+    whole-doc dedup (C2/C4) never flags it. Emits, per LSH candidate
+    pair, both directions' containment plus the nested-doc verdict
+    (max containment ≥ CONTAINMENT_THRESHOLD while the pair is NOT a
+    symmetric near-dup) — the "document inclusion" report a curation
+    pipeline reviews separately from plain duplicates.
+
+    Candidates come from the CAPPED SHINGLE INDEX (any shared
+    informative shingle — the C4/C17 generator), NOT the LSH ledger:
+    MinHash signatures of a short doc and the long doc containing it
+    differ in most components (low symmetric Jaccard is the premise),
+    so LSH banding systematically misses exactly the pairs this
+    operator exists to find; sharing any sub-cap shingle is guaranteed
+    for a nested doc. The df cap keeps the candidate join bounded (the
+    C4 skew guard).
+
+    Scale shape past candidates: identical to C37's pair-driven exact
+    side — intersections computed FROM the pair set (cost ∝ pairs),
+    sizes and inter left-joined + coalesced so zero-overlap candidates
+    surface with c = 0."""
+    shc = persist_tracked(_capped_shingles(spark, sf_dir))
+    a, b = shc.alias("a"), shc.alias("b")
+    pairs = persist_tracked(
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    members = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionByName(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    sh = persist_tracked(
+        doc_shingles(_docs(spark, sf_dir).join(members, "doc_id", "left_semi"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
+        .join(
+            sh.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    i0 = F.coalesce(F.col("inter"), F.lit(0))
+    safe = lambda n: F.when(  # noqa: E731
+        F.coalesce(n, F.lit(0)) > 0, i0 / F.coalesce(n, F.lit(0))
+    ).otherwise(F.lit(0.0))
+    denom = (
+        F.coalesce(F.col("na"), F.lit(0))
+        + F.coalesce(F.col("nb"), F.lit(0))
+        - i0
+    )
+    jac = F.when(denom > 0, i0 / denom).otherwise(F.lit(0.0))
+    c_ab, c_ba = safe(F.col("na")), safe(F.col("nb"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.selectExpr("doc_id AS doc_a", "n_sh AS na"), "doc_a", "left")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n_sh AS nb"), "doc_b", "left")
+        # report only the CONTAINMENT RELATIONSHIPS (the C4/C17
+        # thresholded-output rule): unfiltered, every co-shingle pair
+        # would be an output row — 1.1M at sf0.1, quadratic-sized at
+        # scale; the flagged set is the deliverable
+        .filter(F.greatest(c_ab, c_ba) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("contain_a_in_b"),
+            F.round(c_ba, 4).alias("contain_b_in_a"),
+            F.round(jac, 4).alias("jaccard"),
+            # nested = contained but NOT a symmetric near-dup
+            (jac < JACCARD_THRESHOLD).alias("nested_doc"),
+        )
+    )
+
+
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C37 — MinHash SKETCH CALIBRATION: for every LSH candidate pair,
     the sketch's Jaccard estimate (matching signature components / k —
@@ -852,6 +942,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_containment": dedup_containment,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1063,6 +1154,51 @@ ORACLES["dedup_simhash"] = f"""
 _EST_SUM = " + ".join(
     f"CASE WHEN sa.sig{s} = sb.sig{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
 )
+# C45: containment both ways over the candidate pairs — the pair-driven
+# intersection (C37's shape) with per-side normalization.
+ORACLES["dedup_containment"] = f"""
+    WITH {_SH_CAPPED},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shc a JOIN shc b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               CASE WHEN COALESCE(za.n_sh, 0) > 0
+                    THEN COALESCE(i.i, 0) * 1.0 / za.n_sh
+                    ELSE 0.0 END AS c_ab,
+               CASE WHEN COALESCE(zb.n_sh, 0) > 0
+                    THEN COALESCE(i.i, 0) * 1.0 / zb.n_sh
+                    ELSE 0.0 END AS c_ba,
+               CASE WHEN COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+                         - COALESCE(i.i, 0) > 0
+                    THEN COALESCE(i.i, 0) * 1.0
+                         / (COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+                            - COALESCE(i.i, 0))
+                    ELSE 0.0 END AS jac
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        LEFT JOIN sz za ON za.doc_id = p.doc_a
+        LEFT JOIN sz zb ON zb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(c_ab, 4) AS contain_a_in_b,
+           ROUND(c_ba, 4) AS contain_b_in_a,
+           ROUND(jac, 4) AS jaccard,
+           jac < {JACCARD_THRESHOLD} AS nested_doc
+    FROM scored
+    WHERE GREATEST(c_ab, c_ba) >= {CONTAINMENT_THRESHOLD}
+"""
+
 ORACLES["dedup_minhash_estimate"] = f"""
     WITH {_SH},
     sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),

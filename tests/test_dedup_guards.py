@@ -168,3 +168,35 @@ def test_minhash_estimate_pair_driven_and_complete(spark, tmp_path, monkeypatch)
     for (a, b), r in by_pair.items():
         if a // 2 != b // 2:
             assert r["exact_jaccard"] < 0.5
+
+
+def test_containment_catches_nested_doc(spark, tmp_path, monkeypatch):
+    """C45: a short doc pasted verbatim inside a much longer one must
+    flag nested_doc (containment ≈ 1) even though symmetric Jaccard is
+    diluted far below the near-dup threshold — the asymmetric case
+    whole-doc dedup misses by design."""
+    from euclid_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_containment,
+    )
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"filler{i}" for i in range(200))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),  # short nested inside long
+        (3, "unrelated prose about compilers and garbage collection"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r for r in dedup_containment(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (1, 2) in got, "nested pair not an LSH candidate"
+    r = got[(1, 2)]
+    assert r["contain_a_in_b"] >= 0.99
+    assert r["jaccard"] < JACCARD_THRESHOLD  # symmetric measure diluted
+    assert r["nested_doc"]
+    assert all(3 not in p for p in got)
