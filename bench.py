@@ -94,6 +94,7 @@ HEADLINE = [
     "text_rag_chunks",
     "text_data_card",
     "dedup_minhash_estimate",
+    "dedup_containment",
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_bpe_token_count",
