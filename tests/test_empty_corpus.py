@@ -66,6 +66,8 @@ EMPTY_OK = {
     "rel_cms_range_topk": 0,
     "rel_gap_fill_locf": 0,
     "rel_time_weighted_avg": 0,
+    "dedup_containment": 0,
+    "curation_leakage_safe_split": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

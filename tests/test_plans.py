@@ -365,3 +365,20 @@ def test_quantile_sketch_stays_jvm_side(spark):
     plan = _plan(quantile_sketch.hdr_quantiles(spark, SF_SMOKE))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_leakage_split_serves_labels_no_python(spark, tmp_path, monkeypatch):
+    """C46: one doc_id join against the served labels artifact; the
+    bucket hash and split CASE are row-local JVM expressions — no
+    Python stage, no pairwise join, no shuffle beyond the join."""
+    from euclid_spark.operators.curation import curation_leakage_safe_split
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    df = curation_leakage_safe_split(spark, SF_SMOKE)
+    df.collect()  # builds + serves the labels artifact, finalizes AQE
+    plan = _plan(curation_leakage_safe_split(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # served path: the labels come from the artifact store, not a
+    # re-run of the pair pipeline (no shingle explode in the plan)
+    assert "posexplode" not in plan.lower()
