@@ -65,6 +65,13 @@ Faces:
                             incrementally (leaf circuit per batch,
                             limb-sum monoid, carry at read); oracle =
                             A13's HUGEINT SQL.
+- `stream_ivf_assign`     — (r7, D27) the IVF inverted-list store
+                            maintained incrementally: each batch of new
+                            embeddings assigned to its nearest centroid
+                            and merged into that cid's list partition.
+                            Model pinned to a SQL-expressible seed so
+                            the gate hash-checks the maintained store;
+                            oracle = the batch argmin-cosine SQL.
 
 Cost model: a face pays the full streaming run ONCE per corpus version
 — the final state is a fingerprint-keyed disk artifact
@@ -953,6 +960,145 @@ def _erc20_rewards_sql() -> str:
     return _e.ORACLES["euclid_erc20_weighted_sum_u256"]
 
 
+# ---------------------------------------------------------------- D27 face
+
+IVF_FACE_K = 8  # seed-centroid count for the gate-checkable model
+
+
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D27 face — the IVF INVERTED-LIST STORE maintained incrementally:
+    new corpus embeddings stream in and each micro-batch is assigned to
+    its nearest centroid and merged into that centroid's list partition
+    (the view is partitioned BY cid — a batch touches only the lists
+    its vectors land in, the `day`-economics of D19 with the index's
+    own key). This is how a 100 TB ANN index stays fresh: the model is
+    trained once up front, arrivals are assigned incrementally, and
+    the serving lists never need a rebuild scan.
+
+    The MODEL here is pinned to a deterministic, SQL-expressible seed —
+    the IVF_FACE_K lowest-vec_id corpus vectors — precisely so the
+    DuckDB gate can hash-check the maintained store (the production
+    path serves the k-means artifact via `similarity.ivf_centroids`;
+    `sim_ivf_topk(centroids=...)` accepts any external model, and
+    k-means itself is engine-side by design — C6/C12 are recall-gated
+    instead). Assignment rule mirrors C5: rounded cosine, (csim DESC,
+    cid ASC) tiebreak, zero-norm guarded."""
+    from euclid_spark.functions.vectors import cosine
+    from euclid_spark.operators.similarity import N_QUERIES
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from pyspark.sql import Window
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"],
+        op="stream_ivf_assign",
+        n=N_SPLITS,
+        k=IVF_FACE_K,
+        v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") >= N_QUERIES
+        )
+        # the fixed up-front model: K lowest-vec_id corpus vectors
+        # (bounded parameter fetch, broadcast into every batch)
+        seed = corpus.orderBy("vec_id").limit(IVF_FACE_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+        seed_rows = seed.collect()
+        if not seed_rows:
+            return spark.createDataFrame(
+                [], "cid long, neighbor_id long, csim double"
+            )
+        cent = spark.createDataFrame(
+            [(r["cid"], [float(x) for x in r["cemb"]]) for r in seed_rows],
+            "cid long, cemb array<double>",
+        )
+
+        def assign_partial(batch: DataFrame) -> DataFrame:
+            scored = batch.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ce"),
+            ).crossJoin(F.broadcast(cent)).select(
+                "cid",
+                "neighbor_id",
+                F.round(
+                    cosine(
+                        F.col("ce").cast("array<double>"), F.col("cemb")
+                    ),
+                    6,
+                ).alias("csim"),
+            )
+            w = Window.partitionBy("neighbor_id").orderBy(
+                F.desc("csim"), "cid"
+            )
+            return (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("cid", "neighbor_id", "csim")
+            )
+
+        def merge_lists(old: DataFrame, partial: DataFrame) -> DataFrame:
+            # vec_ids are disjoint across batches (append-only corpus):
+            # the per-list merge is a plain union; re-delivered batches
+            # are excluded by the per-cid applied watermark upstream
+            return old.unionByName(partial)
+
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            corpus.select("vec_id", "embedding"), feed, "vec_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=assign_partial,
+            merge_fn=merge_lists,
+            key_col="cid",
+        )
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [], "cid long, neighbor_id long, csim double"
+            )
+        return sink.view(spark).select("cid", "neighbor_id", "csim")
+
+    return _serve_streamed(spark, "stream_ivf_assign", fp, build)
+
+
+def _ivf_assign_sql() -> str:
+    from euclid_spark.operators.similarity import _DOT, _NC, _NQ, N_QUERIES
+
+    dot = _DOT.replace("qe", "cemb")
+    nq = _NQ.replace("qe", "cemb")
+    return f"""
+        WITH c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+                   FROM embeddings WHERE vec_id >= {N_QUERIES}),
+        cent AS (SELECT vec_id AS cid, embedding AS cemb
+                 FROM embeddings WHERE vec_id >= {N_QUERIES}
+                 ORDER BY vec_id LIMIT {IVF_FACE_K}),
+        s AS (SELECT cid, neighbor_id,
+                     ROUND(CASE WHEN {nq} * {_NC} = 0 THEN 0.0
+                                ELSE {dot} / ({nq} * {_NC}) END, 6) AS csim
+              FROM c CROSS JOIN cent),
+        r AS (SELECT cid, neighbor_id, csim,
+                     ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                         ORDER BY csim DESC, cid) AS rn
+              FROM s)
+        SELECT cid, neighbor_id, csim FROM r WHERE rn = 1
+    """
+
+
 def _hdr_tiles_sql() -> str:
     from euclid_spark.operators.quantile_sketch import SUB_BITS
 
@@ -1008,6 +1154,7 @@ QUERIES = {
     "stream_hdr_quantile_tiles": stream_hdr_quantile_tiles,
     "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
     "stream_erc20_rewards": stream_erc20_rewards,
+    "stream_ivf_assign": stream_ivf_assign,
 }
 
 ORACLES = {
@@ -1015,6 +1162,7 @@ ORACLES = {
     "stream_hdr_quantile_tiles": _hdr_tiles_sql(),
     "stream_lc_distinct_tiles": _lc_tiles_sql(),
     "stream_erc20_rewards": _erc20_rewards_sql(),
+    "stream_ivf_assign": _ivf_assign_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,

@@ -101,6 +101,12 @@ class MaintainedAggregate:
     last_batch_id: int = -1
     partial_fn: "Callable[[DataFrame], DataFrame] | None" = None
     merge_fn: "Callable[[DataFrame, DataFrame], DataFrame] | None" = None
+    # the view's partition column — the unit of touched-partition
+    # pruning, dynamic overwrite, and the per-partition applied-batch
+    # watermark. "day" for the time-keyed views; the IVF face
+    # partitions by centroid id (a batch touches only the inverted
+    # lists its vectors land in — same economics, different key).
+    key_col: str = "day"
 
     def __post_init__(self) -> None:
         if self.state_path and os.path.exists(self.state_path):
@@ -139,8 +145,9 @@ class MaintainedAggregate:
             # partial is pinned first so the day list and the merged
             # rows come from ONE evaluation of the batch frame.
             partial = local_checkpoint_tracked(partial, owner=self._owner)
-            days = [r["day"] for r in partial.select("day").distinct().collect()]
-            view = spark.read.parquet(self.view_path).filter(F.col("day").isin(days))
+            kc = self.key_col
+            days = [r[kc] for r in partial.select(kc).distinct().collect()]
+            view = spark.read.parquet(self.view_path).filter(F.col(kc).isin(days))
             if "applied_batch_id" not in view.columns:  # pre-watermark view
                 view = view.withColumn("applied_batch_id", F.lit(-1))
             # per-day applied watermark (the exactly-once gate): a crash
@@ -149,8 +156,8 @@ class MaintainedAggregate:
             # skipped, the rest are merged. One tiny aggregate over the
             # touched days only.
             applied = {
-                r["day"]: r["mx"]
-                for r in view.groupBy("day")
+                r[kc]: r["mx"]
+                for r in view.groupBy(kc)
                 .agg(F.max("applied_batch_id").alias("mx"))
                 .collect()
             }
@@ -160,9 +167,9 @@ class MaintainedAggregate:
                 self._save()
                 release_checkpoints(self._owner)
                 return
-            old = view.filter(F.col("day").isin(todo)).drop("applied_batch_id")
+            old = view.filter(F.col(kc).isin(todo)).drop("applied_batch_id")
             merged = (self.merge_fn or _merge)(
-                old, partial.filter(F.col("day").isin(todo))
+                old, partial.filter(F.col(kc).isin(todo))
             )
         else:
             merged = partial
@@ -181,7 +188,7 @@ class MaintainedAggregate:
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
+            .partitionBy(self.key_col)
             .parquet(self.view_path)
         )
         self.last_batch_id = batch_id

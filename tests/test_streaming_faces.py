@@ -98,3 +98,43 @@ def test_curation_face_matches_batch_composition(spark, tmp_path, monkeypatch):
         .join(drop, "doc_id", "left_anti")
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_ivf_assign_face_matches_batch(spark, tmp_path, monkeypatch):
+    """D27: the incrementally-maintained inverted-list store equals the
+    batch assignment of every corpus vector to its nearest seed
+    centroid; each vector appears in exactly one list."""
+    from euclid_spark.functions.vectors import cosine
+    from euclid_spark.operators.similarity import N_QUERIES
+    from pyspark.sql import Window
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "a1"))
+    streamed = faces.stream_ivf_assign(spark, SF_SMOKE)
+    assert set(streamed.columns) == {"cid", "neighbor_id", "csim"}
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") >= N_QUERIES
+    )
+    seed = corpus.orderBy("vec_id").limit(faces.IVF_FACE_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cemb"),
+    )
+    scored = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).crossJoin(F.broadcast(seed)).select(
+        "cid",
+        "neighbor_id",
+        F.round(cosine(F.col("ce"), F.col("cemb")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.desc("csim"), "cid")
+    batch = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "neighbor_id", "csim")
+    )
+    assert _rows(streamed) == _rows(batch)
+    # exactly one list per vector
+    n_corpus = corpus.count()
+    assert streamed.select("neighbor_id").distinct().count() == n_corpus
+    assert streamed.count() == n_corpus
