@@ -73,6 +73,7 @@ HEADLINE = [
     "rel_linear_count_distinct",
     "rel_gap_fill_locf",
     "rel_time_weighted_avg",
+    "rel_event_dedup_window",
     "rel_hdr_range_quantiles",
     "rel_lc_range_distinct",
     "rel_cms_range_topk",

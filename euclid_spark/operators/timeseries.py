@@ -98,9 +98,52 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_WINDOW_MIN = 10  # trailing-debounce window
+
+
+def event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54 — WINDOWED EVENT DEDUPLICATION (trailing debounce): an event
+    is flagged a RETRANSMISSION if the same (user_id, event_type)
+    emitted an event within the preceding DEDUP_WINDOW_MIN minutes —
+    the at-least-once-delivery cleanup every event pipeline runs before
+    aggregation (the batch analog of Structured Streaming's
+    dropDuplicatesWithinWatermark state-TTL dedup; the trailing rule —
+    'within W of the PREVIOUS event, kept or not' — is the
+    deterministic, SQL-expressible debounce variant).
+
+    Emits only the flagged rows with their predecessor and the gap (the
+    thresholded-output rule — the dups are the deliverable; the kept
+    set is the anti-join). Determinism: the per-key order is
+    (ts, event_id), so simultaneous events tie-break stably.
+
+    Scale shape: ONE window over (user_id, event_type) — the same key
+    a sessionize/funnel shuffle uses; gap arithmetic in exact integer
+    microseconds; no self-join (the naive formulation is an
+    events×events time-range join)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("t"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    gap_us = F.unix_micros(F.col("t")) - F.unix_micros(F.lag("t").over(w))
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        gap_us.alias("gap_us"),
+    )
+    return staged.filter(
+        F.col("gap_us") <= DEDUP_WINDOW_MIN * 60 * 1_000_000
+    ).select("event_id", "user_id", "event_type", "prev_event_id", "gap_us")
+
+
 QUERIES = {
     "rel_gap_fill_locf": gap_fill_locf,
     "rel_time_weighted_avg": time_weighted_avg,
+    "rel_event_dedup_window": event_dedup_window,
 }
 
 ORACLES = {
@@ -142,5 +185,20 @@ ORACLES = {
                           / SUM(dt_us), 6) AS DOUBLE) AS twa_value
         FROM staged WHERE dt_us IS NOT NULL
         GROUP BY user_id
+    """,
+    "rel_event_dedup_window": f"""
+        WITH staged AS (
+            SELECT event_id, user_id, event_type,
+                   LAG(event_id) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id)
+                       AS prev_event_id,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT event_id, user_id, event_type, prev_event_id, gap_us
+        FROM staged
+        WHERE gap_us <= {DEDUP_WINDOW_MIN} * 60 * 1000000
     """,
 }

@@ -28,6 +28,7 @@ CASES = [
     "euclid_erc20_batch_responses",  # u256 limb folds + sha2 paths (r7)
     "rel_linear_count_distinct",   # bit_or bitmap + libm-ln estimate (r7)
     "rel_time_weighted_avg",       # decimal v·Δt accumulation (r7)
+    "rel_event_dedup_window",      # lag window tie-break on (ts, id) (r7)
 ]
 
 
