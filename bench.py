@@ -62,6 +62,7 @@ HEADLINE = [
     "euclid_day_partitioned_range",
     "euclid_zorder_box_scan",
     "graph_doc_pagerank",
+    "graph_triangle_count",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",
     "rel_heavy_hitters_cms",

@@ -281,10 +281,103 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ C47: triangle counting
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47 — TRIANGLE COUNTING + local clustering coefficient over the
+    near-dup candidate graph: a template family (boilerplate cluster)
+    is dense — its members close triangles — while chance LSH
+    collisions are sparse wedges; the coefficient 2T/(d(d−1)) separates
+    the two, the graph-side quality signal next to C39's centrality.
+
+    Scale shape — DEGREE-ORDERED ORIENTATION (the MapReduce triangle
+    algorithm of Suri & Vassilvitskii 2011 / Cohen 2009, public):
+    every edge is directed from its (degree, id)-smaller endpoint to
+    the larger, making the orientation acyclic with out-degree
+    O(√m) — wedge volume Σ d_out² is bounded even when a hub's raw
+    degree is not (the id-oriented join would square the hub degree).
+    Each triangle is then counted exactly once: two out-edges at its
+    order-minimal vertex plus the oriented closing edge. Three joins,
+    all on edge keys; the edge list is the SERVED LSH pair ledger
+    (bucket-capped, linear in corpus)."""
+    from euclid_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sym = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    deg = persist_tracked(sym.groupBy("u").agg(F.count("*").alias("d")))
+    # total order: (degree, doc_id); orient each edge small → large
+    keyed = (
+        pairs.join(deg.selectExpr("u AS doc_a", "d AS da"), "doc_a")
+        .join(deg.selectExpr("u AS doc_b", "d AS db"), "doc_b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = persist_tracked(
+        keyed.select(
+            F.when(a_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("src"),
+            F.when(a_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # wedge at the order-minimal vertex: two out-edges (src→v, src→w)
+    # with v before w in the order; the closing edge is oriented v→w
+    v_first = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & v_first)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    per_doc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_doc, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_list": dedup_keep_list,
     "graph_doc_pagerank": graph_doc_pagerank,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 # The keep-list IS oracle-checkable even though components is iterative:
@@ -395,3 +488,58 @@ def _pagerank_sql() -> str:
 
 
 ORACLES["graph_doc_pagerank"] = _pagerank_sql()
+
+
+def _triangle_sql() -> str:
+    """C47 oracle: the identical degree-ordered orientation over C2's
+    LSH pair SQL — each triangle counted once at its order-minimal
+    vertex."""
+    ord_a = "(k.da < k.db OR (k.da = k.db AND k.doc_a < k.doc_b))"
+    return f"""
+        WITH {_SH},
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        bands AS ({_BAND_SELECTS}),
+        guarded AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx,
+                    band_val) AS bucket_n FROM bands),
+        lsh_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM guarded a JOIN guarded b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            WHERE a.bucket_n <= {_MB} AND b.bucket_n <= {_MB}),
+        sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+                UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+        deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        keyed AS (
+            SELECT p.doc_a, p.doc_b, da.d AS da, db.d AS db
+            FROM lsh_pairs p
+            JOIN deg da ON da.u = p.doc_a
+            JOIN deg db ON db.u = p.doc_b),
+        oriented AS (
+            SELECT CASE WHEN {ord_a} THEN k.doc_a ELSE k.doc_b END AS src,
+                   CASE WHEN {ord_a} THEN k.doc_b ELSE k.doc_a END AS dst,
+                   CASE WHEN {ord_a} THEN k.db ELSE k.da END AS dst_d
+            FROM keyed k),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM oriented e1
+            JOIN oriented e2 ON e1.src = e2.src
+             AND (e1.dst_d < e2.dst_d
+                  OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+            JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        mem AS (
+            SELECT u, COUNT(*) AS n_triangles FROM (
+                SELECT a AS u FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY u)
+        SELECT deg.u AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(mem.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN deg.d >= 2
+                    THEN ROUND(2.0 * COALESCE(mem.n_triangles, 0)
+                               / (deg.d * (deg.d - 1)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN mem ON mem.u = deg.u
+    """
+
+
+ORACLES["graph_triangle_count"] = _triangle_sql()

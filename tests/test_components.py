@@ -83,3 +83,50 @@ def test_components_match_union_find_on_real_pairs(spark):
         for r in dedup_components(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_triangle_count_on_planted_clique(spark, tmp_path, monkeypatch):
+    """C47: four identical documents form a K4 in the LSH candidate
+    graph — every member has degree 3, sits in C(3,2)=3 triangles, and
+    has clustering coefficient 1.0; a brute-force triple check over the
+    actual pair set confirms the degree-ordered orientation counts each
+    triangle exactly once."""
+    from itertools import combinations
+
+    from euclid_spark.operators.components import graph_triangle_count
+    from euclid_spark.operators.dedup import dedup_minhash_lsh
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(4)] + [
+        (10, "completely unrelated prose about register allocation"),
+        (11, "another disjoint text on queueing theory and littles law"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in graph_triangle_count(spark, str(tmp_path)).collect()
+    }
+    for i in range(4):
+        assert got[i] == (3, 3, 1.0), got
+    assert all(k < 4 for k in got), "singletons must not appear"
+
+    # brute-force audit over the real pair set (any corpus shape)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    nodes = sorted({x for p in pairs for x in p})
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                brute[x] += 1
+    assert {k: v[1] for k, v in got.items()} == brute

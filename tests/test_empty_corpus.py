@@ -69,6 +69,7 @@ EMPTY_OK = {
     "dedup_containment": 0,
     "curation_leakage_safe_split": 0,
     "rel_event_dedup_window": 0,
+    "graph_triangle_count": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
