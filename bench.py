@@ -90,6 +90,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_quantized_topk",
     "sim_ivf_topk",
+    "sim_ivf_pinned_topk",
     "text_fingerprint",
     "text_bm25_topk",
     "text_winnowing",

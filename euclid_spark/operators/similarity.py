@@ -495,12 +495,63 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEED_K = 8  # pinned seed-model centroid count (shared with D27's face)
+
+
+def sim_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48 — the FULL IVF SEARCH PATH, hash-checkable: assign the
+    corpus to inverted lists, probe each query's N_PROBE nearest lists,
+    rank the probed candidates by exact cosine. Identical machinery to
+    C12's `sim_ivf_topk` — but over the PINNED SQL-expressible seed
+    model (the SEED_K lowest-vec_id corpus vectors, D27's model), so
+    the DuckDB gate verifies the probe-join-rank pipeline END TO END
+    instead of only floor-asserting recall (k-means being engine-side
+    is the ONLY thing that keeps C12 rows-only; the search machinery
+    itself is deterministic, and this face proves it). Output carries
+    the probed list id so the oracle also checks the routing.
+
+    Scale shape: same as C12 — queries broadcast twice (centroid
+    scoring, final rank), corpus touched by one assignment pass and
+    one list-slice equi-join; scored fraction ≈ N_PROBE/SEED_K."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    seed = corpus.orderBy("neighbor_id").limit(SEED_K).select(
+        F.col("neighbor_id").alias("cid"),
+        F.col("ce").cast("array<double>").alias("cemb"),
+    )
+    assign = _nearest_centroids(corpus, seed, "neighbor_id", "ce", keep=1)
+    probes = _nearest_centroids(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        ),
+        seed,
+        "query_id",
+        "qe",
+        keep=N_PROBE,
+    )
+    scored = assign.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "neighbor_id",
+        "cid",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cid", "cosine", "rn")
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_prefix_rerank": sim_prefix_rerank,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_quantized_topk": sim_quantized_topk,
+    "sim_ivf_pinned_topk": sim_ivf_pinned_topk,
 }
 
 _DOT = (
@@ -570,5 +621,47 @@ ORACLES["sim_prefix_rerank"] = f"""
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
     FROM r
+    QUALIFY rn <= {TOP_K}
+"""
+
+# C48: the IVF probe-join-rank pipeline over the pinned seed model —
+# every stage (assignment, probe routing, final rank) replicated in SQL
+# with the same ROUND(·, 6) + id tiebreaks. _DOT/_NQ/_NC operate on
+# (qe, ce); the centroid-side variants substitute cemb.
+_DOT_CC = _DOT.replace("qe", "cemb")
+_N_CEMB = _NQ.replace("qe", "cemb")
+_DOT_QC = _DOT.replace("ce", "cemb")
+
+ORACLES["sim_ivf_pinned_topk"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    cent AS (SELECT vec_id AS cid, embedding AS cemb
+             FROM embeddings WHERE vec_id >= {N_QUERIES}
+             ORDER BY vec_id LIMIT {SEED_K}),
+    asg AS (SELECT neighbor_id, ce, cid,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY
+                       ROUND(CASE WHEN {_NC} * {_N_CEMB} = 0 THEN 0.0
+                                  ELSE {_DOT_CC} / ({_NC} * {_N_CEMB})
+                             END, 6) DESC, cid) AS crn
+            FROM c CROSS JOIN cent),
+    assign AS (SELECT neighbor_id, ce, cid FROM asg WHERE crn = 1),
+    prb AS (SELECT query_id, qe, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       ROUND(CASE WHEN {_NQ} * {_N_CEMB} = 0 THEN 0.0
+                                  ELSE {_DOT_QC} / ({_NQ} * {_N_CEMB})
+                             END, 6) DESC, cid) AS crn
+            FROM q CROSS JOIN cent),
+    probes AS (SELECT query_id, qe, cid FROM prb WHERE crn <= {N_PROBE}),
+    scored AS (SELECT p.query_id, a.neighbor_id, a.cid,
+                      ROUND(CASE WHEN {_NQ} * {_NC} = 0 THEN 0.0
+                                 ELSE {_DOT} / ({_NQ} * {_NC}) END, 6)
+                          AS cosine
+               FROM assign a JOIN probes p ON a.cid = p.cid)
+    SELECT query_id, neighbor_id, cid, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+    FROM scored
     QUALIFY rn <= {TOP_K}
 """

@@ -962,7 +962,10 @@ def _erc20_rewards_sql() -> str:
 
 # ---------------------------------------------------------------- D27 face
 
-IVF_FACE_K = 8  # seed-centroid count for the gate-checkable model
+# seed-centroid count for the gate-checkable model — one constant with
+# the batch search face (operators/similarity.sim_ivf_pinned_topk), so
+# the maintained lists and the pinned search path describe the same model
+from euclid_spark.operators.similarity import SEED_K as IVF_FACE_K  # noqa: E402
 
 
 def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,7 @@ EMPTY_OK = {
     "curation_leakage_safe_split": 0,
     "rel_event_dedup_window": 0,
     "graph_triangle_count": 0,
+    "sim_ivf_pinned_topk": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

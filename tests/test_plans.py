@@ -382,3 +382,31 @@ def test_leakage_split_serves_labels_no_python(spark, tmp_path, monkeypatch):
     # served path: the labels come from the artifact store, not a
     # re-run of the pair pipeline (no shingle explode in the plan)
     assert "posexplode" not in plan.lower()
+
+
+def test_event_dedup_window_no_self_join(spark):
+    """B54: one lag window on the (user, type) key — no events×events
+    time-range join, no Python stage, timestamp filter arithmetic in
+    integer microseconds."""
+    from euclid_spark.operators.timeseries import event_dedup_window
+
+    plan = _plan(event_dedup_window(spark, SF_SMOKE))
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"unexpected {bad} in B54 plan"
+
+
+def test_triangle_count_serves_ledger_no_cartesian(spark, tmp_path, monkeypatch):
+    """C47: edges come from the served LSH pair ledger (no signature
+    rebuild — no shingle explode in the plan); the wedge and closing
+    joins are equi-joins, never a cartesian product; everything JVM."""
+    from euclid_spark.operators.components import graph_triangle_count
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    df = graph_triangle_count(spark, SF_SMOKE)
+    df.collect()  # builds + serves the pair-ledger artifact
+    plan = _plan(graph_triangle_count(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "posexplode" not in plan.lower().replace("explode(array", "")
