@@ -444,10 +444,12 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-vector scale cancels out of the cosine
     (cos_q = dot(qi,ci) / (‖qi‖·‖ci‖) — scales appear in numerator and
     denominator), so scoring never dequantizes: integer dot products
-    and integer self-norms only. Approximate by construction
-    (quantization noise reorders near-ties) ⇒ rows-only for the gate;
-    recall@k vs the exact float baseline is measured and floor-asserted
-    in tests/test_ann_recall.py."""
+    and integer self-norms only. Approximate ONLY relative to the exact
+    float baseline (recall@k floor-asserted in tests/test_ann_recall.py);
+    relative to its own spec the layout is deterministic — identical
+    double arithmetic + round-half-away-from-zero in both engines — so
+    since late r7 the gate HASH-CHECKS it (oracle below), upgraded from
+    rows-only."""
     emb = _emb(spark, sf_dir)
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
@@ -662,6 +664,50 @@ ORACLES["sim_ivf_pinned_topk"] = f"""
     SELECT query_id, neighbor_id, cid, cosine,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+    FROM scored
+    QUALIFY rn <= {TOP_K}
+"""
+
+# C24 upgraded from rows-only (late r7): the int8 quantization is
+# DETERMINISTIC — round-half-away-from-zero on identical double
+# arithmetic in both engines (verified: DuckDB round(2.5)=3,
+# round(-2.5)=-3 on DOUBLE, matching Spark's HALF_UP), the integer
+# dots/norms are exact, and the final rank rounds to 6 with an id
+# tiebreak. "Approximate" was always relative to the exact FLOAT
+# baseline (recall stays floor-asserted); relative to its own spec the
+# serving layout is exact, so the gate can hash it.
+_ABSMAX = "list_aggregate(list_transform(e, x -> abs(CAST(x AS DOUBLE))), 'max')"
+_Q8 = (
+    "list_transform(e, x -> CASE WHEN mx = 0 THEN 0 ELSE "
+    "CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INT) END)"
+)
+_IDOT_SELF = (
+    "list_sum(list_transform(v, x -> CAST(x AS BIGINT) * x))"
+)
+_IDOT_QC = (
+    "list_sum(list_transform(range(1, len(qe) + 1),"
+    " i -> CAST(qe[i] AS BIGINT) * ce[i]))"
+)
+
+ORACLES["sim_quantized_topk"] = f"""
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS e
+                FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c0 AS (SELECT vec_id AS neighbor_id, embedding AS e
+           FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    qq AS (SELECT query_id, v AS qe,
+                  sqrt(CAST({_IDOT_SELF} AS DOUBLE)) AS qn
+           FROM (SELECT query_id, {_Q8} AS v
+                 FROM (SELECT query_id, e, {_ABSMAX} AS mx FROM q0))),
+    cc AS (SELECT neighbor_id, v AS ce,
+                  sqrt(CAST({_IDOT_SELF} AS DOUBLE)) AS cn
+           FROM (SELECT neighbor_id, {_Q8} AS v
+                 FROM (SELECT neighbor_id, e, {_ABSMAX} AS mx FROM c0))),
+    scored AS (SELECT query_id, neighbor_id,
+                      ROUND({_IDOT_QC} / (qn * cn), 6) AS qcosine
+               FROM cc CROSS JOIN qq)
+    SELECT query_id, neighbor_id, qcosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY qcosine DESC, neighbor_id) AS INT) AS rn
     FROM scored
     QUALIFY rn <= {TOP_K}
 """
