@@ -158,11 +158,15 @@ def lsh_buckets(emb_col: F.Column) -> F.Column:
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 — ANN via multi-table hyperplane LSH (rows-only: approximate by
-    design). Corpus is hashed once into T tables (posexplode → one row
-    per (table, bucket)); a probe scores the union of its T buckets,
-    deduped. The corpus side's hashed layout is what you persist and
-    reuse across query batches at scale."""
+    """C6 — ANN via multi-table hyperplane LSH. Corpus is hashed once
+    into T tables (posexplode → one row per (table, bucket)); a probe
+    scores the union of its T buckets, deduped. The corpus side's
+    hashed layout is what you persist and reuse across query batches
+    at scale. Approximate only vs the exact baseline (recall
+    floor-asserted); the bucketing itself is BIT-DETERMINISTIC (±1
+    planes, identical left-assoc double fold), so since late r7 the
+    gate HASH-CHECKS it against _ann_lsh_sql()'s inlined-plane oracle
+    — upgraded from rows-only."""
     emb = _emb(spark, sf_dir).withColumn("buckets", lsh_buckets(F.col("embedding")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -711,3 +715,59 @@ ORACLES["sim_quantized_topk"] = f"""
     FROM scored
     QUALIFY rn <= {TOP_K}
 """
+
+
+def _ann_lsh_sql() -> str:
+    """C6 upgraded from rows-only (late r7): the hyperplane buckets are
+    BIT-DETERMINISTIC — each plane is ±1 literals, the dot is the same
+    left-assoc double fold in both engines (Spark's aggregate starts at
+    0.0 and adds e[i]·(±1.0) in index order; the generated SQL writes
+    0.0 ± e[1] ± e[2] … which is the identical IEEE operation
+    sequence), so the sign threshold and hence the candidate set match
+    exactly, and the final rank is C5's rounded-cosine + id tiebreak.
+    The planes are inlined as literals (N_TABLES × BITS_PER_TABLE × DIM
+    signs) — a big but mechanical SQL string."""
+    planes = _planes()
+
+    def dotexpr(plane: list[float]) -> str:
+        terms = [
+            f"{'+' if v > 0 else '-'} CAST(e[{i}] AS DOUBLE)"
+            for i, v in enumerate(plane, start=1)
+        ]
+        return "(0.0 " + " ".join(terms) + ")"
+
+    def bucket(t: int) -> str:
+        bits = [
+            f"(CASE WHEN {dotexpr(planes[t * BITS_PER_TABLE + j])} > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(BITS_PER_TABLE)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    blist = "list_value(" + ", ".join(bucket(t) for t in range(N_TABLES)) + ")"
+    anymatch = " OR ".join(
+        f"qx.b[{t + 1}] = cx.b[{t + 1}]" for t in range(N_TABLES)
+    )
+    return f"""
+        WITH q0 AS (SELECT vec_id AS query_id, embedding AS e
+                    FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c0 AS (SELECT vec_id AS neighbor_id, embedding AS e
+               FROM embeddings WHERE vec_id >= {N_QUERIES}),
+        qx AS (SELECT query_id, e AS qe, {blist} AS b FROM q0),
+        cx AS (SELECT neighbor_id, e AS ce, {blist} AS b FROM c0),
+        cand AS (SELECT query_id, neighbor_id, qe, ce
+                 FROM cx CROSS JOIN qx WHERE {anymatch}),
+        scored AS (SELECT query_id, neighbor_id,
+                          ROUND(CASE WHEN {_NQ} * {_NC} = 0 THEN 0.0
+                                     ELSE {_DOT} / ({_NQ} * {_NC})
+                                END, 6) AS cosine
+                   FROM cand)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+        FROM scored
+        QUALIFY rn <= {TOP_K}
+    """
+
+
+ORACLES["sim_ann_lsh"] = _ann_lsh_sql()
