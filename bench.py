@@ -65,6 +65,7 @@ HEADLINE = [
     "graph_triangle_count",
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",
+    "rel_table_profile",
     "rel_heavy_hitters_cms",
     "cdc_scd2_time_travel",
     "rel_skew_salted_join",

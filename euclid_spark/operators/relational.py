@@ -1404,6 +1404,85 @@ def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B55: columns profiled (name, kind) — lineitem's analysis columns.
+# kind pins the min/max STRING format both engines can produce
+# identically: num → decimal(38,6) (fixed 6-digit text, no float-repr
+# divergence), ts → explicit yyyy-MM-dd HH:mm:ss, str → as-is.
+_PROFILE_COLS = [
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55 — TABLE PROFILING (the ANALYZE-TABLE / data-quality-report
+    shape every pipeline runs on ingest): per column, row count, null
+    count, exact distinct count, min/max (as strings — one schema for
+    mixed types), and the numeric mean where applicable. One wide
+    aggregate per column family over a single scan; the exact
+    distincts share the scan via Spark's expand (at 100 TB you'd swap
+    exact COUNT(DISTINCT) for the B48 bitmap/HLL tile — same query
+    shape, sketch column). Output is LONG format (one row per column)
+    so the profile of any table has one stable schema.
+
+    Determinism: min/max/count are order-independent; mean is
+    ROUND(decimal sum / count) — the q15 rule, no float merge drift."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def as_text(col: F.Column, kind: str) -> F.Column:
+        # format AFTER the min/max — ordering happens on the native
+        # type (a lexicographic min over numeric text would put
+        # "9.0" above "100.0")
+        if kind == "num":
+            return col.cast("decimal(38,6)").cast("string")
+        if kind == "ts":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_dist"),
+            as_text(F.min(F.col(c)), kind).alias(f"{c}_min"),
+            as_text(F.max(F.col(c)), kind).alias(f"{c}_max"),
+        ]
+        if kind == "num":
+            aggs.append(
+                F.round(
+                    F.sum(F.col(c).cast("decimal(38,6)"))
+                    / F.count(c),
+                    6,
+                )
+                .cast("double")
+                .alias(f"{c}_mean")
+            )
+    wide = li.agg(*aggs)
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        mean = (
+            F.col(f"{c}_mean") if kind == "num" else F.lit(None).cast("double")
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
+                F.col(f"{c}_dist").alias("n_distinct"),
+                F.col(f"{c}_min").alias("min_s"),
+                F.col(f"{c}_max").alias("max_s"),
+                mean.alias("mean"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "rel_bloom_join_prune": bloom_join_prune,
@@ -1432,6 +1511,7 @@ QUERIES = {
     "rel_sessionize": sessionize,
     "rel_set_ops": set_ops,
     "rel_full_outer_reconcile": full_outer_reconcile,
+    "rel_table_profile": table_profile,
     "rel_heavy_hitters_cms": heavy_hitters_cms,
     "rel_unpivot_measures": unpivot_measures,
     "rel_cohort_retention": cohort_retention,
@@ -2079,3 +2159,38 @@ ORACLES["rel_cohort_retention"] = """
            ROUND(r.n_active * 1.0 / s.cohort_size, 4) AS retention
     FROM r JOIN sizes s ON s.cohort = r.cohort
 """
+
+
+def _profile_sql() -> str:
+    """B55 oracle: one SELECT per profiled column, UNION ALL into the
+    same long format; min/max formatted AFTER aggregation with the
+    same pinned representations (decimal(38,6) text / strftime)."""
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+            mean = (
+                f"CAST(ROUND(SUM(CAST({c} AS DECIMAL(38,6))) / COUNT({c}),"
+                f" 6) AS DOUBLE)"
+            )
+        elif kind == "ts":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+            mean = "CAST(NULL AS DOUBLE)"
+        else:
+            mn, mx = f"MIN({c})", f"MAX({c})"
+            mean = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+            SELECT '{c}' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_s, {mx} AS max_s,
+                   {mean} AS mean
+            FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["rel_table_profile"] = _profile_sql()

@@ -71,6 +71,7 @@ EMPTY_OK = {
     "rel_event_dedup_window": 0,
     "graph_triangle_count": 0,
     "sim_ivf_pinned_topk": 0,
+    "rel_table_profile": 6,  # one profile row per column, zero counts
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
