@@ -1430,8 +1430,21 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the profile of any table has one stable schema.
 
     Determinism: min/max/count are order-independent; mean is
-    ROUND(decimal sum / count) — the q15 rule, no float merge drift."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ROUND(decimal sum / count) — the q15 rule, no float merge drift.
+
+    Scale shape (r7 rewrite): multi-column exact COUNT(DISTINCT) via
+    Spark's expand multiplied the scan by columns+1 INTO one
+    25-buffer hash aggregate (measured 12 s warm at sf0.1). Instead
+    each column's distinct/null counts are their own two-level
+    aggregate branch on the NATIVE type (columnar pruning reads just
+    that column; map-side combine collapses low-cardinality columns
+    before the shuffle), unioned as one-row summaries; min/max/mean
+    stay in a plain wide agg with no distincts. Warm cost ≈ the one
+    high-cardinality distinct the profile inherently contains
+    (12 → ~4 s warm at sf0.1); at 100 TB you'd swap exact
+    COUNT(DISTINCT) for the B48 bitmap tile — same shape."""
+    cols = [c for c, _ in _PROFILE_COLS]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
 
     def as_text(col: F.Column, kind: str) -> F.Column:
         # format AFTER the min/max — ordering happens on the native
@@ -1443,20 +1456,41 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
         return col
 
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    from functools import reduce
+
+    branches = []
+    for c in cols:
+        g = li.groupBy(F.col(c).alias("k")).agg(F.count("*").alias("cnt"))
+        branches.append(
+            g.agg(
+                F.lit(c).alias("column"),
+                # coalesce: SUM over an empty corpus is NULL, the
+                # oracle's COUNT(*) is 0
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("k").isNull(), F.col("cnt")).otherwise(
+                            0
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("n_nulls"),
+                F.count(F.when(F.col("k").isNotNull(), 1)).alias(
+                    "n_distinct"
+                ),
+            ).select("column", "n_rows", "n_nulls", "n_distinct")
+        )
+    counts = reduce(lambda a, b: a.unionByName(b), branches)
+    aggs = []
     for c, kind in _PROFILE_COLS:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
-            F.countDistinct(c).alias(f"{c}_dist"),
             as_text(F.min(F.col(c)), kind).alias(f"{c}_min"),
             as_text(F.max(F.col(c)), kind).alias(f"{c}_max"),
         ]
         if kind == "num":
             aggs.append(
                 F.round(
-                    F.sum(F.col(c).cast("decimal(38,6)"))
-                    / F.count(c),
-                    6,
+                    F.sum(F.col(c).cast("decimal(38,6)")) / F.count(c), 6
                 )
                 .cast("double")
                 .alias(f"{c}_mean")
@@ -1470,17 +1504,15 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),
-                F.col("_n").alias("n_rows"),
-                F.col(f"{c}_nulls").alias("n_nulls"),
-                F.col(f"{c}_dist").alias("n_distinct"),
                 F.col(f"{c}_min").alias("min_s"),
                 F.col(f"{c}_max").alias("max_s"),
                 mean.alias("mean"),
             )
         )
-    return wide.select(
-        F.explode(F.array(*rows)).alias("p")
-    ).select("p.*")
+    extrema = wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    return counts.join(extrema, "column").select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s", "mean"
+    )
 
 
 QUERIES = {
