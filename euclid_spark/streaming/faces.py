@@ -72,6 +72,12 @@ Faces:
                             Model pinned to a SQL-expressible seed so
                             the gate hash-checks the maintained store;
                             oracle = the batch argmin-cosine SQL.
+- `stream_leakage_splits`  — (r7, D28) C46's dedup-aware train/valid/
+                            test split served from the INCREMENTALLY
+                            maintained component labels (D21): a newly
+                            arrived near-dup inherits its partner's
+                            split. Oracle = the same md5 rule over the
+                            LSH-pair recursive closure.
 
 Cost model: a face pays the full streaming run ONCE per corpus version
 — the final state is a fingerprint-keyed disk artifact
@@ -389,6 +395,105 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sink.pairs()
 
     return _serve_streamed(spark, "stream_dedup_pairs", fp, build)
+
+
+def stream_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28 face — C46's leakage-safe train/valid/test split computed
+    from the INCREMENTALLY MAINTAINED component labels (D21's streamed
+    labeling after ingesting the corpus in N_SPLITS adversarial
+    batches): the assignment a live ingestion pipeline would serve,
+    where a newly arrived near-duplicate is pulled into its partner's
+    component and therefore its partner's split — eval sets stay clean
+    without re-running the batch dedup. Split rule identical to C46
+    (md5-bucket of the component, fixed thresholds); oracle = the same
+    rule over the LSH-pair recursive closure (the pair universe D21
+    maintains — the stream_curation_kept precedent)."""
+    from euclid_spark.operators import dedup as _d
+    from euclid_spark.operators.curation import SPLIT_TRAIN, SPLIT_VALID
+    from euclid_spark.streaming.dedup_stream import (
+        read_document_stream,
+        run_incremental_dedup,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="stream_leakage_splits",
+        n=N_SPLITS,
+        n_hashes=_d.N_HASHES,
+        band=_d.BAND_SIZE,
+        cap=_d.MAX_BUCKET,
+        thresholds=(SPLIT_TRAIN, SPLIT_VALID),
+        v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(docs, feed, "doc_id")
+        q, sink = run_incremental_dedup(
+            read_document_stream(spark, feed), os.path.join(tmp, "state")
+        )
+        _run_stream(q, sink, n_feeds)
+        assigned = docs.select("doc_id").join(
+            sink.labels(), "doc_id", "left"
+        ).withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("split|"),
+                            F.col("component").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        return assigned.select(
+            "doc_id",
+            "component",
+            bucket.alias("bucket"),
+            F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+            .when(bucket < SPLIT_VALID, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+
+    return _serve_streamed(spark, "stream_leakage_splits", fp, build)
+
+
+def _leakage_splits_sql() -> str:
+    from euclid_spark.operators.curation import SPLIT_TRAIN, SPLIT_VALID
+
+    return f"""
+        WITH RECURSIVE
+        {_lsh_closure_ctes()},
+        assign AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        b AS (
+            SELECT doc_id, component,
+                   CAST('0x' || substr(md5('split|' ||
+                        CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS bucket
+            FROM assign
+        )
+        SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_VALID} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b
+    """
 
 
 # ---------------------------------------------------------------- D22 face
@@ -1158,6 +1263,7 @@ QUERIES = {
     "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
     "stream_erc20_rewards": stream_erc20_rewards,
     "stream_ivf_assign": stream_ivf_assign,
+    "stream_leakage_splits": stream_leakage_splits,
 }
 
 ORACLES = {
@@ -1166,6 +1272,7 @@ ORACLES = {
     "stream_lc_distinct_tiles": _lc_tiles_sql(),
     "stream_erc20_rewards": _erc20_rewards_sql(),
     "stream_ivf_assign": _ivf_assign_sql(),
+    "stream_leakage_splits": _leakage_splits_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,
