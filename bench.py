@@ -76,6 +76,7 @@ HEADLINE = [
     "rel_gap_fill_locf",
     "rel_time_weighted_avg",
     "rel_event_dedup_window",
+    "rel_ohlc_resample",
     "rel_hdr_range_quantiles",
     "rel_lc_range_distinct",
     "rel_cms_range_topk",

@@ -140,10 +140,48 @@ def event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "prev_event_id", "gap_us")
 
 
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56 — OHLC DOWNSAMPLING: per (user, hour) open/high/low/close
+    bars over the irregular value stream — the canonical time-series
+    resample (TimescaleDB's candlestick_agg / kdb's xbar-first-last
+    shape) that turns raw ticks into the fixed-rate series charts and
+    models consume.
+
+    Exactness: every output is a SELECTION (first/last by the total
+    (ts, event_id) order, min/max) — no float arithmetic at all, so
+    the oracle hash cannot drift under any merge order. One window +
+    one aggregation on the same (user, hour) key — the window rides
+    the aggregation's shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        "value",
+    )
+    hour = F.date_trunc("hour", F.col("t")).alias("hour_start")
+    w = Window.partitionBy("user_id", hour).orderBy("t", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = ev.select(
+        "user_id",
+        hour,
+        "value",
+        F.first("value").over(wfull).alias("open"),
+        F.last("value").over(wfull).alias("close"),
+    )
+    return staged.groupBy("user_id", "hour_start").agg(
+        F.first("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.first("close").alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
 QUERIES = {
     "rel_gap_fill_locf": gap_fill_locf,
     "rel_time_weighted_avg": time_weighted_avg,
     "rel_event_dedup_window": event_dedup_window,
+    "rel_ohlc_resample": ohlc_resample,
 }
 
 ORACLES = {
@@ -200,5 +238,31 @@ ORACLES = {
         SELECT event_id, user_id, event_type, prev_event_id, gap_us
         FROM staged
         WHERE gap_us <= {DEDUP_WINDOW_MIN} * 60 * 1000000
+    """,
+    # B56: the identical window formulation — first/last by the
+    # (ts, event_id) total order within the (user, hour) frame
+    "rel_ohlc_resample": """
+        WITH s AS (
+            SELECT user_id,
+                   date_trunc('hour', ts) AS hour_start,
+                   value,
+                   first_value(value) OVER w AS open,
+                   last_value(value) OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS close
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts)
+                         ORDER BY ts, event_id)
+        )
+        SELECT user_id, hour_start,
+               FIRST(open) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               FIRST(close) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM s
+        GROUP BY 1, 2
     """,
 }

@@ -29,6 +29,7 @@ CASES = [
     "rel_linear_count_distinct",   # bit_or bitmap + libm-ln estimate (r7)
     "rel_time_weighted_avg",       # decimal v·Δt accumulation (r7)
     "rel_event_dedup_window",      # lag window tie-break on (ts, id) (r7)
+    "rel_ohlc_resample",           # first/last selections by total order (r7)
 ]
 
 
