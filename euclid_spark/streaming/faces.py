@@ -78,6 +78,10 @@ Faces:
                             arrived near-dup inherits its partner's
                             split. Oracle = the same md5 rule over the
                             LSH-pair recursive closure.
+- `stream_ohlc_bars`      — (r7) B56's per-(user, hour) OHLC bars as a
+                            SELECTION monoid (state carries each
+                            selection's order key), maintained per
+                            micro-batch; oracle = the batch window SQL.
 
 Cost model: a face pays the full streaming run ONCE per corpus version
 — the final state is a fingerprint-keyed disk artifact
@@ -1065,6 +1069,67 @@ def _erc20_rewards_sql() -> str:
     return _e.ORACLES["euclid_erc20_weighted_sum_u256"]
 
 
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the B56 OHLC SELECTION monoid (late r7): per-
+    (user, hour) open/high/low/close bars maintained per micro-batch —
+    the candle-from-ticks pipeline. The maintained state carries each
+    selection's (ts, event_id) order key beside its value, so the
+    argmin/argmax lattice re-merges identically under any batch split;
+    oracle = B56's batch window SQL."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import _ohlc_merge, _ohlc_partial
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_ohlc_bars", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_ohlc_partial,
+            merge_fn=_ohlc_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [],
+                "user_id long, hour_start timestamp, open double, "
+                "high double, low double, close double, n_ticks bigint",
+            )
+        return sink.view(spark).select(
+            "user_id",
+            "hour_start",
+            F.col("o.v").alias("open"),
+            "high",
+            "low",
+            F.col("c.v").alias("close"),
+            "n_ticks",
+        )
+
+    return _serve_streamed(spark, "stream_ohlc_bars", fp, build)
+
+
+def _ohlc_bars_sql() -> str:
+    from euclid_spark.operators import timeseries as _t
+
+    return _t.ORACLES["rel_ohlc_resample"]
+
+
 # ---------------------------------------------------------------- D27 face
 
 # seed-centroid count for the gate-checkable model — one constant with
@@ -1264,6 +1329,7 @@ QUERIES = {
     "stream_erc20_rewards": stream_erc20_rewards,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_leakage_splits": stream_leakage_splits,
+    "stream_ohlc_bars": stream_ohlc_bars,
 }
 
 ORACLES = {
@@ -1273,6 +1339,7 @@ ORACLES = {
     "stream_erc20_rewards": _erc20_rewards_sql(),
     "stream_ivf_assign": _ivf_assign_sql(),
     "stream_leakage_splits": _leakage_splits_sql(),
+    "stream_ohlc_bars": _ohlc_bars_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,

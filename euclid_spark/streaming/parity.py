@@ -502,6 +502,52 @@ def _range_tree_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- B56's OHLC bars as a maintained aggregate --------------------------------
+
+
+def _ohlc_partial(events: DataFrame) -> DataFrame:
+    """B56's per-(user, hour) OHLC bar as a SELECTION MONOID: the state
+    carries each selection's ORDER KEY beside its value (open = value
+    at min (ts, event_id), close = at max), so partials from any batch
+    split re-merge to the same bar — the argmin/argmax lattice, a
+    different monoid family from the sums/bitmaps/histograms already
+    under parity. Partition key = day (each hour lies in one day)."""
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        "value",
+    )
+    k = F.struct("t", "event_id")
+    kv = F.struct(k.alias("k"), F.col("value").alias("v"))
+    return (
+        ev.withColumn("hour_start", F.date_trunc("hour", F.col("t")))
+        .withColumn("day", F.to_date("hour_start"))
+        .groupBy("user_id", "day", "hour_start")
+        .agg(
+            F.min_by(kv, k).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(kv, k).alias("c"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+def _ohlc_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("user_id", "day", "hour_start")
+        .agg(
+            F.min_by("o", F.col("o.k")).alias("o"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("c", F.col("c.k")).alias("c"),
+            F.sum("n_ticks").alias("n_ticks"),
+        )
+    )
+
+
 SPECS = {
     "ivm_count_sum_digest": ParitySpec(
         "ivm_count_sum_digest", _partial, _merge
@@ -536,4 +582,5 @@ SPECS = {
     "erc20_reward_view": ParitySpec(
         "erc20_reward_view", _erc20_partial, _erc20_merge
     ),
+    "ohlc_bars": ParitySpec("ohlc_bars", _ohlc_partial, _ohlc_merge),
 }

@@ -110,7 +110,8 @@ def test_streaming_faces_tolerate_empty_corpus(spark, empty_sf, monkeypatch, tmp
     qs = registry.queries()
     for name in ("stream_ivm_view", "stream_state_rollup", "stream_ss_join",
                  "stream_dedup_pairs", "stream_range_tree_tiles",
-                 "stream_ivf_assign", "stream_leakage_splits"):
+                 "stream_ivf_assign", "stream_leakage_splits",
+                 "stream_ohlc_bars"):
         rows = qs[name](spark, empty_sf).collect()
         assert rows == [], name
         release_all()
