@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "dedup_containment",
     "curation_leakage_safe_split",
+    "dedup_source_overlap",
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_bpe_token_count",

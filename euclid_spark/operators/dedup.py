@@ -690,6 +690,35 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49 — CROSS-SOURCE DUPLICATION MATRIX: for every unordered pair
+    of sources, how many verified near-dup pairs (C4's exact-Jaccard
+    table) straddle them — the provenance analytic a curation team
+    reads to find which collections plagiarize / mirror which (e.g. a
+    crawl slice that re-serves an encyclopedia source), and the input
+    to per-source dedup budgets. `same_source` separates the
+    within-collection template mass from genuine cross-source leakage.
+
+    Scale shape: the pair side is the SERVED verified-pair artifact
+    (index-sized); two doc_id equi-joins against the slim (doc_id,
+    source) projection; one aggregate on the (source, source) key —
+    never a corpus self-join."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src_of = _docs(spark, sf_dir).select("doc_id", "source")
+    joined = (
+        pairs.join(src_of.selectExpr("doc_id AS doc_a", "source AS sa"), "doc_a")
+        .join(src_of.selectExpr("doc_id AS doc_b", "source AS sb"), "doc_b")
+    )
+    lo, hi = F.least("sa", "sb"), F.greatest("sa", "sb")
+    return (
+        joined.groupBy(
+            lo.alias("source_x"), hi.alias("source_y")
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .withColumn("same_source", F.col("source_x") == F.col("source_y"))
+    )
+
+
 def _full_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_f): each document's FULL (uncapped) distinct-shingle
     count — the containment denominators and the hot-shingle bound's
@@ -999,6 +1028,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_containment": dedup_containment,
+    "dedup_source_overlap": dedup_source_overlap,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1332,3 +1362,18 @@ def _winnow_pairs_sql() -> str:
 
 
 ORACLES["dedup_winnow_pairs"] = _winnow_pairs_sql()
+
+# C49: the same matrix over C4's pair SQL
+ORACLES["dedup_source_overlap"] = f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    j AS (
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           source_x = source_y AS same_source
+    FROM j GROUP BY 1, 2
+"""

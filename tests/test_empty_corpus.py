@@ -73,6 +73,7 @@ EMPTY_OK = {
     "sim_ivf_pinned_topk": 0,
     "rel_table_profile": 6,  # one profile row per column, zero counts
     "rel_ohlc_resample": 0,
+    "dedup_source_overlap": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
