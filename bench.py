@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_containment",
     "curation_leakage_safe_split",
     "dedup_source_overlap",
+    "mm_image_dhash",
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_bpe_token_count",

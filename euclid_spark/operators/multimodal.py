@@ -323,3 +323,167 @@ ORACLES: dict[str, str] = {
         )
     """,
 }
+
+
+# -------------------------------------------- C50: perceptual image dedup
+IMG_H, IMG_W = 24, 24          # synthetic corpus image size
+DHASH_BANDS = 4                # 16-bit bands over the 64-bit hash
+DHASH_MAX_HAMMING = 10         # flag pairs at or under this distance
+DHASH_MAX_BUCKET = 100         # band-bucket skew cap (the C2/C3 guard)
+DHASH_SCHEMA = "doc_id long, dhash long, img_w int, img_h int"
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit DIFFERENCE HASH (dHash, public: Krawetz 2013 "Kind of
+    Like That"): grayscale → block-average to 8 rows × 9 cols → bit =
+    left cell brighter than its right neighbor. Invariant to uniform
+    brightness/contrast changes (monotone per-pixel maps preserve every
+    comparison) and robust to small local edits — the standard cheap
+    perceptual near-dup signature."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = np.array_split(np.arange(h), 8)
+    cols = np.array_split(np.arange(w), 9)
+    grid = np.empty((8, 9))
+    for r, ri in enumerate(rows):
+        for c, ci in enumerate(cols):
+            grid[r, c] = gray[np.ix_(ri, ci)].mean()
+    bits = (grid[:, :-1] > grid[:, 1:]).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    # store in a signed BIGINT column: fold bit 63 into the sign
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """Synthetic-but-REAL image corpus: each doc's utf-8 bytes are laid
+    out LOCALITY-PRESERVINGLY into an (IMG_H, IMG_W, 3) pixel grid and
+    encoded through the real BMP writer — so the dHash pipeline below
+    exercises an actual decode, and near-identical texts yield
+    near-identical images (unlike an md5-seeded fill, which would
+    destroy the nearness this operator exists to detect)."""
+    from euclid_spark.functions.imaging import encode_bmp
+
+    n = IMG_H * IMG_W * 3
+
+    @F.pandas_udf("binary")
+    def to_bmp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")[:n]
+            buf = np.zeros(n, dtype=np.uint8)
+            buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+            out.append(encode_bmp(buf.reshape(IMG_H, IMG_W, 3)))
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id",
+        F.lit("image/bmp").alias("modality"),
+        to_bmp("text").alias("payload"),
+    )
+
+
+def _dhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        hashes, ws, hs = [], [], []
+        for p in pdf["payload"]:
+            px = decode_real(bytes(p))
+            hashes.append(dhash64(px))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "dhash": pd.Series(hashes, dtype="int64"),
+                "img_w": pd.Series(ws, dtype="int32"),
+                "img_h": pd.Series(hs, dtype="int32"),
+            }
+        )
+
+
+def image_dhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash, w, h): the per-image signature table — REAL BMP
+    decode + dHash per row inside Arrow batches, served as a
+    fingerprint-keyed artifact (the signature-index precedent: hash a
+    corpus version once, match against it forever)."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="image_dhashes",
+        h=IMG_H,
+        w=IMG_W,
+        v=1,
+    )
+    return artifacts.serve_frame(
+        spark,
+        "image_dhashes",
+        fp,
+        lambda: with_image_payload(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).mapInPandas(_dhash_batches, schema=DHASH_SCHEMA),
+    )
+
+
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 — PERCEPTUAL IMAGE NEAR-DUP PAIRS: dHash signatures (real
+    BMP decode) matched by BANDED hamming search — the 64-bit hash
+    splits into DHASH_BANDS 16-bit bands; a pair whose distance is ≤
+    DHASH_MAX_HAMMING < DHASH_BANDS·... shares at least one exact band
+    whenever its differing bits cluster into ≤ 3 bands (and always
+    when hamming < 4, pigeonhole) — the C3 simhash chunk trick on the
+    image side. Candidates band-join with the bucket-size skew cap,
+    verified by exact XOR popcount, all JVM-side after the Arrow
+    signature extraction (which itself runs once per corpus version as
+    an artifact). Rows-only for the gate (real decode is engine-side);
+    pinned by known-answer dhash vectors + planted
+    brightness-invariance tests (tests/test_multimodal.py)."""
+    sig = image_dhashes(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("dhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_idx", "b.band_val")
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "band_val")
+    bands = bands.withColumn("bucket_n", F.count("*").over(wb)).filter(
+        F.col("bucket_n") <= DHASH_MAX_BUCKET
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+
+
+QUERIES["mm_image_dhash"] = mm_image_dhash  # rows-only: real decode path

@@ -74,6 +74,7 @@ EMPTY_OK = {
     "rel_table_profile": 6,  # one profile row per column, zero counts
     "rel_ohlc_resample": 0,
     "dedup_source_overlap": 0,
+    "mm_image_dhash": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

@@ -45,3 +45,57 @@ def test_audio_energy_matches_numpy_reference(spark):
                 round(float((rms < SILENCE_RMS).mean()), 4),
             )
         assert got[doc_id] == want, doc_id
+
+
+def test_dhash_known_answer_and_invariance():
+    """C50: dHash bits follow the left>right rule exactly, and uniform
+    brightness/contrast maps (monotone, non-clipping) leave the hash
+    unchanged — the invariance that makes dHash a perceptual signature
+    rather than a byte hash."""
+    import numpy as np
+
+    from euclid_spark.functions.imaging import decode_bmp, encode_bmp
+    from euclid_spark.operators.multimodal import dhash64
+
+    # decreasing horizontal gradient: every left cell brighter → all 64
+    # bits set → signed-int64 value -1
+    px = np.tile((230 - np.arange(24) * 9).astype(np.uint8), (24, 1))
+    px = px[:, :, None].repeat(3, axis=2)
+    assert dhash64(px) == -1
+    # increasing gradient → no bit set
+    assert dhash64(px[:, ::-1]) == 0
+    # brightness + contrast shift (no clipping) preserves the hash,
+    # through a REAL encode/decode round trip
+    shifted = (px.astype(np.float64) * 0.6 + 30).astype(np.uint8)
+    assert dhash64(decode_bmp(encode_bmp(shifted))) == dhash64(px)
+    # a transposed image is a different picture → different hash
+    assert dhash64(px.transpose(1, 0, 2)) != dhash64(px)
+
+
+def test_image_dhash_flags_planted_near_dups(spark, tmp_path, monkeypatch):
+    """C50 end-to-end: identical texts → identical images → hamming-0
+    pair; a lightly edited text → small hamming, still flagged; an
+    unrelated text stays unflagged."""
+    from euclid_spark.operators.multimodal import (
+        DHASH_MAX_HAMMING,
+        mm_image_dhash,
+    )
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    base = "perceptual hashing turns images into tiny comparable codes " * 8
+    rows = [
+        (1, base),
+        (2, base),                       # exact dup → hamming 0
+        (3, base[:-30] + "x" * 30),      # local edit → small hamming
+        (4, "Z" * 900),                  # unrelated flat image
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm_image_dhash(spark, str(tmp_path)).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and 0 < got[(1, 3)] <= DHASH_MAX_HAMMING
+    assert all(4 not in p for p in got)
