@@ -77,3 +77,37 @@ def test_text_lines_roundtrip(spark, tmp_path):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         r["text"] for r in docs.collect()
     )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """D29: SCHEMA EVOLUTION across parquet batches — a later ingest
+    adds a column; mergeSchema reads the union schema with nulls for
+    the old files, column pruning still prunes, and a query filtering
+    on the NEW column sees only the new rows. The append-only lake
+    contract: old data never rewritten when the schema grows."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("value")
+    )
+    v1.write.parquet(f"{tmp_path}/evt/batch=1")
+    v2 = spark.range(100, 150).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 2).alias("value"),
+        F.lit("eu-west").alias("region"),  # the new column
+    )
+    v2.write.parquet(f"{tmp_path}/evt/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp_path}/evt"
+    )
+    assert set(merged.columns) == {"event_id", "value", "region", "batch"}
+    assert merged.count() == 150
+    # old files surface NULL for the evolved column
+    nulls = merged.filter(F.col("region").isNull())
+    assert nulls.count() == 100
+    assert nulls.agg(F.max("event_id")).collect()[0][0] == 99
+    # filtering on the new column touches only new rows
+    assert merged.filter(F.col("region") == "eu-west").count() == 50
+    # pruned projection on the evolved read still works
+    assert merged.select("event_id").distinct().count() == 150
