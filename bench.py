@@ -77,6 +77,7 @@ HEADLINE = [
     "rel_time_weighted_avg",
     "rel_event_dedup_window",
     "rel_ohlc_resample",
+    "rel_value_outliers",
     "rel_hdr_range_quantiles",
     "rel_lc_range_distinct",
     "rel_cms_range_topk",

@@ -177,11 +177,69 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0  # |z| flag level
+MIN_N = 10         # users below this sample size are not scored
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 — Z-SCORE OUTLIER DETECTION per user: flag events whose
+    value deviates more than Z_THRESHOLD sample standard deviations
+    from that user's mean — the monitoring/anomaly staple over any
+    metric stream.
+
+    Determinism (the q15 rule): Σv and Σv² accumulate in DECIMAL —
+    exact, order-independent — and the variance/std/z arithmetic
+    happens ONCE per user/event on those exact sums (sample variance =
+    (n·Σv² − (Σv)²) / (n·(n−1))); z rounds to 6. A float sum would
+    drift the boundary cases by merge order. Users with fewer than
+    MIN_N events are skipped (a 2-event user flags nothing
+    meaningfully).
+
+    Scale shape: one groupBy(user) over decimal partials (map-side
+    combinable) + one broadcast-or-shuffle join back on the same key;
+    output is only the flagged rows (thresholded-output rule)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(dv).cast("decimal(38,6)").alias("s1"),
+        F.sum((dv * dv).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("s2"),
+    ).filter(F.col("n") >= MIN_N)
+    j = ev.join(stats, "user_id")
+    # the DECIMAL part is only the order-independent sums; all
+    # downstream arithmetic runs in DOUBLE with the same operation
+    # sequence both engines execute (decimal division would round at
+    # engine-specific intermediate scales)
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / nd
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    std = F.sqrt(var)
+    z = F.round((F.col("value") - mean) / std, 6)
+    return (
+        j.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(mean, 6).alias("user_mean"),
+            F.round(std, 6).alias("user_std"),
+            z.alias("z"),
+        )
+        .filter((F.col("user_std") > 0) & (F.abs("z") > Z_THRESHOLD))
+    )
+
+
 QUERIES = {
     "rel_gap_fill_locf": gap_fill_locf,
     "rel_time_weighted_avg": time_weighted_avg,
     "rel_event_dedup_window": event_dedup_window,
     "rel_ohlc_resample": ohlc_resample,
+    "rel_value_outliers": value_outliers,
 }
 
 ORACLES = {
@@ -264,5 +322,36 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_ticks
         FROM s
         GROUP BY 1, 2
+    """,
+    # B57: decimal sums, then the identical double operation sequence
+    "rel_value_outliers": f"""
+        WITH stats AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS s1,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                                 * CAST(value AS DECIMAL(18,6))
+                                 AS DECIMAL(38,12)))
+                        AS DECIMAL(38,12)) AS s2
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) >= {MIN_N}
+        ),
+        scored AS (
+            SELECT e.event_id, e.user_id, e.value,
+                   CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+                   sqrt((CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                         - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                        / (CAST(s.n AS DOUBLE)
+                           * (CAST(s.n AS DOUBLE) - 1.0))) AS std
+            FROM events e JOIN stats s ON e.user_id = s.user_id
+        )
+        SELECT event_id, user_id, value,
+               ROUND(mean, 6) AS user_mean,
+               ROUND(std, 6) AS user_std,
+               ROUND((value - mean) / std, 6) AS z
+        FROM scored
+        WHERE ROUND(std, 6) > 0
+          AND ABS(ROUND((value - mean) / std, 6)) > {Z_THRESHOLD}
     """,
 }

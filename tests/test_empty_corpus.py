@@ -75,6 +75,7 @@ EMPTY_OK = {
     "rel_ohlc_resample": 0,
     "dedup_source_overlap": 0,
     "mm_image_dhash": 0,
+    "rel_value_outliers": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

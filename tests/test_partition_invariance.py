@@ -30,6 +30,7 @@ CASES = [
     "rel_time_weighted_avg",       # decimal v·Δt accumulation (r7)
     "rel_event_dedup_window",      # lag window tie-break on (ts, id) (r7)
     "rel_ohlc_resample",           # first/last selections by total order (r7)
+    "rel_value_outliers",          # decimal sums -> shared double seq (r7)
 ]
 
 
