@@ -104,6 +104,7 @@ HEADLINE = [
     "curation_leakage_safe_split",
     "dedup_source_overlap",
     "mm_image_dhash",
+    "dedup_provenance_report",
     "text_benchmark_overlap",
     "text_pack_sequences",
     "text_bpe_token_count",

@@ -264,3 +264,148 @@ ORACLES = {
     "curation_training_mix": _oracle_mix(),
     "curation_leakage_safe_split": _oracle_split(),
 }
+
+
+def dedup_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51 — the consolidated PER-DOCUMENT DEDUP PROVENANCE REPORT: one
+    wide row per doc with every dedup family's verdict side by side —
+    exact copy (C1), near-dup component membership (C14's verified-
+    Jaccard components), nested-document containment (C45), duplicated-
+    substring fraction (C28), and winnowing fingerprint matches (C42).
+    This is the review table a curation team actually reads: WHY a doc
+    was dropped, and which methods agree (a doc flagged by winnowing
+    but not MinHash is a localized-copy case; flagged by containment
+    only is a quote/nesting case).
+
+    Every input is a SERVED artifact (pair ledgers, labels, verdicts),
+    so the report is doc_id-keyed joins over index-sized tables — no
+    pipeline re-runs, no pairwise term. Fully hash-checked: the oracle
+    composes the same stage SQL bodies (the C25/C32 precedent)."""
+    from euclid_spark.functions.text import normalized_text
+    from euclid_spark.operators import dedup as _dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dmd5 = docs.select(
+        "doc_id", F.md5(normalized_text("text")).alias("text_md5")
+    )
+    exact = dmd5.join(_dd.dedup_exact(spark, sf_dir), "text_md5").select(
+        "doc_id",
+        (F.col("n_copies") > 1).alias("exact_dup"),
+        (F.col("doc_id") == F.col("keep_id")).alias("exact_keeper"),
+    )
+    comp = components.component_labels(spark, sf_dir)
+    cont = _dd.dedup_containment(spark, sf_dir)
+    nested = (
+        cont.filter(
+            F.col("nested_doc")
+            & (F.col("contain_a_in_b") >= _dd.CONTAINMENT_THRESHOLD)
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            cont.filter(
+                F.col("nested_doc")
+                & (F.col("contain_b_in_a") >= _dd.CONTAINMENT_THRESHOLD)
+            ).select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("nested_doc", F.lit(True))
+    )
+    spans = _dd.dedup_substring_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("flagged").alias("substring_flagged"),
+        F.col("dup_frac").alias("substring_dup_frac"),
+    )
+    wp = _dd.dedup_winnow_pairs(spark, sf_dir)
+    wdocs = (
+        wp.selectExpr("doc_a AS doc_id")
+        .unionByName(wp.selectExpr("doc_b AS doc_id"))
+        .distinct()
+        .withColumn("winnow_matched", F.lit(True))
+    )
+    return (
+        exact.join(comp.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+        .join(nested, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .join(wdocs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            "exact_keeper",
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            F.coalesce("nested_doc", F.lit(False)).alias("nested_doc"),
+            F.coalesce("substring_flagged", F.lit(False)).alias(
+                "substring_flagged"
+            ),
+            F.coalesce("substring_dup_frac", F.lit(0.0)).alias(
+                "substring_dup_frac"
+            ),
+            F.coalesce("winnow_matched", F.lit(False)).alias(
+                "winnow_matched"
+            ),
+        )
+    )
+
+
+def _oracle_provenance() -> str:
+    from euclid_spark.operators import dedup as _dd
+
+    c1 = _dd.ORACLES["dedup_exact"]
+    c45 = _dd.ORACLES["dedup_containment"]
+    c28 = _dd.ORACLES["dedup_substring_spans"]
+    c42 = _dd.ORACLES["dedup_winnow_pairs"]
+    thr = _dd.CONTAINMENT_THRESHOLD
+    return f"""
+        WITH RECURSIVE
+        {components._COMP_CTES},
+        dmd5 AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS text_md5
+            FROM documents
+        ),
+        ex AS ({c1}),
+        cont AS ({c45}),
+        -- DISTINCT over UNION ALL, not UNION: inside a WITH RECURSIVE
+        -- chain DuckDB gives ANY union-bodied CTE recursive-union
+        -- semantics and stops deduplicating (verified:
+        -- WITH RECURSIVE t AS (SELECT 1 UNION SELECT 1) has 2 rows)
+        nested AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM cont
+                WHERE nested_doc AND contain_a_in_b >= {thr}
+                UNION ALL
+                SELECT doc_b FROM cont
+                WHERE nested_doc AND contain_b_in_a >= {thr}
+            )
+        ),
+        spans AS ({c28}),
+        wp AS ({c42}),
+        wdocs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM wp
+                UNION ALL SELECT doc_b FROM wp
+            )
+        )
+        SELECT d.doc_id,
+               ex.n_copies > 1 AS exact_dup,
+               d.doc_id = ex.keep_id AS exact_keeper,
+               c.doc_id IS NOT NULL AS near_dup,
+               COALESCE(c.component, d.doc_id) AS component,
+               n.doc_id IS NOT NULL AS nested_doc,
+               COALESCE(s.flagged, FALSE) AS substring_flagged,
+               COALESCE(s.dup_frac, 0.0) AS substring_dup_frac,
+               w.doc_id IS NOT NULL AS winnow_matched
+        FROM dmd5 d
+        JOIN ex ON d.text_md5 = ex.text_md5
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN nested n ON n.doc_id = d.doc_id
+        LEFT JOIN spans s ON s.doc_id = d.doc_id
+        LEFT JOIN wdocs w ON w.doc_id = d.doc_id
+    """
+
+
+QUERIES["dedup_provenance_report"] = dedup_provenance_report
+ORACLES["dedup_provenance_report"] = _oracle_provenance()

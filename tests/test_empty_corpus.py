@@ -76,6 +76,7 @@ EMPTY_OK = {
     "dedup_source_overlap": 0,
     "mm_image_dhash": 0,
     "rel_value_outliers": 0,
+    "dedup_provenance_report": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
