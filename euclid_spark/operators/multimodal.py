@@ -330,7 +330,8 @@ IMG_H, IMG_W = 24, 24          # synthetic corpus image size
 DHASH_BANDS = 4                # 16-bit bands over the 64-bit hash
 DHASH_MAX_HAMMING = 10         # flag pairs at or under this distance
 DHASH_MAX_BUCKET = 100         # band-bucket skew cap (the C2/C3 guard)
-DHASH_SCHEMA = "doc_id long, dhash long, img_w int, img_h int"
+DHASH_SCHEMA = ("doc_id long, dhash long, img_w int, img_h int, "
+                "decode_error string")
 
 
 def dhash64(pixels: np.ndarray) -> int:
@@ -386,19 +387,33 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
 
 
 def _dhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-row decode with QUARANTINE, not job failure: at 100 TB a
+    corrupt payload is routine (truncated upload, codec mismatch) and
+    one bad row must never kill a 1000-executor stage. A row whose
+    decode raises emits (dhash NULL, decode_error) instead; downstream
+    matching filters on decode_ok and the quarantine rows stay
+    reviewable in the signature artifact."""
     for pdf in it:
-        hashes, ws, hs = [], [], []
+        hashes, ws, hs, errs = [], [], [], []
         for p in pdf["payload"]:
-            px = decode_real(bytes(p))
-            hashes.append(dhash64(px))
-            hs.append(px.shape[0])
-            ws.append(px.shape[1])
+            try:
+                px = decode_real(bytes(p))
+                hashes.append(dhash64(px))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                errs.append(None)
+            except Exception as ex:  # noqa: BLE001 — quarantine any decode fault
+                hashes.append(None)
+                hs.append(0)
+                ws.append(0)
+                errs.append(f"{type(ex).__name__}: {ex}"[:120])
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "dhash": pd.Series(hashes, dtype="int64"),
+                "dhash": pd.Series(hashes, dtype="Int64"),
                 "img_w": pd.Series(ws, dtype="int32"),
                 "img_h": pd.Series(hs, dtype="int32"),
+                "decode_error": pd.Series(errs, dtype="object"),
             }
         )
 
@@ -415,7 +430,7 @@ def image_dhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         op="image_dhashes",
         h=IMG_H,
         w=IMG_W,
-        v=1,
+        v=2,  # v2: quarantine column (decode_error) in the signature schema
     )
     return artifacts.serve_frame(
         spark,
@@ -440,7 +455,9 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     an artifact). Rows-only for the gate (real decode is engine-side);
     pinned by known-answer dhash vectors + planted
     brightness-invariance tests (tests/test_multimodal.py)."""
-    sig = image_dhashes(spark, sf_dir)
+    sig = image_dhashes(spark, sf_dir).filter(
+        F.col("dhash").isNotNull()  # quarantined decodes never match
+    )
     bands = sig.select(
         "doc_id",
         "dhash",

@@ -99,3 +99,45 @@ def test_image_dhash_flags_planted_near_dups(spark, tmp_path, monkeypatch):
     assert got.get((1, 2)) == 0
     assert (1, 3) in got and 0 < got[(1, 3)] <= DHASH_MAX_HAMMING
     assert all(4 not in p for p in got)
+
+
+def test_image_dhash_quarantines_corrupt_payloads(spark, tmp_path, monkeypatch):
+    """A corrupt payload must quarantine (dhash NULL + decode_error),
+    not kill the job; intact rows still match. Injected by corrupting
+    one doc's payload through a monkeypatched payload builder."""
+    from euclid_spark.operators import multimodal as mm
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    base = "the same text twice makes an exact image pair " * 10
+    rows = [(1, base), (2, base), (3, "corrupt me")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    real_with_image_payload = mm.with_image_payload
+
+    def corrupted(docs):
+        out = real_with_image_payload(docs)
+        from pyspark.sql import functions as F
+
+        # truncate doc 3's BMP to 10 bytes — an invalid header/body
+        return out.withColumn(
+            "payload",
+            F.when(
+                F.col("doc_id") == 3, F.substring("payload", 1, 10)
+            ).otherwise(F.col("payload")),
+        )
+
+    monkeypatch.setattr(mm, "with_image_payload", corrupted)
+    sig = {
+        r["doc_id"]: r for r in mm.image_dhashes(spark, str(tmp_path)).collect()
+    }
+    assert sig[3]["dhash"] is None and sig[3]["decode_error"]
+    assert sig[1]["dhash"] is not None and sig[1]["decode_error"] is None
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in mm.mm_image_dhash(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
