@@ -775,7 +775,31 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection (the C37 shape, cost ∝ surviving pairs) — measured
     11.3 → ~2 s cold at sf0.1 with a bit-identical result set; sizes
     and inter stay left-joined + coalesced so a zero-overlap survivor
-    would surface with c = 0."""
+    would surface with c = 0.
+
+    Served as a fingerprint-keyed DISK ARTIFACT (the jaccard_pairs
+    precedent — the flagged containment relationships are deterministic
+    corpus state): consumers like C51's provenance report read a scan
+    instead of re-running the candidate join + exact side per query."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="containment_pairs",
+        shingle_k=3,
+        max_df=MAX_SHINGLE_DF,
+        thr=CONTAINMENT_THRESHOLD,
+        jt=JACCARD_THRESHOLD,
+    )
+    return artifacts.serve_frame(
+        spark,
+        "containment_pairs",
+        fp,
+        lambda: _build_containment(spark, sf_dir),
+    )
+
+
+def _build_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shc = persist_tracked(_capped_shingles(spark, sf_dir))
     a, b = shc.alias("a"), shc.alias("b")
     cand = (
