@@ -361,12 +361,15 @@ def stream_block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- D21 face
 
-def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D21 face — the candidate-pair ledger of the incremental
-    MinHash/LSH index after ingesting the documents table in N_SPLITS
-    batches. Equals C2's batch pair set by the induction argument
-    (every pair is found when its younger member arrives); the oracle
-    is C2's SQL, so the gate verifies the induction on real data."""
+def _streamed_dedup_state(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Run the D21 incremental dedup stream ONCE per corpus version and
+    serve BOTH of its maintained outputs — the pair ledger and the
+    component labels — under one shared fingerprint. In production
+    there is one maintained index with many consumers; before this
+    refactor the pairs face and the splits face each ran their own
+    stream over the same corpus."""
     from euclid_spark.operators import dedup as _d
     from euclid_spark.streaming.dedup_stream import (
         read_document_stream,
@@ -375,15 +378,19 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/documents.parquet"],
-        op="stream_dedup_pairs",
+        op="stream_dedup_state",
         n=N_SPLITS,
         n_hashes=_d.N_HASHES,
         band=_d.BAND_SIZE,
         cap=_d.MAX_BUCKET,
-        v=2,
+        v=1,
     )
-
-    def build(tmp: str) -> DataFrame:
+    pairs = artifacts.load_frame(spark, "stream_dedup_pairs", fp)
+    labels = artifacts.load_frame(spark, "stream_dedup_labels", fp)
+    if pairs is not None and labels is not None:
+        return pairs, labels
+    tmp = tempfile.mkdtemp(prefix="euclid_stream_dedup_state_")
+    try:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
             spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -396,9 +403,26 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_document_stream(spark, feed), os.path.join(tmp, "state")
         )
         _run_stream(q, sink, n_feeds)
-        return sink.pairs()
+        artifacts.save_frame(sink.pairs(), "stream_dedup_pairs", fp)
+        artifacts.save_frame(sink.labels(), "stream_dedup_labels", fp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    pairs = artifacts.load_frame(spark, "stream_dedup_pairs", fp)
+    labels = artifacts.load_frame(spark, "stream_dedup_labels", fp)
+    assert pairs is not None and labels is not None
+    return pairs, labels
 
-    return _serve_streamed(spark, "stream_dedup_pairs", fp, build)
+
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21 face — the candidate-pair ledger of the incremental
+    MinHash/LSH index after ingesting the documents table in N_SPLITS
+    batches. Equals C2's batch pair set by the induction argument
+    (every pair is found when its younger member arrives); the oracle
+    is C2's SQL, so the gate verifies the induction on real data.
+    Served from the SHARED streamed-state build (_streamed_dedup_state
+    — one stream run feeds this face and stream_leakage_splits)."""
+    pairs, _ = _streamed_dedup_state(spark, sf_dir)
+    return pairs
 
 
 def stream_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,68 +435,47 @@ def stream_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     without re-running the batch dedup. Split rule identical to C46
     (md5-bucket of the component, fixed thresholds); oracle = the same
     rule over the LSH-pair recursive closure (the pair universe D21
-    maintains — the stream_curation_kept precedent)."""
-    from euclid_spark.operators import dedup as _d
+    maintains — the stream_curation_kept precedent).
+
+    Labels come from the SHARED streamed-state build
+    (_streamed_dedup_state): ONE stream run per corpus version feeds
+    this face and stream_dedup_pairs — the production
+    one-index-many-consumers shape; the split projection itself is
+    row-local over that served scan (no second stream, no extra
+    artifact)."""
     from euclid_spark.operators.curation import SPLIT_TRAIN, SPLIT_VALID
-    from euclid_spark.streaming.dedup_stream import (
-        read_document_stream,
-        run_incremental_dedup,
-    )
 
-    fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/documents.parquet"],
-        op="stream_leakage_splits",
-        n=N_SPLITS,
-        n_hashes=_d.N_HASHES,
-        band=_d.BAND_SIZE,
-        cap=_d.MAX_BUCKET,
-        thresholds=(SPLIT_TRAIN, SPLIT_VALID),
-        v=1,
+    _, labels = _streamed_dedup_state(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    assigned = docs.join(labels, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
     )
-
-    def build(tmp: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
-        feed = os.path.join(tmp, "feed")
-        n_feeds = _write_splits(docs, feed, "doc_id")
-        q, sink = run_incremental_dedup(
-            read_document_stream(spark, feed), os.path.join(tmp, "state")
-        )
-        _run_stream(q, sink, n_feeds)
-        assigned = docs.select("doc_id").join(
-            sink.labels(), "doc_id", "left"
-        ).withColumn(
-            "component", F.coalesce(F.col("component"), F.col("doc_id"))
-        )
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("split|"),
-                            F.col("component").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split|"), F.col("component").cast("string")
+                    )
                 ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(100),
-        )
-        return assigned.select(
-            "doc_id",
-            "component",
-            bucket.alias("bucket"),
-            F.when(bucket < SPLIT_TRAIN, F.lit("train"))
-            .when(bucket < SPLIT_VALID, F.lit("valid"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VALID, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
 
-    return _serve_streamed(spark, "stream_leakage_splits", fp, build)
 
 
 def _leakage_splits_sql() -> str:
