@@ -78,6 +78,7 @@ HEADLINE = [
     "rel_event_dedup_window",
     "rel_ohlc_resample",
     "rel_value_outliers",
+    "rel_seasonal_profile",
     "rel_hdr_range_quantiles",
     "rel_lc_range_distinct",
     "rel_cms_range_topk",
@@ -99,6 +100,7 @@ HEADLINE = [
     "text_winnowing",
     "text_rag_chunks",
     "text_data_card",
+    "text_lang_confusion",
     "dedup_minhash_estimate",
     "dedup_containment",
     "curation_leakage_safe_split",

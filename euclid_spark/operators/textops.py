@@ -1557,3 +1557,42 @@ ORACLES["text_winnowing"] = f"""
         FROM st)
     SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel
 """
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52 — CONFUSION MATRIX of the C9 language classifier against the
+    corpus's labeled lang column — the model-evaluation audit every
+    heuristic classifier in the pipeline needs (which languages it
+    confuses tells you which marker lists to grow; per-cell counts and
+    per-true-lang recall are the reviewable deliverable). Pure
+    composition: C9's row-local scorer + one (true, predicted)
+    aggregate; recall denominator via a window over the same key."""
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted")
+    cells = pred.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("predicted").alias("pred_lang"),
+    ).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "frac_of_true"
+        ),
+    )
+
+
+QUERIES["text_lang_confusion"] = text_lang_confusion
+ORACLES["text_lang_confusion"] = f"""
+    WITH pred AS ({ORACLES["text_lang_id"]}),
+    cells AS (
+        SELECT lang AS true_lang, predicted AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n_docs,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY true_lang),
+                 4) AS frac_of_true
+    FROM cells
+"""

@@ -355,3 +355,52 @@ ORACLES = {
           AND ABS(ROUND((value - mean) / std, 6)) > {Z_THRESHOLD}
     """,
 }
+
+
+def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58 — SEASONALITY PROFILE: mean value and event volume per
+    (event_type, hour-of-day, day-of-week) cell — the fixed-size
+    seasonal fingerprint dashboards and anomaly baselines consume
+    (B57's z-score flags deviations; this is the expected-level table
+    they deviate FROM). Means decimal-accumulated then divided once in
+    double (the shared-sequence rule); one map-side-combinable
+    aggregate, output bounded at types × 24 × 7 regardless of corpus
+    size."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.col("ts").cast("timestamp")
+    dv = F.col("value").cast("decimal(18,6)")
+    g = ev.groupBy(
+        "event_type",
+        F.hour(t).alias("hour_of_day"),
+        # pin day-of-week to ISO Monday=1 (dayofweek() is Sunday=1 and
+        # locale-adjacent; both engines define isodow/weekday identically)
+        F.expr("extract(dayofweek_iso FROM cast(ts as timestamp))").alias(
+            "iso_dow"
+        ),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dv).cast("decimal(38,6)").alias("s1"),
+    )
+    return g.select(
+        "event_type",
+        "hour_of_day",
+        F.col("iso_dow").cast("int").alias("iso_dow"),
+        "n_events",
+        F.round(
+            F.col("s1").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("mean_value"),
+    )
+
+
+QUERIES["rel_seasonal_profile"] = seasonal_profile
+ORACLES["rel_seasonal_profile"] = """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                           AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""

@@ -77,6 +77,8 @@ EMPTY_OK = {
     "mm_image_dhash": 0,
     "rel_value_outliers": 0,
     "dedup_provenance_report": 0,
+    "text_lang_confusion": 0,
+    "rel_seasonal_profile": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
