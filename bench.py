@@ -160,11 +160,15 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    # Keep the stdout line tiny (~150 bytes): the r6/r7 records were lost
+    # because a per-query map on this line exceeded the driver's stdout
+    # capture window (head truncated -> parsed: null). ALL per-query
+    # detail lives in BENCH_DETAIL.json; this line carries only totals.
     out = {
         "metric": "headline_queries_total_wall",
         "value": detail["value"],
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items()},
+        "n_queries": len(times),
         "warm_total": detail["warm_total"],
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",

@@ -246,8 +246,204 @@ def range_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Query2 over the tile tree: the distinct-key SET monoid ------------------
+#
+# A25's tiles carry SCALAR monoids (count/sum/min/max/digest — the
+# query_erc20/block/ shape). The reference's OTHER block tree aggregates
+# the DISTINCT-KEY SET up the tree (query2/block/full_node.rs,
+# partial_node.rs — set-union feeding query2/revelation/circuit.rs's
+# bounded top-L reveal). The Spark analog: per-(owner, cell) tiles
+# carrying each cell's FIRST-L keys — a bounded min-L selection lattice
+# (merge = union→sort→truncate, associative AND commutative: every key
+# dropped at truncation is larger than ≥L keys of its own cell, hence
+# larger than ≥L keys of any union containing that cell), so per-owner
+# top-L revelation over an arbitrary block range reads O(log range · L)
+# tile rows — never the range interior. L is baked into the tiles at
+# build exactly as the circuit's L is baked at setup.
+
+from euclid_spark.operators.euclid import TOP_L as Q2_L  # noqa: E402
+
+
+def _q2_entries(ev: DataFrame) -> DataFrame:
+    """Qualifying mapping entries: the Query2 extraction filter (purchase
+    events carrying a mapping key), shared by build and edge scans."""
+    tok = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("user_id").alias("owner"),
+            tok.alias("token_id"),
+        )
+        .filter(F.col("token_id").isNotNull())
+    )
+
+
+def _q2_leaf_tiles(entries: DataFrame) -> DataFrame:
+    """Level-0 tiles: per (cell, owner), the cell's first-L distinct keys
+    in canonical order (query2's leaf set, already truncated — the
+    lattice makes the truncation lossless for any top-L query)."""
+    return (
+        entries.groupBy(
+            F.floor(F.col("event_id") / TILE_SIZE).cast("long").alias("cell"),
+            "owner",
+        )
+        .agg(
+            F.slice(F.array_sort(F.collect_set("token_id")), 1, Q2_L)
+            .alias("keys")
+        )
+    )
+
+
+def _q2_fold_up(lvl: DataFrame) -> DataFrame:
+    """One level up: per owner, merge the two child cells' first-L lists
+    (full_node.rs's set union + the revelation bound in one step)."""
+    return (
+        lvl.groupBy(F.shiftright(F.col("cell"), 1).alias("cell"), "owner")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("keys")))),
+                1,
+                Q2_L,
+            ).alias("keys")
+        )
+    )
+
+
+def build_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All levels of the per-owner key tree. Depth is sized to the FULL
+    block space (max event_id over all events), not just qualifying
+    cells, so any [b_min, b_max) cover stays ≤ 2 tiles per level."""
+    import math
+
+    ev = load_events(spark, sf_dir)
+    mb = ev.agg(F.max("event_id")).collect()[0][0]  # one-row fetch
+    n_cells = (int(mb or 0) // TILE_SIZE) + 1
+    depth = max(1, math.ceil(math.log2(n_cells))) if n_cells > 1 else 1
+    lvl = _q2_leaf_tiles(_q2_entries(ev))
+    out = [lvl.withColumn("level", F.lit(0))]
+    for k in range(1, depth + 1):
+        lvl = _q2_fold_up(lvl)
+        out.append(lvl.withColumn("level", F.lit(k)))
+    tiles = out[0]
+    for o in out[1:]:
+        tiles = tiles.unionByName(o)
+    return tiles.select("level", "cell", "owner", "keys")
+
+
+def serve_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="q2_key_tree", tile=TILE_SIZE, L=Q2_L
+    )
+    return artifacts.serve_frame(
+        spark, "q2_key_tiles", fp, lambda: build_q2_key_tree(spark, sf_dir)
+    )
+
+
+_Q2_EMPTY = "owner long, pos int, token_id long, b_min long, b_max long"
+
+
+def q2_range_tree_topl(
+    spark: SparkSession,
+    sf_dir: str,
+    owner: "int | None" = None,
+    b_min: "int | None" = None,
+    b_max: "int | None" = None,
+    L: "int | None" = None,
+) -> DataFrame:
+    """A26 — Query2 answered from the tile tree in O(log range): per-owner
+    first-L distinct mapping keys over [b_min, b_max), read from the
+    canonical cover (≤ 2 tiles/level) plus two < TILE_SIZE edge scans
+    pushed to the events scan. The public parameterized surface —
+    (owner, b_min, b_max, L) — with the pinned gate face as one
+    instantiation (owner=None → all owners; bounds default to the ⅕/⅘
+    probe range). L must be ≤ the tree's baked reveal bound Q2_L,
+    exactly as the circuit's L is fixed at setup."""
+    L = Q2_L if L is None else int(L)
+    if L > Q2_L:
+        raise ValueError(
+            f"L={L} exceeds the tile tree's baked reveal bound {Q2_L}; "
+            "rebuild the tree with a larger Q2_L (the circuit-setup analog)"
+        )
+    tiles = serve_q2_key_tree(spark, sf_dir)
+    ml = tiles.agg(F.max("level")).collect()[0][0]  # bounded fetch
+    if ml is None:  # no qualifying entries anywhere
+        return spark.createDataFrame([], _Q2_EMPTY)
+    max_level = int(ml)
+    if b_min is None or b_max is None:
+        mb = (
+            serve_range_tree(spark, sf_dir)
+            .agg(F.max("max_block"))
+            .collect()[0][0]
+        )  # block-DB metadata from the served scalar tree (one tile row)
+        mb = int(mb or 0)
+        b_min = mb // 5 if b_min is None else int(b_min)
+        b_max = mb * 4 // 5 if b_max is None else int(b_max)
+    else:
+        b_min, b_max = int(b_min), int(b_max)
+    cover, edges = tile_cover(b_min, b_max, max_level)
+    if not cover and not edges:
+        return spark.createDataFrame([], _Q2_EMPTY)
+
+    parts = []
+    if cover:
+        by_level: dict[int, list[int]] = {}
+        for k, c in cover:
+            by_level.setdefault(k, []).append(c)
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("level") == k) & F.col("cell").isin(cells)
+                for k, cells in by_level.items()
+            ],
+        )
+        t = tiles.filter(cond)
+        if owner is not None:
+            t = t.filter(F.col("owner") == owner)
+        parts.append(t.select("owner", "keys"))
+    if edges:
+        econd = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                for lo, hi in edges
+            ],
+        )
+        e = _q2_entries(load_events(spark, sf_dir)).filter(econd)
+        if owner is not None:
+            e = e.filter(F.col("owner") == owner)
+        parts.append(
+            e.groupBy("owner").agg(
+                F.slice(F.array_sort(F.collect_set("token_id")), 1, Q2_L)
+                .alias("keys")
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    topl = merged.groupBy("owner").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("keys")))),
+            1,
+            L,
+        ).alias("keys")
+    )
+    return topl.select(
+        "owner", F.posexplode("keys").alias("pos0", "token_id")
+    ).select(
+        "owner",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "token_id",
+        F.lit(b_min).cast("long").alias("b_min"),
+        F.lit(b_max).cast("long").alias("b_max"),
+    )
+
+
 QUERIES = {
     "euclid_range_tree_agg": range_tree_agg,
+    "euclid_q2_range_tree_topL": q2_range_tree_topl,
 }
 
 from euclid_spark.functions.hashing import MIX  # noqa: E402
@@ -272,5 +468,33 @@ ORACLES = {
         FROM events, b
         WHERE event_id >= b.b_min AND event_id < b.b_max
         GROUP BY b.b_min, b.b_max
+    """,
+    # A3's semantics over the same range, recomputed from the rows — the
+    # gate proves the tile cover + edge scans reveal exactly the keys a
+    # full range scan would
+    "euclid_q2_range_tree_topL": f"""
+        WITH b AS (
+            SELECT CAST(FLOOR(MAX(event_id) / 5) AS BIGINT) AS b_min,
+                   CAST(FLOOR(MAX(event_id) * 4 / 5) AS BIGINT) AS b_max
+            FROM events
+        ),
+        d AS (
+            SELECT DISTINCT user_id AS owner,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS token_id
+            FROM events, b
+            WHERE event_type = 'purchase'
+              AND json_extract_string(props, '$.k') IS NOT NULL
+              AND event_id >= b.b_min AND event_id < b.b_max
+        ),
+        r AS (
+            SELECT owner, token_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY owner
+                        ORDER BY token_id) AS INT) AS pos
+            FROM d
+        )
+        SELECT r.owner, r.pos, r.token_id, b.b_min, b.b_max
+        FROM r CROSS JOIN b
+        WHERE r.pos <= {Q2_L}
     """,
 }

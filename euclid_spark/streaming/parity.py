@@ -502,6 +502,68 @@ def _range_tree_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- A26's Query2 key tiles as a maintained aggregate -------------------------
+
+
+def _q2_tiles_partial(events: DataFrame) -> DataFrame:
+    """The Query2 key tile tree (range_tree.py A26) as a streaming
+    monoid: per (chunk, level, cell, owner), the FIRST-L distinct
+    mapping keys — the bounded min-L selection lattice
+    (query2/block/full_node.rs's set-union + revelation's L bound).
+    The interesting parity property: per-batch TRUNCATED partials must
+    re-merge to exactly the from-scratch first-L under any batch split
+    — true because every key a truncation drops is larger than ≥L keys
+    of its own (cell, owner) slice, hence larger than ≥L keys of any
+    union containing it. Partition key = block chunk (the A25 spec's
+    locality: a batch rewrites only touched chunks)."""
+    from euclid_spark.operators.euclid import TOP_L
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    tok = F.get_json_object("props", "$.k").cast("long")
+    cell0 = f"CAST(FLOOR(event_id / {TILE_SIZE}) AS BIGINT)"
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("token_id", tok)
+        .filter(F.col("token_id").isNotNull())
+        .select(
+            "event_id",
+            F.col("user_id").alias("owner"),
+            "token_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_RT_LEVELS))).alias("level"),
+        )
+        .select(
+            F.expr(f"shiftright({cell0}, {_RT_LEVELS})")
+            .cast("int")
+            .alias("day"),
+            "level",
+            F.expr(f"shiftright({cell0}, CAST(level AS INT))").alias("cell"),
+            "owner",
+            "token_id",
+        )
+        .groupBy("day", "level", "cell", "owner")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("token_id")), 1, TOP_L)
+            .alias("keys")
+        )
+    )
+
+
+def _q2_tiles_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    from euclid_spark.operators.euclid import TOP_L
+
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "level", "cell", "owner")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("keys")))),
+                1,
+                TOP_L,
+            ).alias("keys")
+        )
+    )
+
+
 # --- B56's OHLC bars as a maintained aggregate --------------------------------
 
 
@@ -583,4 +645,7 @@ SPECS = {
         "erc20_reward_view", _erc20_partial, _erc20_merge
     ),
     "ohlc_bars": ParitySpec("ohlc_bars", _ohlc_partial, _ohlc_merge),
+    "q2_key_tiles": ParitySpec(
+        "q2_key_tiles", _q2_tiles_partial, _q2_tiles_merge
+    ),
 }

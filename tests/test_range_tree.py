@@ -126,3 +126,123 @@ def test_degenerate_tiny_corpus(spark, tmp_path, monkeypatch):
     got = range_tree_agg(spark, out)
     assert got.count() == 0
     assert "n_events" in got.columns and "range_digest" in got.columns
+
+
+# --- A26: Query2 over the tile tree ------------------------------------------
+
+
+def test_q2_minl_lattice_property():
+    """The merge law the whole construction rests on: merging per-cell
+    FIRST-L truncations then truncating equals truncating the full
+    union — for adversarial overlapping/disjoint/duplicate-heavy sets,
+    under any association order (the monoid property)."""
+    import itertools
+    import random
+
+    from euclid_spark.operators.range_tree import Q2_L
+
+    rng = random.Random(42)
+    for trial in range(200):
+        n_sets = rng.randint(1, 6)
+        sets = [
+            sorted(rng.sample(range(30), rng.randint(0, 12)))
+            for _ in range(n_sets)
+        ]
+        full = sorted(set(itertools.chain.from_iterable(sets)))[:Q2_L]
+
+        def trunc(s):
+            return sorted(set(s))[:Q2_L]
+
+        # left fold in a random order — associativity + commutativity
+        parts = [trunc(s) for s in sets]
+        rng.shuffle(parts)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = trunc(acc + p)
+        assert acc == full, f"trial {trial}: {sets}"
+
+
+def test_q2_face_scan_shape_and_param_equivalence(spark):
+    """Scan shape: the face reads ≤ 2·(depth+1) (level, cell) tile
+    groups and < 2·TILE_SIZE edge blocks. Param surface: the pinned
+    face equals the explicit parameterized call, and an owner-scoped
+    call equals the face filtered to that owner."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.range_tree import (
+        q2_range_tree_topl,
+        serve_q2_key_tree,
+        serve_range_tree,
+    )
+
+    tiles = serve_q2_key_tree(spark, SF_SMOKE)
+    max_level = int(tiles.agg(F.max("level")).collect()[0][0])
+    mb = int(
+        serve_range_tree(spark, SF_SMOKE).agg(F.max("max_block")).collect()[0][0]
+    )
+    b_min, b_max = mb // 5, mb * 4 // 5
+    cover, edges = tile_cover(b_min, b_max, max_level)
+    assert len(cover) <= 2 * (max_level + 1)
+    assert sum(hi - lo for lo, hi in edges) < 2 * TILE_SIZE
+
+    face = q2_range_tree_topl(spark, SF_SMOKE).toPandas()
+    explicit = q2_range_tree_topl(
+        spark, SF_SMOKE, b_min=b_min, b_max=b_max
+    ).toPandas()
+    key = ["owner", "pos", "token_id", "b_min", "b_max"]
+    assert sorted(map(tuple, face[key].values.tolist())) == sorted(
+        map(tuple, explicit[key].values.tolist())
+    )
+    an_owner = int(face["owner"].iloc[0])
+    scoped = q2_range_tree_topl(spark, SF_SMOKE, owner=an_owner).toPandas()
+    want = face[face["owner"] == an_owner]
+    assert sorted(map(tuple, scoped[key].values.tolist())) == sorted(
+        map(tuple, want[key].values.tolist())
+    )
+
+
+def test_q2_face_equals_direct_recompute(spark):
+    """The tile path must reveal exactly the keys a full range scan
+    would (in-repo pin; the oracle proves it vs DuckDB)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.range_tree import q2_range_tree_topl
+
+    face = q2_range_tree_topl(spark, SF_SMOKE)
+    row = face.limit(1).collect()[0]
+    b_min, b_max = row["b_min"], row["b_max"]
+    tok = F.get_json_object("props", "$.k").cast("long")
+    w = Window.partitionBy("owner").orderBy("token_id")
+    ref = (
+        load_events(spark, SF_SMOKE)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") >= b_min)
+            & (F.col("event_id") < b_max)
+        )
+        .select(F.col("user_id").alias("owner"), tok.alias("token_id"))
+        .filter(F.col("token_id").isNotNull())
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .select("owner", "pos", "token_id")
+    ).toPandas()
+    got = face.select("owner", "pos", "token_id").toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, ref.values.tolist())
+    )
+
+
+def test_q2_reveal_bound_is_baked(spark):
+    """Asking for more than the tree's baked L must fail loudly (the
+    circuit-setup analog), not silently under-reveal."""
+    import pytest
+
+    from euclid_spark.operators.range_tree import Q2_L, q2_range_tree_topl
+
+    with pytest.raises(ValueError, match="reveal bound"):
+        q2_range_tree_topl(spark, SF_SMOKE, L=Q2_L + 1)
+    # smaller L is a valid narrowing of the same tiles
+    small = q2_range_tree_topl(spark, SF_SMOKE, L=2)
+    assert small.agg(F.max("pos")).collect()[0][0] <= 2
