@@ -795,8 +795,204 @@ def _oracle_erc20_batch() -> str:
     """
 
 
+# --- the VERIFIER side: check a served response against the commitment -------
+#
+# The reference ships the verifier as a first-class deliverable
+# (groth16-framework/src/verifier/, exercised by groth16-framework/tests):
+# given a response + public inputs, CHECK it against the commitment —
+# the consumer's half of the verifiable-database story. Here the check
+# is executable arithmetic instead of a pairing equation: re-derive each
+# revealed row's leaf hash from its claimed entry, refold it along the
+# opening path to the claimed root (a column-expression sha2 fold), and
+# verify the (min_block, max_block, range_digest) provenance binding
+# against an independently recomputed range scan. Every step is pure
+# column expressions — the verifier is itself a distributed query and
+# costs O(revealed rows · path length), independent of corpus size.
+
+
+def _refold_to_root(leaf: F.Column, path: F.Column) -> F.Column:
+    """Fold a leaf hash along its serialized opening path
+    ("<level><side>:<hex>/…", levels ascending — merkle_opening_paths'
+    wire format): side R concatenates the sibling on the right, L on the
+    left. Empty path (single-leaf group) returns the leaf unchanged —
+    promotion-as-identity, exactly how the builder emits it."""
+    steps = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+
+    def one(acc: F.Column, s: F.Column) -> F.Column:
+        parts = F.split(s, ":")
+        side = F.substring(parts.getItem(0), -1, 1)
+        sib = parts.getItem(1)
+        return F.when(side == "R", F.sha2(F.concat(acc, sib), 256)).otherwise(
+            F.sha2(F.concat(sib, acc), 256)
+        )
+
+    return F.aggregate(steps, leaf, one)
+
+
+def _serve_q2_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20's response as a served artifact — the prover PUBLISHES a
+    response once; verifiers consume the published rows (the
+    groth16-framework tests' fixture shape)."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="q2_response"
+    )
+    return artifacts.serve_frame(
+        spark, "q2_response", fp,
+        lambda: verifiable_query_response(spark, sf_dir),
+    )
+
+
+def _serve_erc20_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from euclid_spark import artifacts
+
+    return artifacts.serve_frame(
+        spark,
+        "erc20_response",
+        _erc20_fp(sf_dir),
+        lambda: erc20_verifiable_response(spark, sf_dir),
+    )
+
+
+def verify_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 — VERIFY the served A20 response: per revealed row,
+    (1) leaf_ok: the leaf hash re-derives from the claimed token_id,
+    (2) root_ok: the opening path refolds to the claimed root,
+    (3) binding_ok: the provenance public inputs match an independent
+    recompute of the range metadata. `valid` = all three — the verdict
+    a response consumer acts on. Tampering any byte of a leaf, path,
+    root, or binding flips the verdict (negative-tested)."""
+    from euclid_spark.operators.euclid import _range_provenance
+
+    resp = _serve_q2_response(spark, sf_dir)
+    prov = _range_provenance(spark, sf_dir).select(
+        F.col("min_block").alias("e_min"),
+        F.col("max_block").alias("e_max"),
+        F.col("range_digest").alias("e_dig"),
+    )
+    leaf_ok = F.sha2(F.col("token_id").cast("string"), 256) == F.col("leaf_hash")
+    root_ok = _refold_to_root(F.col("leaf_hash"), F.col("path")) == F.col("root")
+    binding_ok = (
+        (F.col("min_block") == F.col("e_min"))
+        & (F.col("max_block") == F.col("e_max"))
+        & (F.col("range_digest") == F.col("e_dig"))
+    )
+    return (
+        resp.crossJoin(F.broadcast(prov))
+        .withColumn("leaf_ok", leaf_ok)
+        .withColumn("root_ok", root_ok)
+        .withColumn("binding_ok", binding_ok)
+        .select(
+            "token_id",
+            "leaf_pos",
+            "leaf_ok",
+            "root_ok",
+            "binding_ok",
+            (F.col("leaf_ok") & F.col("root_ok") & F.col("binding_ok"))
+            .alias("valid"),
+        )
+    )
+
+
+def verify_erc20_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 — VERIFY the served A23 ERC-20 response: leaf binds
+    (event_id, entry_reward_hex), path refolds to the owner's root,
+    provenance + rewards_rate public inputs match the recompute
+    (query_erc20's verifier checks exactly these public inputs —
+    public_inputs.rs:89-160)."""
+    from euclid_spark.operators.euclid import REWARDS_RATE, _range_provenance
+
+    resp = _serve_erc20_response(spark, sf_dir)
+    prov = _range_provenance(spark, sf_dir).select(
+        F.col("min_block").alias("e_min"),
+        F.col("max_block").alias("e_max"),
+        F.col("range_digest").alias("e_dig"),
+    )
+    leaf_ok = (
+        F.sha2(
+            F.concat_ws(
+                ":", F.col("event_id").cast("string"), "entry_reward_hex"
+            ),
+            256,
+        )
+        == F.col("leaf_hash")
+    )
+    root_ok = _refold_to_root(F.col("leaf_hash"), F.col("path")) == F.col("root")
+    binding_ok = (
+        (F.col("min_block") == F.col("e_min"))
+        & (F.col("max_block") == F.col("e_max"))
+        & (F.col("range_digest") == F.col("e_dig"))
+        & (F.col("rewards_rate") == F.lit(REWARDS_RATE))
+    )
+    return (
+        resp.crossJoin(F.broadcast(prov))
+        .withColumn("leaf_ok", leaf_ok)
+        .withColumn("root_ok", root_ok)
+        .withColumn("binding_ok", binding_ok)
+        .select(
+            "event_id",
+            "leaf_pos",
+            "leaf_ok",
+            "root_ok",
+            "binding_ok",
+            (F.col("leaf_ok") & F.col("root_ok") & F.col("binding_ok"))
+            .alias("valid"),
+        )
+    )
+
+
+_REFOLD_SQL = """list_reduce(
+    list_prepend({leaf}, list_filter(str_split({path}, '/'), s -> s <> '')),
+    (acc, s) -> CASE WHEN right(split_part(s, ':', 1), 1) = 'R'
+                     THEN sha256(acc || split_part(s, ':', 2))
+                     ELSE sha256(split_part(s, ':', 2) || acc) END)"""
+
+
+def _oracle_verify_response() -> str:
+    from euclid_spark.operators import euclid as _e
+
+    refold = _REFOLD_SQL.format(leaf="r.leaf_hash", path="r.path")
+    return f"""
+        SELECT token_id, leaf_pos, leaf_ok, root_ok, binding_ok,
+               (leaf_ok AND root_ok AND binding_ok) AS valid
+        FROM (
+          SELECT r.token_id, r.leaf_pos,
+                 (sha256(r.token_id::VARCHAR) = r.leaf_hash) AS leaf_ok,
+                 ({refold} = r.root) AS root_ok,
+                 (r.min_block = p.min_block AND r.max_block = p.max_block
+                  AND r.range_digest = p.range_digest) AS binding_ok
+          FROM ({_oracle_verifiable_response()}) r
+          CROSS JOIN ({_e._PROV_SQL}) p
+        )
+    """
+
+
+def _oracle_verify_erc20_response() -> str:
+    from euclid_spark.operators import euclid as _e
+
+    refold = _REFOLD_SQL.format(leaf="r.leaf_hash", path="r.path")
+    return f"""
+        SELECT event_id, leaf_pos, leaf_ok, root_ok, binding_ok,
+               (leaf_ok AND root_ok AND binding_ok) AS valid
+        FROM (
+          SELECT r.event_id, r.leaf_pos,
+                 (sha256(r.event_id::VARCHAR || ':' || r.entry_reward_hex)
+                  = r.leaf_hash) AS leaf_ok,
+                 ({refold} = r.root) AS root_ok,
+                 (r.min_block = p.min_block AND r.max_block = p.max_block
+                  AND r.range_digest = p.range_digest
+                  AND r.rewards_rate = {_e.REWARDS_RATE}) AS binding_ok
+          FROM ({_oracle_erc20_response()}) r
+          CROSS JOIN ({_e._PROV_SQL}) p
+        )
+    """
+
+
 QUERIES = {
     "euclid_merkle_proof": merkle_membership_proof,
+    "euclid_verify_response": verify_response,
+    "euclid_verify_erc20_response": verify_erc20_response,
     "euclid_verifiable_response": verifiable_query_response,
     "euclid_batch_verifiable_responses": batch_verifiable_responses,
     "euclid_erc20_verifiable_response": erc20_verifiable_response,
@@ -805,6 +1001,8 @@ QUERIES = {
 
 ORACLES = {
     "euclid_merkle_proof": _oracle_merkle(),
+    "euclid_verify_response": _oracle_verify_response(),
+    "euclid_verify_erc20_response": _oracle_verify_erc20_response(),
     "euclid_verifiable_response": _oracle_verifiable_response(),
     "euclid_batch_verifiable_responses": _oracle_batch_responses(),
     "euclid_erc20_verifiable_response": _oracle_erc20_response(),

@@ -205,3 +205,90 @@ def test_erc20_batch_responses_refold_per_owner(spark):
     assert all(len(v["roots"]) == 1 for v in by_owner.values())
     assert all(len(v["rewards"]) == 1 for v in by_owner.values())
     assert len({next(iter(v["roots"])) for v in by_owner.values()}) > 1
+
+
+# --- the verifier faces (A27/A28) --------------------------------------------
+
+
+def test_verify_response_all_valid(spark):
+    """The untampered served response must verify TRUE on every check —
+    the gate alone can't see this (it would also match on all-false)."""
+    from euclid_spark.operators.merkle import verify_response
+
+    rows = verify_response(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["leaf_ok"] and r["root_ok"] and r["binding_ok"] for r in rows)
+    assert all(r["valid"] for r in rows)
+
+
+def test_verify_erc20_response_all_valid(spark):
+    from euclid_spark.operators.merkle import verify_erc20_response
+
+    rows = verify_erc20_response(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["valid"] for r in rows)
+
+
+def test_verify_response_rejects_tampering(spark):
+    """Tampering any component of a published response flips the
+    verdict: a forged leaf value breaks leaf_ok, a forged path or root
+    breaks root_ok, forged provenance breaks binding_ok."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.euclid import _range_provenance
+    from euclid_spark.operators.merkle import (
+        _refold_to_root,
+        _serve_q2_response,
+    )
+
+    resp = _serve_q2_response(spark, SF_SMOKE)
+
+    def verdicts(tampered):
+        prov = _range_provenance(spark, SF_SMOKE).select(
+            F.col("min_block").alias("e_min"),
+            F.col("max_block").alias("e_max"),
+            F.col("range_digest").alias("e_dig"),
+        )
+        return (
+            tampered.crossJoin(F.broadcast(prov))
+            .select(
+                (
+                    F.sha2(F.col("token_id").cast("string"), 256)
+                    == F.col("leaf_hash")
+                ).alias("leaf_ok"),
+                (
+                    _refold_to_root(F.col("leaf_hash"), F.col("path"))
+                    == F.col("root")
+                ).alias("root_ok"),
+                (
+                    (F.col("min_block") == F.col("e_min"))
+                    & (F.col("max_block") == F.col("e_max"))
+                    & (F.col("range_digest") == F.col("e_dig"))
+                ).alias("binding_ok"),
+            )
+            .collect()
+        )
+
+    # forged token value: claimed entry no longer hashes to the leaf
+    t1 = verdicts(resp.withColumn("token_id", F.col("token_id") + 1))
+    assert all(not r["leaf_ok"] for r in t1)
+    # forged leaf hash: refold lands on a different root
+    t2 = verdicts(
+        resp.withColumn("leaf_hash", F.sha2(F.lit("forged"), 256))
+    )
+    assert all(not r["root_ok"] for r in t2)
+    # forged path step: first sibling replaced
+    t3 = verdicts(
+        resp.filter(F.col("path") != "").withColumn(
+            "path",
+            F.concat(
+                F.lit("0R:"),
+                F.sha2(F.lit("evil"), 256),
+                F.expr("substring(path, instr(path, '/'))"),
+            ),
+        )
+    )
+    assert all(not r["root_ok"] for r in t3)
+    # forged provenance: binding check fails
+    t4 = verdicts(resp.withColumn("range_digest", F.col("range_digest") + 1))
+    assert all(not r["binding_ok"] for r in t4)
