@@ -1404,85 +1404,148 @@ def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# B55: columns profiled (name, kind) — lineitem's analysis columns.
-# kind pins the min/max STRING format both engines can produce
-# identically: num → decimal(38,6) (fixed 6-digit text, no float-repr
-# divergence), ts → explicit yyyy-MM-dd HH:mm:ss, str → as-is.
+# B55: columns profiled (name, kind, auto distinct mode) — lineitem's
+# analysis columns. kind pins the min/max STRING format both engines can
+# produce identically: num → decimal(38,6) (fixed 6-digit text, no
+# float-repr divergence), ts → explicit yyyy-MM-dd HH:mm:ss, str → as-is.
+# The third field is the `auto` distinct strategy: "sketch" for columns
+# whose cardinality grows with the data (l_extendedprice is ~unique per
+# row — at 100 TB an exact COUNT(DISTINCT) on it shuffles every key),
+# "exact" for the bounded-cardinality columns.
 _PROFILE_COLS = [
-    ("l_quantity", "num"),
-    ("l_extendedprice", "num"),
-    ("l_discount", "num"),
-    ("l_returnflag", "str"),
-    ("l_linestatus", "str"),
-    ("l_shipdate", "ts"),
+    ("l_quantity", "num", "exact"),
+    ("l_extendedprice", "num", "sketch"),
+    ("l_discount", "num", "exact"),
+    ("l_returnflag", "str", "exact"),
+    ("l_linestatus", "str", "exact"),
+    ("l_shipdate", "ts", "exact"),
 ]
 
+# linear-counting bitmap size for the profile's distinct estimates —
+# sized for ~10⁶ distinct keys at full precision (the B48 monoid at a
+# bigger m; still a fixed-size, map-side-combinable structure: ≤ 16384
+# occupied words per column regardless of row count)
+_PROFILE_LC_BITS = 1 << 20
+_PROFILE_LC_WORDS = _PROFILE_LC_BITS // 64
 
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _profile_text(col: F.Column, kind: str) -> F.Column:
+    """The pinned cross-engine text form of a profiled value — used for
+    min/max display AND as the sketch hash input (both engines must
+    produce the identical bytes)."""
+    if kind == "num":
+        return col.cast("decimal(38,6)").cast("string")
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col
+
+
+def _profile_lc_bit(col: F.Column, kind: str) -> F.Column:
+    """The B48 linear-counting bit index, per column kind. Numeric and
+    timestamp columns use PURE INTEGER arithmetic (fixed-point micros /
+    epoch seconds through the digest mix — engine-identical and ~3×
+    cheaper than an md5-over-text pass on the raw rows, which matters
+    on the sketched high-cardinality branch); strings use md5 (their
+    exact branches hash ≤ n_distinct keys, where md5 is free). NULL
+    values map to NULL (excluded from the count). Positive-domain
+    note: the integer path assumes non-negative values (true for every
+    profiled measure; pmod keeps Spark consistent either way)."""
+    from euclid_spark.functions.hashing import DIGEST_PRIME, MIX
+
+    if kind == "num":
+        u = F.floor(col * 1000000).cast("long")
+    elif kind == "ts":
+        u = col.cast("timestamp").cast("long")  # epoch seconds (UTC session)
+    else:
+        return F.when(
+            col.isNotNull(),
+            F.pmod(
+                F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+                F.lit(_PROFILE_LC_BITS),
+            ),
+        )
+    mixed = F.pmod(
+        F.pmod(u, F.lit(DIGEST_PRIME)) * F.lit(MIX), F.lit(DIGEST_PRIME)
+    )
+    return F.when(col.isNotNull(), F.pmod(mixed, F.lit(_PROFILE_LC_BITS)))
+
+
+def _profile_lc_estimate() -> F.Column:
+    """−m·ln(zero_fraction) from an n_set column, rounded to 2 decimals;
+    NULL when saturated or when n_set itself is NULL (exact-mode rows).
+    The `+ 0.0` normalizes IEEE −0.0 → 0.0 on an empty bitmap,
+    identically in the oracle."""
+    m = _PROFILE_LC_BITS
+    zero_frac = (F.lit(m) - F.col("n_set")) / F.lit(m)
+    return F.when(
+        F.col("n_set") < m,
+        F.round(-F.lit(float(m)) * F.log(zero_frac), 2) + F.lit(0.0),
+    )
+
+
+def table_profile(
+    spark: SparkSession, sf_dir: str, distinct_mode: str = "auto"
+) -> DataFrame:
     """B55 — TABLE PROFILING (the ANALYZE-TABLE / data-quality-report
     shape every pipeline runs on ingest): per column, row count, null
-    count, exact distinct count, min/max (as strings — one schema for
-    mixed types), and the numeric mean where applicable. One wide
-    aggregate per column family over a single scan; the exact
-    distincts share the scan via Spark's expand (at 100 TB you'd swap
-    exact COUNT(DISTINCT) for the B48 bitmap/HLL tile — same query
-    shape, sketch column). Output is LONG format (one row per column)
-    so the profile of any table has one stable schema.
+    count, a distinct count, min/max (as strings — one schema for mixed
+    types), and the numeric mean where applicable. Output is LONG
+    format (one row per column) so the profile of any table has one
+    stable schema.
 
-    Determinism: min/max/count are order-independent; mean is
-    ROUND(decimal sum / count) — the q15 rule, no float merge drift.
+    `distinct_mode` picks the per-column distinct strategy (VERDICT r7
+    #4 — the "at 100 TB" note made a real code path):
+      - "exact":  every column gets the exact two-level distinct branch
+                  (the audit mode — what the sketch is tested against);
+      - "sketch": every column gets the B48 linear-counting estimate
+                  only (the 100 TB mode — no per-key shuffle anywhere);
+      - "auto" (default, the gate face): per-column choice from
+        _PROFILE_COLS — bounded-cardinality columns stay exact, the
+        row-scaling column (l_extendedprice, ~unique per row) is
+        sketched, so the profile's cost no longer contains ANY
+        full-width distinct shuffle.
+    Columns report `n_distinct` (exact modes), `distinct_est` (the LC
+    estimate, sketch modes — the oracle replays its exact bit
+    derivation, so the estimate itself is hash-checked) and `d_mode`.
+    The estimate-vs-exact audit (the B51/B52 pairing) runs as a test
+    (tests/test_relational_guards.py): auto's estimate must sit within
+    linear counting's error envelope of exact's count — paying BOTH per
+    query is exactly the cost the mode switch exists to drop.
 
-    Scale shape (r7 rewrite): multi-column exact COUNT(DISTINCT) via
-    Spark's expand multiplied the scan by columns+1 INTO one
-    25-buffer hash aggregate (measured 12 s warm at sf0.1). Instead
-    each column's distinct/null counts are their own two-level
-    aggregate branch on the NATIVE type (columnar pruning reads just
-    that column; map-side combine collapses low-cardinality columns
-    before the shuffle), unioned as one-row summaries; min/max/mean
-    stay in a plain wide agg with no distincts. Warm cost ≈ the one
-    high-cardinality distinct the profile inherently contains
-    (12 → ~4 s warm at sf0.1); at 100 TB you'd swap exact
-    COUNT(DISTINCT) for the B48 bitmap tile — same shape."""
-    cols = [c for c, _ in _PROFILE_COLS]
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+    Determinism: min/max/count order-independent; mean = ROUND(decimal
+    sum / count) (the q15 rule); the sketch is md5 over the pinned text
+    form + integer bit ops + one rounded libm-ln — all hash-checked.
 
-    def as_text(col: F.Column, kind: str) -> F.Column:
-        # format AFTER the min/max — ordering happens on the native
-        # type (a lexicographic min over numeric text would put
-        # "9.0" above "100.0")
-        if kind == "num":
-            return col.cast("decimal(38,6)").cast("string")
-        if kind == "ts":
-            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
-        return col
+    Scale shape: exact branches are two-level aggregates on the NATIVE
+    type (map-side combine collapses low-cardinality columns before the
+    shuffle); sketch branches are ONE bit_or aggregation bounded at
+    m/64 word rows regardless of row count; min/max/mean one wide agg."""
+    if distinct_mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"distinct_mode must be auto|exact|sketch, got {distinct_mode!r}")
+    cols = [(c, kind, auto) for c, kind, auto in _PROFILE_COLS]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        *[c for c, _, _ in cols]
+    )
+
+    as_text = _profile_text
+    modes = {c: (auto if distinct_mode == "auto" else distinct_mode)
+             for c, _, auto in cols}
+    exact_cols = [(c, kind) for c, kind, _ in cols if modes[c] == "exact"]
+    sketch_cols = [(c, kind) for c, kind, _ in cols if modes[c] == "sketch"]
 
     from functools import reduce
 
-    branches = []
-    for c in cols:
-        g = li.groupBy(F.col(c).alias("k")).agg(F.count("*").alias("cnt"))
-        branches.append(
-            g.agg(
-                F.lit(c).alias("column"),
-                # coalesce: SUM over an empty corpus is NULL, the
-                # oracle's COUNT(*) is 0
-                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("k").isNull(), F.col("cnt")).otherwise(
-                            0
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("n_nulls"),
-                F.count(F.when(F.col("k").isNotNull(), 1)).alias(
-                    "n_distinct"
-                ),
-            ).select("column", "n_rows", "n_nulls", "n_distinct")
+    # ONE wide aggregate carries everything row-local: the shared row
+    # count, per-column null counts, min/max (native-type ordering,
+    # pinned text after), decimal means — zero shuffles beyond its own
+    # one-row fold.
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind, _ in cols:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"{c}_nulls")
         )
-    counts = reduce(lambda a, b: a.unionByName(b), branches)
-    aggs = []
-    for c, kind in _PROFILE_COLS:
         aggs += [
             as_text(F.min(F.col(c)), kind).alias(f"{c}_min"),
             as_text(F.max(F.col(c)), kind).alias(f"{c}_max"),
@@ -1497,21 +1560,103 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     wide = li.agg(*aggs)
     rows = []
-    for c, kind in _PROFILE_COLS:
+    for c, kind, _ in cols:
         mean = (
             F.col(f"{c}_mean") if kind == "num" else F.lit(None).cast("double")
         )
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),
+                F.lit(modes[c]).alias("d_mode"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
                 F.col(f"{c}_min").alias("min_s"),
                 F.col(f"{c}_max").alias("max_s"),
                 mean.alias("mean"),
             )
         )
-    extrema = wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
-    return counts.join(extrema, "column").select(
-        "column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s", "mean"
+    skeleton = wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+    # Exact distinct counts: ONE stacked two-level pass for every exact
+    # column together — (column, value) keys collapse map-side to
+    # Σ n_distinct rows (all bounded-cardinality by the mode choice),
+    # one shuffle total instead of one per column. The stacked value is
+    # Spark's native string form (injective per column — only the COUNT
+    # crosses engines, never the encoding).
+    parts = []
+    if exact_cols:
+        stack_args = ", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c, _ in exact_cols
+        )
+        stacked = li.select(
+            F.expr(
+                f"stack({len(exact_cols)}, {stack_args}) AS (col_name, v)"
+            )
+        ).filter(F.col("v").isNotNull())
+        exact_counts = (
+            stacked.groupBy("col_name", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        parts.append(
+            exact_counts.select(
+                F.col("col_name").alias("column"),
+                "n_distinct",
+                F.lit(None).cast("long").alias("n_set"),
+            )
+        )
+    # Sketched columns: the packed-word bit_or monoid straight off the
+    # raw rows (the B48 shape) — map-side combine bounds the shuffle at
+    # ≤ m/64 word rows per partition, NO per-key aggregation on the
+    # column anywhere in the plan: fixed size regardless of row count,
+    # the 100 TB shape.
+    for c, kind in sketch_cols:
+        words = (
+            li.select(_profile_lc_bit(F.col(c), kind).alias("bit"))
+            .filter(F.col("bit").isNotNull())
+            .select(
+                F.floor(F.col("bit") / 64).cast("int").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+                ).alias("w"),
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("w").alias("word"))
+        )
+        parts.append(
+            words.agg(
+                F.lit(c).alias("column"),
+                F.lit(None).cast("long").alias("n_distinct"),
+                F.coalesce(F.sum(F.bit_count("word")), F.lit(0))
+                .cast("long")
+                .alias("n_set"),
+            )
+        )
+    counts = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        skeleton.join(F.broadcast(counts), "column", "left")
+        .withColumn(
+            # an exact column absent from the stacked counts is the
+            # empty-corpus case: its exact distinct is 0, not NULL
+            "n_distinct",
+            F.when(
+                F.col("d_mode") == "exact",
+                F.coalesce(F.col("n_distinct"), F.lit(0)),
+            ),
+        )
+        .withColumn(
+            "n_set",
+            F.when(
+                F.col("d_mode") != "exact",
+                F.coalesce(F.col("n_set"), F.lit(0)),
+            ),
+        )
+        .select(
+            "column", "n_rows", "n_nulls", "d_mode", "n_distinct",
+            _profile_lc_estimate().alias("distinct_est"),
+            "min_s", "max_s", "mean",
+        )
     )
 
 
@@ -2196,10 +2341,19 @@ ORACLES["rel_cohort_retention"] = """
 def _profile_sql() -> str:
     """B55 oracle: one SELECT per profiled column, UNION ALL into the
     same long format; min/max formatted AFTER aggregation with the
-    same pinned representations (decimal(38,6) text / strftime)."""
+    same pinned representations (decimal(38,6) text / strftime); the
+    LC distinct estimate replays the identical bit derivation
+    (integer fixed-point/epoch mix for num/ts, md5 for str)."""
+    from euclid_spark.functions.hashing import DIGEST_PRIME, MIX
+
+    m = _PROFILE_LC_BITS
     parts = []
-    for c, kind in _PROFILE_COLS:
+    for c, kind, auto in _PROFILE_COLS:
         if kind == "num":
+            bit = (
+                f"((CAST(FLOOR({c} * 1000000) AS BIGINT) % {DIGEST_PRIME})"
+                f" * {MIX}) % {DIGEST_PRIME} % {m}"
+            )
             mn = f"CAST(CAST(MIN({c}) AS DECIMAL(38,6)) AS VARCHAR)"
             mx = f"CAST(CAST(MAX({c}) AS DECIMAL(38,6)) AS VARCHAR)"
             mean = (
@@ -2207,21 +2361,50 @@ def _profile_sql() -> str:
                 f" 6) AS DOUBLE)"
             )
         elif kind == "ts":
+            bit = (
+                f"((CAST(epoch({c}) AS BIGINT) % {DIGEST_PRIME})"
+                f" * {MIX}) % {DIGEST_PRIME} % {m}"
+            )
             mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
             mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
             mean = "CAST(NULL AS DOUBLE)"
         else:
+            bit = f"CAST('0x' || substr(md5({c}), 1, 8) AS BIGINT) % {m}"
             mn, mx = f"MIN({c})", f"MAX({c})"
             mean = "CAST(NULL AS DOUBLE)"
+        nd = (
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT)"
+            if auto == "exact"
+            else "CAST(NULL AS BIGINT)"
+        )
+        # both arms aggregate: the one-row shape must hold even on an
+        # empty corpus (MIN over zero rows is one NULL row)
+        ns = (
+            f"CAST(COUNT(DISTINCT {bit}) AS BIGINT)"
+            if auto != "exact"
+            else "MIN(CAST(NULL AS BIGINT))"
+        )
         parts.append(f"""
-            SELECT '{c}' AS "column",
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_nulls,
-                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-                   {mn} AS min_s, {mx} AS max_s,
-                   {mean} AS mean
-            FROM lineitem""")
+            SELECT '{c}' AS "column", s.n_rows, s.n_nulls,
+                   '{auto}' AS d_mode, s.n_distinct,
+                   CASE WHEN b.n_set < {m}
+                        THEN ROUND(-{float(m)!r}
+                                   * ln(({m} - b.n_set) * 1.0 / {m}), 2)
+                             + 0.0
+                   END AS distinct_est,
+                   s.min_s, s.max_s, s.mean
+            FROM (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_nulls,
+                     {nd} AS n_distinct,
+                     {mn} AS min_s, {mx} AS max_s,
+                     {mean} AS mean
+              FROM lineitem
+            ) s CROSS JOIN (
+              SELECT {ns} AS n_set
+              FROM lineitem WHERE {c} IS NOT NULL
+            ) b""")
     return " UNION ALL ".join(parts)
 
 
