@@ -818,6 +818,50 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------ C35: data card
+def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc QUALITY-SIGNAL table as ONE served artifact
+    (VERDICT r7 #6 — the C51/repetition-verdict pattern applied to the
+    row-local scorers): doc_id, labels, whitespace token count, quality
+    score, predicted language, PII flag, normalized-text md5 — built in
+    one pass per corpus version, then every audit query (C35 data card,
+    C52 confusion matrix) is a join/aggregate over the stored columns
+    instead of re-running the scorers. This is how a production
+    pipeline stores signals beside the corpus; at 100 TB the build is
+    the ingest job and the consumers never touch the text."""
+    from euclid_spark import artifacts
+    from euclid_spark.functions.text import normalized_text
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="doc_signals"
+    )
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        base = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(normalized_text("text")).alias("norm_md5"),
+        )
+        tok = text_token_count(spark, sf_dir).select("doc_id", "n_ws_tokens")
+        qual = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+        pred = text_lang_id(spark, sf_dir).select("doc_id", "predicted")
+        pii = text_pii_redact(spark, sf_dir).select(
+            "doc_id",
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_idrun") > 0).alias(
+                "has_pii"
+            ),
+        )
+        return (
+            base.join(tok, "doc_id")
+            .join(qual, "doc_id")
+            .join(pred, "doc_id")
+            .join(pii, "doc_id")
+        )
+
+    return artifacts.serve_frame(spark, "doc_signals", fp, build)
+
+
 def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35 — the per-(source, lang) CORPUS DATA CARD: the statistics
     report every released training corpus ships (public practice:
@@ -826,34 +870,23 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate rate, PII incidence, repetition-rule failures, all
     per stratum in one table.
 
-    Composition (the C25/C32 pattern applied to profiling): the
-    row-local signal stages (C7 tokens, C8 quality, C18 PII) join the
-    corpus on doc_id — one shuffle key — plus the exact-dup count on
-    the normalized-md5 key (C1's shape); the final rollup is ONE
-    (source, lang) hash aggregate. Exact median via `percentile`
-    (interpolating — matches DuckDB quantile_cont, the B25 parity)."""
-    from euclid_spark.functions.text import normalized_text
-
-    docs = _docs(spark, sf_dir)
-    tok = text_token_count(spark, sf_dir).select("doc_id", "n_ws_tokens")
-    qual = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    Composition (the C25/C32 pattern applied to profiling): ALL the
+    row-local signals (C7 tokens, C8 quality, C18 PII, the dup md5)
+    come from the SERVED doc_signals artifact — no scorer re-runs —
+    joined with the served repetition verdicts on doc_id; the exact-dup
+    count is one two-level aggregate on the stored md5; the final
+    rollup is ONE (source, lang) hash aggregate. Exact median via
+    `percentile` (interpolating — matches DuckDB quantile_cont, the
+    B25 parity)."""
+    sig = doc_signals(spark, sf_dir)
     rep = text_repetition_filter(spark, sf_dir).select("doc_id", "keep")
-    pii = text_pii_redact(spark, sf_dir).select(
-        "doc_id",
-        (F.col("n_email") + F.col("n_ipv4") + F.col("n_idrun") > 0).alias(
-            "has_pii"
-        ),
+    mc = sig.groupBy(F.col("norm_md5").alias("m")).agg(
+        F.count("*").alias("copies")
     )
-    md = docs.select("doc_id", F.md5(normalized_text("text")).alias("m"))
-    mc = md.groupBy("m").agg(F.count("*").alias("copies"))
-    dup = md.join(mc, "m").select("doc_id", (F.col("copies") > 1).alias("is_dup"))
     return (
-        docs.select("doc_id", "lang", "source")
-        .join(tok, "doc_id")
-        .join(qual, "doc_id")
+        sig.join(mc, sig.norm_md5 == mc.m)
+        .withColumn("is_dup", F.col("copies") > 1)
         .join(rep, "doc_id")
-        .join(pii, "doc_id")
-        .join(dup, "doc_id")
         .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -861,7 +894,15 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(n_ws_tokens, 0.5)"), 4).alias(
                 "median_tokens"
             ),
-            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            # decimal accumulation (the q15/B57 rule): per-doc quality
+            # is 4dp-rounded, so the sum is exact and order-independent;
+            # ONE double division then round — float avg drifted a ulp
+            # once the artifact changed the merge order (caught at sf0.1)
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count("quality"),
+                6,
+            ).alias("mean_quality"),
             F.sum(F.col("is_dup").cast("long")).alias("n_exact_dup"),
             F.sum(F.col("has_pii").cast("long")).alias("n_pii_docs"),
             F.sum((~F.col("keep")).cast("long")).alias("n_rep_flagged"),
@@ -1496,7 +1537,8 @@ ORACLES["text_data_card"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tok.n_ws_tokens) AS BIGINT) AS total_tokens,
            ROUND(quantile_cont(tok.n_ws_tokens, 0.5), 4) AS median_tokens,
-           ROUND(AVG(qual.quality), 6) AS mean_quality,
+           ROUND(CAST(SUM(CAST(qual.quality AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(qual.quality), 6) AS mean_quality,
            CAST(SUM(CASE WHEN mc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_exact_dup,
            CAST(SUM(CASE WHEN pii.n_email + pii.n_ipv4 + pii.n_idrun > 0
@@ -1564,10 +1606,11 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's labeled lang column — the model-evaluation audit every
     heuristic classifier in the pipeline needs (which languages it
     confuses tells you which marker lists to grow; per-cell counts and
-    per-true-lang recall are the reviewable deliverable). Pure
-    composition: C9's row-local scorer + one (true, predicted)
-    aggregate; recall denominator via a window over the same key."""
-    pred = text_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted")
+    per-true-lang recall are the reviewable deliverable). Reads the
+    SERVED doc_signals artifact (C9's stored predictions — no scorer
+    re-run, VERDICT r7 #6); one (true, predicted) aggregate; recall
+    denominator via a window over the same key."""
+    pred = doc_signals(spark, sf_dir).select("doc_id", "lang", "predicted")
     cells = pred.groupBy(
         F.col("lang").alias("true_lang"),
         F.col("predicted").alias("pred_lang"),
