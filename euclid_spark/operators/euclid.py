@@ -41,11 +41,18 @@ def _token_id() -> F.Column:
     return F.get_json_object("props", "$.k").cast("long")
 
 
-def _range(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _range(
+    spark: SparkSession,
+    sf_dir: str,
+    t_min: "str | None" = None,
+    t_max: "str | None" = None,
+) -> DataFrame:
     # Range predicate on the raw int64 ns column (inside load_events): at
     # scale this is the partition/row-group-pruning filter — the analog of
-    # opening only the block-range subtree of the block DB.
-    return load_events(spark, sf_dir, T_MIN, T_MAX)
+    # opening only the block-range subtree of the block DB. t_min/t_max
+    # default to the pinned gate range (the parameterized public API's
+    # pinned instantiation).
+    return load_events(spark, sf_dir, t_min or T_MIN, t_max or T_MAX)
 
 
 def block_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,25 +70,41 @@ def block_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q2_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q2_distinct_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    t_min: "str | None" = None,
+    t_max: "str | None" = None,
+    owner: "int | None" = None,
+) -> DataFrame:
     """A2 — Query2 semantics (query2/revelation): the DISTINCT set of
     mapping keys seen for each owner across the block range. Set-union is
     the aggregation monoid, exactly as the circuit unions NFT-id sets up
-    the (storage × block) tree."""
-    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    the (storage × block) tree. Public parameterized surface
+    (t_min, t_max, owner) — defaults are the pinned gate face."""
+    ev = _range(spark, sf_dir, t_min, t_max).filter(
+        F.col("event_type") == "purchase"
+    )
+    if owner is not None:
+        ev = ev.filter(F.col("user_id") == owner)
     return ev.select(
         F.col("user_id").alias("owner"), _token_id().alias("token_id")
     ).distinct()
 
 
-def _range_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _range_provenance(
+    spark: SparkSession,
+    sf_dir: str,
+    t_min: "str | None" = None,
+    t_max: "str | None" = None,
+) -> DataFrame:
     """Provenance binding for revelation results: the block range actually
     covered plus the digest of the scanned range — the Spark analog of the
     revelation public inputs exposing (min_block, max_block, block-DB
     commitment) with every result set (query2/revelation/mod.rs:60-104,
     revelation/public_inputs.rs). One-row aggregate over the same pruned
     scan the query reads — broadcast onto results for free."""
-    ev = _range(spark, sf_dir)
+    ev = _range(spark, sf_dir, t_min, t_max)
     term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
     return ev.agg(
         F.min("event_id").alias("min_block"),
@@ -90,34 +113,58 @@ def _range_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q2_revelation_topl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q2_revelation_topl(
+    spark: SparkSession,
+    sf_dir: str,
+    owner: "int | None" = None,
+    t_min: "str | None" = None,
+    t_max: "str | None" = None,
+    L: "int | None" = None,
+) -> DataFrame:
     """A3 — revelation step: one owner, bounded to L results in canonical
     key order (RevelationInput sorts mapping keys; revelation/mod.rs:70).
     ORDER BY + LIMIT compiles to TakeOrderedAndProject — no global sort.
     NULL keys are excluded (consistent with A11/A12; Spark sorts NULLS
     FIRST vs DuckDB NULLS LAST, so an unfiltered NULL would silently skew
-    the top-L set). Every result row carries the provenance columns."""
+    the top-L set). Every result row carries the provenance columns.
+    Public parameterized surface (owner, t_min, t_max, L) — defaults are
+    the pinned gate face, exactly like the reference's RevelationInput
+    takes (contract, owner, range) per query."""
+    owner = OWNER if owner is None else int(owner)
+    L = TOP_L if L is None else int(L)
     top = (
-        q2_distinct_keys(spark, sf_dir)
-        .filter(F.col("owner") == OWNER)
+        q2_distinct_keys(spark, sf_dir, t_min, t_max, owner=owner)
         .filter(F.col("token_id").isNotNull())
         .select("token_id")
         .orderBy("token_id")
-        .limit(TOP_L)
+        .limit(L)
     )
-    return top.crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
+    return top.crossJoin(
+        F.broadcast(_range_provenance(spark, sf_dir, t_min, t_max))
+    )
 
 
-def erc20_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def erc20_weighted_sum(
+    spark: SparkSession,
+    sf_dir: str,
+    t_min: "str | None" = None,
+    t_max: "str | None" = None,
+    rewards_rate: "int | None" = None,
+) -> DataFrame:
     """A4 — query_erc20: per entry compute value * rewards_rate / supply
     with an explicit zero-supply guard (query_erc20/storage/leaf.rs:88-106
     multiplies then guards overflow/div-by-zero), then SUM over the block
-    range per owner. Single scan, map-side partial sums."""
-    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    range per owner. Single scan, map-side partial sums. Public
+    parameterized surface (t_min, t_max, rewards_rate) — the rate is a
+    per-query public input in the reference (public_inputs.rs)."""
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    ev = _range(spark, sf_dir, t_min, t_max).filter(
+        F.col("event_type") == "purchase"
+    )
     supply = _token_id()  # per-row divisor analog (may be 0 or NULL)
     term = (
         F.when(supply.isNull() | (supply == 0), F.lit(0.0))
-        .otherwise(F.col("value") * F.lit(REWARDS_RATE) / supply)
+        .otherwise(F.col("value") * F.lit(rate) / supply)
     )
     return (
         ev.groupBy(F.col("user_id").alias("owner"))
@@ -302,7 +349,9 @@ def mapping_extract_keccak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("mpt_key", keccak256_hex(F.unhex(F.col("location"))))
 
 
-def erc20_leaf_rows(ev: DataFrame) -> DataFrame:
+def erc20_leaf_rows(
+    ev: DataFrame, rewards_rate: "int | None" = None
+) -> DataFrame:
     """The `query_erc20/storage/leaf.rs:88-106` circuit applied to an
     ALREADY-FILTERED purchase-entry frame: (owner, event_id, l0..l3,
     zs, of) where (l3..l0) are the 64-bit limbs of
@@ -324,9 +373,11 @@ def erc20_leaf_rows(ev: DataFrame) -> DataFrame:
 
     # nb: no type annotations — `from __future__ import annotations`
     # stringifies them and pandas_udf's signature inspection rejects that
+    rate_val = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+
     @pandas_udf(LEAF_SCHEMA)
     def _leaf(scaled, event_id, supply):
-        rate = REWARDS_RATE
+        rate = rate_val
         m64 = (1 << 64) - 1
         out = {k: [] for k in ("l0", "l1", "l2", "l3", "zs", "of")}
         for s, e, d in zip(scaled, event_id, supply):
@@ -357,16 +408,24 @@ def erc20_leaf_rows(ev: DataFrame) -> DataFrame:
     )
 
 
-def erc20_entry_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def erc20_entry_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+) -> DataFrame:
     """Per-entry ERC-20 u256 leaf rewards over the in-range purchase
     scan — shared leaf stage of A13 (which limb-sums it per owner) and
     the ERC-20 verifiable response (which commits the entries to a
     Merkle tree; operators/merkle.py)."""
     ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    return erc20_leaf_rows(ev)
+    return erc20_leaf_rows(ev, rewards_rate)
 
 
-def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
+def erc20_weighted_sum_u256(
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+) -> DataFrame:
     """A4u — the ERC-20 query in FULL 256-bit integer arithmetic, matching
     query_erc20/storage/leaf.rs:88-106 exactly: per entry compute
     ⌊balance · rewards_rate / supply⌋ with the circuit's two guards (mul
@@ -408,7 +467,9 @@ def erc20_weighted_sum_u256(spark: SparkSession, sf_dir: str) -> DataFrame:
         erc20_entry_leaves,
     )
 
-    return _owner_rewards_from_leaves(erc20_entry_leaves(spark, sf_dir))
+    return _owner_rewards_from_leaves(
+        erc20_entry_leaves(spark, sf_dir, rewards_rate)
+    )
 
 
 def block_linking(spark: SparkSession, sf_dir: str) -> DataFrame:

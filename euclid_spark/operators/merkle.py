@@ -343,7 +343,12 @@ def _oracle_merkle(levels: int = LEVELS) -> str:
     return merkle_proof_sql(_CUSTOMER_L0, "c_custkey", levels)
 
 
-def verifiable_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+def verifiable_query_response(
+    spark: SparkSession,
+    sf_dir: str,
+    owner: "int | None" = None,
+    L: "int | None" = None,
+) -> DataFrame:
     """A20 — the END DELIVERABLE of the reference's query phase, as one
     row set: a VERIFIABLE QUERY RESPONSE (what the groth16 final proof
     carries — query result + the public inputs binding it to the data
@@ -368,19 +373,21 @@ def verifiable_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         OWNER,
         TOP_L,
         _range_provenance,
-        q2_distinct_keys,
     )
 
+    owner = OWNER if owner is None else int(owner)
+    L = TOP_L if L is None else int(L)
     # the single-owner response is a FILTER of the all-owner tree
     # artifact (A21's store): same leaf numbering, same per-owner
-    # subtree, so the served tree answers both faces
+    # subtree, so the served tree answers both faces — and any
+    # (owner, L) parameterization reads the same stored tree
     leaves, nodes, depth = _owner_token_tree(spark, sf_dir)
-    owner_leaves = leaves.filter(F.col("group_key") == OWNER)
-    owner_nodes = nodes.filter(F.col("group_key") == OWNER)
+    owner_leaves = leaves.filter(F.col("group_key") == owner)
+    owner_nodes = nodes.filter(F.col("group_key") == owner)
     paths = merkle_opening_paths(
         owner_leaves, entry_cols=["token_id"], nodes=owner_nodes, depth=depth
     )
-    revealed = paths.orderBy("token_id").limit(TOP_L)
+    revealed = paths.orderBy("token_id").limit(L)
     return revealed.crossJoin(
         F.broadcast(_range_provenance(spark, sf_dir))
     ).select(
@@ -457,7 +464,11 @@ def _owner_token_tree(spark: SparkSession, sf_dir: str):
     return leaves, nodes, depth
 
 
-def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+def batch_verifiable_responses(
+    spark: SparkSession,
+    sf_dir: str,
+    L: "int | None" = None,
+) -> DataFrame:
     """A21 — A20 batched over EVERY owner (the A12 ⇄ A20 composition):
     one query emits, for all owners at once, the canonical-order top-L
     revealed tokens each carrying its opening path to that OWNER'S OWN
@@ -474,18 +485,14 @@ def batch_verifiable_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISK ARTIFACT like the customer tree: the reference STORES its
     state DB and answers proofs as lookups (mrp2-utils/src/
     merkle_tree/mod.rs); only the path join runs live."""
-    from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import (
-        TOP_L,
-        _range_provenance,
-        q2_distinct_keys,
-    )
+    from euclid_spark.operators.euclid import TOP_L, _range_provenance
 
+    L = TOP_L if L is None else int(L)
     leaves, nodes, depth = _owner_token_tree(spark, sf_dir)
     paths = merkle_opening_paths(
         leaves, entry_cols=["token_id"], nodes=nodes, depth=depth
     )
-    revealed = paths.filter(F.col("leaf_pos") < TOP_L)
+    revealed = paths.filter(F.col("leaf_pos") < L)
     return revealed.crossJoin(
         F.broadcast(_range_provenance(spark, sf_dir))
     ).select(
@@ -524,15 +531,23 @@ def _oracle_batch_responses() -> str:
     """
 
 
-def _erc20_fp(sf_dir: str) -> str:
+def _erc20_fp(sf_dir: str, rewards_rate: "int | None" = None) -> str:
     from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import REWARDS_RATE
 
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    # the rate is baked into the leaf rewards (exactly as the reference
+    # bakes it into the leaf proofs), so each rate keys its own artifact
     return artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2
+        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2, rate=rate
     )
 
 
-def erc20_entry_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+def erc20_entry_leaves(
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+) -> DataFrame:
     """The per-owner ERC-20 CONTRIBUTING-ENTRY leaf table as a
     fingerprint-keyed DISK ARTIFACT. Each leaf commits one in-range
     purchase entry of its owner: sha256(event_id ':' entry_reward_hex),
@@ -549,7 +564,7 @@ def erc20_entry_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark.operators.euclid import erc20_entry_rows
 
     def build_leaves() -> DataFrame:
-        rows = erc20_entry_rows(spark, sf_dir)
+        rows = erc20_entry_rows(spark, sf_dir, rewards_rate)
         entry_hex = u256_to_hex(
             (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
         )
@@ -572,20 +587,25 @@ def erc20_entry_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return artifacts.serve_frame(
-        spark, "erc20_entry_leaves", _erc20_fp(sf_dir), build_leaves
+        spark, "erc20_entry_leaves", _erc20_fp(sf_dir, rewards_rate),
+        build_leaves,
     )
 
 
-def _erc20_entry_tree(spark: SparkSession, sf_dir: str):
+def _erc20_entry_tree(
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+):
     """Leaves + all tree levels (the query_erc20 twin of
     _owner_token_tree). Returns (leaves, nodes, depth)."""
     from euclid_spark import artifacts
 
-    leaves = erc20_entry_leaves(spark, sf_dir)
+    leaves = erc20_entry_leaves(spark, sf_dir, rewards_rate)
     nodes = artifacts.serve_frame(
         spark,
         "erc20_entry_nodes",
-        _erc20_fp(sf_dir),
+        _erc20_fp(sf_dir, rewards_rate),
         lambda: merkle_levels(
             persist_tracked(leaves).select("group_key", "pos", "node_hash")
         )[0],
@@ -626,7 +646,13 @@ def _owner_rewards_from_leaves(leaves: DataFrame) -> DataFrame:
     )
 
 
-def erc20_verifiable_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+def erc20_verifiable_response(
+    spark: SparkSession,
+    sf_dir: str,
+    owner: "int | None" = None,
+    L: "int | None" = None,
+    rewards_rate: "int | None" = None,
+) -> DataFrame:
     """A23 — the ERC-20 VERIFIABLE RESPONSE, the A20 twin for the
     reference's second query family (query_erc20/revelation/{mod.rs,
     circuit.rs}; public_inputs.rs:89-160 exposes block range,
@@ -655,16 +681,19 @@ def erc20_verifiable_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         _range_provenance,
     )
 
-    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir)
-    owner_leaves = leaves.filter(F.col("group_key") == OWNER)
+    owner = OWNER if owner is None else int(owner)
+    L = TOP_L if L is None else int(L)
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir, rewards_rate)
+    owner_leaves = leaves.filter(F.col("group_key") == owner)
     paths = merkle_opening_paths(
         owner_leaves.drop("zs", "of"),
         entry_cols=["event_id", "entry_reward_hex"],
-        nodes=nodes.filter(F.col("group_key") == OWNER),
+        nodes=nodes.filter(F.col("group_key") == owner),
         depth=depth,
     )
     # leaf numbering IS the canonical (block-order) rank — no window
-    revealed = paths.filter(F.col("leaf_pos") < TOP_L)
+    revealed = paths.filter(F.col("leaf_pos") < L)
     reward = _owner_rewards_from_leaves(owner_leaves).drop("owner")
     return (
         revealed.crossJoin(F.broadcast(reward))
@@ -682,13 +711,16 @@ def erc20_verifiable_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_block",
             "max_block",
             "range_digest",
-            F.lit(REWARDS_RATE).alias("rewards_rate"),
+            F.lit(rate).alias("rewards_rate"),
         )
     )
 
 
 def erc20_batch_verifiable_responses(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    L: "int | None" = None,
+    rewards_rate: "int | None" = None,
 ) -> DataFrame:
     """A24 — A23 batched over EVERY owner (the A21 shape on the ERC-20
     family): per owner, the first-L contributing entries in block order
@@ -702,12 +734,14 @@ def erc20_batch_verifiable_responses(
         _range_provenance,
     )
 
-    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir)
+    L = TOP_L if L is None else int(L)
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir, rewards_rate)
     paths = merkle_opening_paths(
         leaves.drop("zs", "of"), entry_cols=["event_id", "entry_reward_hex"],
         nodes=nodes, depth=depth,
     )
-    revealed = paths.filter(F.col("leaf_pos") < TOP_L)
+    revealed = paths.filter(F.col("leaf_pos") < L)
     rewards = _owner_rewards_from_leaves(leaves)
     return (
         revealed.join(
@@ -728,7 +762,7 @@ def erc20_batch_verifiable_responses(
             "min_block",
             "max_block",
             "range_digest",
-            F.lit(REWARDS_RATE).alias("rewards_rate"),
+            F.lit(rate).alias("rewards_rate"),
         )
     )
 

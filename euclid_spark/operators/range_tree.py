@@ -151,11 +151,18 @@ def tile_cover(
     return tiles, edges
 
 
-def range_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def range_tree_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    b_min: "int | None" = None,
+    b_max: "int | None" = None,
+) -> DataFrame:
     """A25 — the O(log-range) block-range aggregate: count, exact value
     total, block bounds, and range digest for `[B_min, B_max)` answered
-    from the tile cover + two edge scans. B_min/B_max are the ⅕ and ⅘
-    points of the block space (scale-invariant probe, the A22 pattern).
+    from the tile cover + two edge scans. The public parameterized
+    surface takes any (b_min, b_max); the pinned gate face defaults to
+    the ⅕ and ⅘ points of the block space (scale-invariant probe, the
+    A22 pattern).
 
     Plan shape: the tile filter is an OR of per-level `cell IN (...)`
     lists over the served artifact (≤ 2 cells per level — a few dozen
@@ -175,7 +182,11 @@ def range_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_block long, max_block long, range_digest long",
         )
     max_level, max_block = int(meta["max_level"]), int(meta["max_block"])
-    b_min, b_max = max_block // 5, max_block * 4 // 5
+    if b_min is None:
+        b_min = max_block // 5
+    if b_max is None:
+        b_max = max_block * 4 // 5
+    b_min, b_max = int(b_min), int(b_max)
     cover, edges = tile_cover(b_min, b_max, max_level)
     if not cover and not edges:  # degenerate range (≤ 4 blocks total)
         return spark.createDataFrame(
