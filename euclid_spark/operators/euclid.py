@@ -199,11 +199,23 @@ def length_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — state DB analog (state/lpn/): the latest per-account state at
-    each block boundary → last event value per (user, day). max_by keeps
-    it a single hash aggregate (no window shuffle-and-sort)."""
+    each block boundary → last event value per (user, day), as a single
+    hash aggregate (no window shuffle-and-sort).
+
+    NULL semantics pinned EXPLICITLY (the null-injected crosscheck
+    caught the divergence): last_value = the value of the latest event
+    whose value is NON-NULL — a NULL write does not overwrite state.
+    Spark's max_by would return the (possibly NULL) value at the max
+    key while DuckDB's max_by skips NULL values; the filtered-struct
+    max spells the skip-NULLs rule engine-independently."""
     ev = _events(spark, sf_dir)
+    last_nn = F.max(
+        F.when(
+            F.col("value").isNotNull(), F.struct("event_id", "value")
+        )
+    )
     return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.max_by("value", "event_id").alias("last_value"),
+        last_nn.getField("value").alias("last_value"),
         F.max("event_id").alias("last_event_id"),
         F.count("*").alias("n_events"),
     )

@@ -224,15 +224,23 @@ def run_maintained_aggregate(
 
 def _rollup_partial(events: DataFrame) -> DataFrame:
     """A7 state-rollup partials: latest value per (user, day). The
-    argmax-by-event-id state IS a monoid — merging two states keeps the
-    one with the larger last_event_id — so the reference's per-block
-    account-state DB (state/lpn/) maintains incrementally exactly like
-    a sum."""
+    argmax state IS a monoid — merging two states keeps the one with
+    the larger order key — so the reference's per-block account-state
+    DB (state/lpn/) maintains incrementally exactly like a sum.
+    NULL semantics match the batch A7 (a NULL write does not overwrite
+    state): the argmax runs over NON-NULL values only, so the state
+    carries the non-null selection's OWN key (`last_nn_id`) beside the
+    overall max block — merging on last_event_id would resurrect the
+    skipped NULL rows."""
+    nn = F.max(
+        F.when(F.col("value").isNotNull(), F.struct("event_id", "value"))
+    )
     return (
         events.withColumn("day", F.to_date("ts"))
         .groupBy(*VIEW_KEYS)
         .agg(
-            F.max_by("value", "event_id").alias("last_value"),
+            nn.getField("value").alias("last_value"),
+            nn.getField("event_id").alias("last_nn_id"),
             F.max("event_id").alias("last_event_id"),
             F.count("*").alias("n_events"),
         )
@@ -240,11 +248,21 @@ def _rollup_partial(events: DataFrame) -> DataFrame:
 
 
 def _rollup_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    nn = F.max(
+        F.when(
+            F.col("last_value").isNotNull(),
+            F.struct(
+                F.col("last_nn_id").alias("event_id"),
+                F.col("last_value").alias("value"),
+            ),
+        )
+    )
     return (
         old.unionByName(partial)
         .groupBy(*VIEW_KEYS)
         .agg(
-            F.max_by("last_value", "last_event_id").alias("last_value"),
+            nn.getField("value").alias("last_value"),
+            nn.getField("event_id").alias("last_nn_id"),
             F.max("last_event_id").alias("last_event_id"),
             F.sum("n_events").alias("n_events"),
         )

@@ -81,3 +81,83 @@ def test_operators_tolerate_nulls(spark, nully_sf, monkeypatch, tmp_path):
         finally:
             release_all()
     assert not failures, "\n".join(failures)
+
+
+# Hash-green representatives re-run through the FULL DuckDB comparison
+# on the null-injected corpus (VERDICT r7 #7): nulls are where engine
+# semantics diverge (the A22 lesson) — survival is not enough, the
+# VALUES must still match the oracle.
+CROSSCHECK_OPS = [
+    "tpch_q1_pricing_summary",      # null l_returnflag group keys + discounts
+    "rel_table_profile",            # null counts / distinct / sketch branches
+    "rel_sessionize",
+    "rel_event_dedup_window",       # null event_type partitions
+    "rel_ohlc_resample",            # null values in selection monoid
+    "rel_value_outliers",           # null values in decimal sums
+    "rel_seasonal_profile",
+    "euclid_q2_distinct_keys",      # null props -> null token ids
+    "euclid_state_rollup",          # null values through max_by
+    "euclid_range_tree_agg",        # null values in tile sums
+    "text_token_count",             # null text
+    "text_lang_id",
+    "text_lang_confusion",          # null lang labels as matrix rows
+    "dedup_exact",
+]
+
+
+def _canon_pdf(pdf):
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        if k == "M":
+            s = pdf[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            pdf[c] = s.str.replace(" 00:00:00.000000", "", regex=False)
+        elif k in "iub":
+            pdf[c] = pdf[c].astype("float64")  # int cols may go NULL->float
+        elif k == "f":
+            pdf[c] = pdf[c].round(6)
+        elif pdf[c].dtype == object:
+            # unify missing markers first: Spark surfaces None, DuckDB
+            # NaN — both are SQL NULL, stringify identically
+            pdf[c] = pdf[c].where(pdf[c].notna(), None).astype(str)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def test_null_injected_oracle_crosscheck(spark, nully_sf, monkeypatch, tmp_path):
+    """The driver's row/schema/value comparison, run on the 10%-null
+    corpus for every representative: Spark and DuckDB must agree on the
+    VALUES, not merely both survive."""
+    import duckdb
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts_x"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nully_sf}/{t}.parquet/*.parquet')"
+        )
+    qs, os_ = registry.queries(), registry.oracles()
+    failures = []
+    for name in CROSSCHECK_OPS:
+        try:
+            got = _canon_pdf(qs[name](spark, nully_sf).toPandas())
+            want = _canon_pdf(con.execute(os_[name]).fetchdf())
+            if list(got.columns) != list(want.columns):
+                failures.append(f"{name}: columns {list(got.columns)} vs "
+                                f"{list(want.columns)}")
+            elif len(got) != len(want):
+                failures.append(f"{name}: rows {len(got)} vs {len(want)}")
+            elif not got.equals(want):
+                neq = (got.fillna("~N") != want.fillna("~N")).any(axis=1)
+                failures.append(
+                    f"{name}: {int(neq.sum())}/{len(got)} rows differ; "
+                    f"first got={got[neq].head(1).to_dict('records')} "
+                    f"want={want[neq].head(1).to_dict('records')}"
+                )
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: raised {type(ex).__name__}: {ex}"[:300])
+        finally:
+            release_all()
+    assert not failures, "\n".join(failures)
