@@ -33,7 +33,7 @@ FEATURE_SCHEMA = (
 )
 
 # modalities with a real decoder in this environment
-_DECODABLE = {"image/bmp", "image/x-portable-pixmap"}
+_DECODABLE = {"image/bmp", "image/x-portable-pixmap", "image/png"}
 
 
 def decode_real(payload: bytes) -> np.ndarray:
