@@ -901,6 +901,103 @@ def stream_range_tree_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_range_tree_tiles", fp, build)
 
 
+def stream_q2_key_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the A26 QUERY2 KEY-TILE monoid (r8): the
+    per-(chunk, level, cell, owner) FIRST-L distinct-key tiles — the
+    bounded min-L selection lattice of `query2/block/full_node.rs` —
+    maintained per micro-batch over the adversarial hash-split feed.
+    The interesting incremental property the gate checks: per-batch
+    TRUNCATED partials must re-merge to exactly the from-scratch
+    first-L (a dropped key is larger than ≥L keys of its own slice, so
+    no truncation can ever evict a key the final answer needs). Output
+    is the exploded (tile, pos, token_id) form so the oracle's
+    ROW_NUMBER replay compares value-exactly."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import (
+        _q2_tiles_merge,
+        _q2_tiles_partial,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_q2_key_tiles",
+        n=N_SPLITS, v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_q2_tiles_partial,
+            merge_fn=_q2_tiles_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):  # zero-row corpus: nothing merged
+            return spark.createDataFrame(
+                [],
+                "day int, level int, cell long, owner long, pos int, "
+                "token_id long",
+            )
+        return (
+            sink.view(spark)
+            .select(
+                "day", "level", "cell", "owner",
+                F.posexplode("keys").alias("pos0", "token_id"),
+            )
+            .select(
+                "day", "level", "cell", "owner",
+                (F.col("pos0") + 1).cast("int").alias("pos"),
+                "token_id",
+            )
+        )
+
+    return _serve_streamed(spark, "stream_q2_key_tiles", fp, build)
+
+
+def _q2_key_tiles_sql() -> str:
+    from euclid_spark.operators.euclid import TOP_L
+    from euclid_spark.operators.range_tree import TILE_SIZE
+    from euclid_spark.streaming.parity import _RT_LEVELS
+
+    return f"""
+        WITH e AS (
+            SELECT (event_id // {TILE_SIZE}) AS cell0, user_id AS owner,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS token_id
+            FROM events
+            WHERE event_type = 'purchase'
+              AND json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        x AS (
+            SELECT DISTINCT CAST(cell0 >> {_RT_LEVELS} AS INT) AS day,
+                   CAST(g.level AS INT) AS level,
+                   cell0 >> g.level AS cell, owner, token_id
+            FROM e CROSS JOIN
+                 (SELECT unnest(range(0, {_RT_LEVELS + 1})) AS level) g
+        )
+        SELECT day, level, cell, owner, CAST(rn AS INT) AS pos, token_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY day, level, cell, owner ORDER BY token_id) AS rn
+            FROM x
+        )
+        WHERE rn <= {TOP_L}
+    """
+
+
 def _range_tree_tiles_sql() -> str:
     from euclid_spark.operators.range_tree import TILE_SIZE
     from euclid_spark.streaming.parity import _RT_LEVELS
@@ -1327,6 +1424,7 @@ QUERIES = {
     "stream_ss_join": stream_ss_join,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_range_tree_tiles": stream_range_tree_tiles,
+    "stream_q2_key_tiles": stream_q2_key_tiles,
     "stream_hdr_quantile_tiles": stream_hdr_quantile_tiles,
     "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
     "stream_erc20_rewards": stream_erc20_rewards,
@@ -1337,6 +1435,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_range_tree_tiles": _range_tree_tiles_sql(),
+    "stream_q2_key_tiles": _q2_key_tiles_sql(),
     "stream_hdr_quantile_tiles": _hdr_tiles_sql(),
     "stream_lc_distinct_tiles": _lc_tiles_sql(),
     "stream_erc20_rewards": _erc20_rewards_sql(),
