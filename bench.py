@@ -59,6 +59,9 @@ HEADLINE = [
     "euclid_erc20_verifiable_response",
     "euclid_erc20_batch_responses",
     "euclid_range_tree_agg",
+    "euclid_q2_range_tree_topL",
+    "euclid_verify_response",
+    "euclid_verify_erc20_response",
     "euclid_day_partitioned_range",
     "euclid_zorder_box_scan",
     "graph_doc_pagerank",

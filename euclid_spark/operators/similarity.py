@@ -567,6 +567,57 @@ _DOT = (
 _NQ = "sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 _NC = "sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+SIM_TAU = 0.25  # C53 radius threshold (sized to this testdata's
+                # near-random cosine range: flags the sparse true tail)
+
+
+def sim_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: "float | None" = None,
+) -> DataFrame:
+    """C53 — THRESHOLD (radius) SIMILARITY SEARCH: every neighbor with
+    rounded cosine ≥ τ per query — the ε-NN retrieval shape (find ALL
+    sufficiently-similar items) that top-k cannot express: k truncates
+    dense neighborhoods and pads sparse ones, while dedup/link-building
+    pipelines need exactly the thresholded set (C17's dedup rule is the
+    corpus-pair special case; this is the query-set face). Exactly
+    deterministic (rounded scores, the C5 class), so the whole face is
+    oracle-checked; output is THRESHOLDED (the C4 rule — unfiltered it
+    is the full query × corpus score matrix).
+
+    Scale shape: broadcast(query set) × corpus scan, score + filter
+    row-local, output ∝ matches only — the corpus never shuffles and
+    nothing ranks globally (no window at all, unlike top-k). n_matches
+    per query rides along for the selectivity audit."""
+    tau = SIM_TAU if tau is None else float(tau)
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    matches = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    w = Window.partitionBy("query_id")
+    return matches.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_matches"),
+    )
+
+
+QUERIES["sim_range_search"] = sim_range_search
+
 ORACLES = {
     "sim_topk_cosine": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -583,6 +634,20 @@ ORACLES = {
         SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= {TOP_K}
     """,
     # sim_ann_lsh: rows-only (approximate; bucket constants are engine-side)
+    "sim_range_search": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+              FROM embeddings WHERE vec_id >= {N_QUERIES}),
+        s AS (SELECT query_id, neighbor_id,
+                     ROUND({_DOT} / ({_NQ} * {_NC}), 6) AS cosine
+              FROM c CROSS JOIN q),
+        m AS (SELECT * FROM s WHERE cosine >= {SIM_TAU})
+        SELECT query_id, neighbor_id, cosine,
+               CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+                   AS n_matches
+        FROM m
+    """,
 }
 
 # C38: prefix-slice dot/norms mirror the Spark slice semantics (DuckDB

@@ -138,3 +138,21 @@ def test_range_tree_params(spark):
         spark, SF_SMOKE, b_min=face_row["b_min"], b_max=face_row["b_max"]
     )
     assert _rows(f2) == _rows(e2)
+
+
+def test_sim_range_search_params(spark):
+    from euclid_spark.operators.similarity import SIM_TAU, sim_range_search
+
+    face = sim_range_search(spark, SF_SMOKE)
+    explicit = sim_range_search(spark, SF_SMOKE, tau=SIM_TAU)
+    assert _rows(face) == _rows(explicit)
+    # a higher threshold returns a subset of the face's matches
+    tight = sim_range_search(spark, SF_SMOKE, tau=SIM_TAU + 0.05)
+    face_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in face.collect()
+    }
+    tight_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in tight.collect()
+    }
+    assert tight_pairs <= face_pairs
+    assert len(tight_pairs) < len(face_pairs)
