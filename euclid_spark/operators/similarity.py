@@ -517,8 +517,11 @@ def sim_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed list id so the oracle also checks the routing.
 
     Scale shape: same as C12 — queries broadcast twice (centroid
-    scoring, final rank), corpus touched by one assignment pass and
-    one list-slice equi-join; scored fraction ≈ N_PROBE/SEED_K."""
+    scoring, final rank); the corpus→list ASSIGNMENT is a served disk
+    artifact in the production IVF layout (vectors stored WITH their
+    list id — r8: the assignment pass ran per query before, now it is
+    index build, paid once per corpus version), so a probe touches one
+    list-slice equi-join; scored fraction ≈ N_PROBE/SEED_K."""
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
@@ -527,7 +530,19 @@ def sim_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("cid"),
         F.col("ce").cast("array<double>").alias("cemb"),
     )
-    assign = _nearest_centroids(corpus, seed, "neighbor_id", "ce", keep=1)
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"],
+        op="ivf_pinned_assign", seed_k=SEED_K, nq=N_QUERIES,
+    )
+    assign = artifacts.serve_frame(
+        spark,
+        "ivf_pinned_assign",
+        fp,
+        lambda: _nearest_centroids(corpus, seed, "neighbor_id", "ce", keep=1),
+    )
     probes = _nearest_centroids(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
