@@ -1365,11 +1365,16 @@ ORACLES = {
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
                    AS fp64,
+               -- NULL text -> NULL fingerprint (pinned by the
+               -- null-injected crosscheck; Spark's fold over a NULL
+               -- array is NULL, list_prepend(0, NULL) here is [0])
+               CASE WHEN text IS NULL THEN NULL ELSE
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform({_WS},
                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
-                   (acc, h) -> (acc * 31 + h) % {DIGEST_PRIME}) AS fp_rolling
+                   (acc, h) -> (acc * 31 + h) % {DIGEST_PRIME}) END
+                   AS fp_rolling
         FROM documents
     """,
     "text_pack_sequences": f"""

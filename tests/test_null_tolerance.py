@@ -102,6 +102,17 @@ CROSSCHECK_OPS = [
     "text_lang_id",
     "text_lang_confusion",          # null lang labels as matrix rows
     "dedup_exact",
+    # r8 extension: more nullable-column consumers
+    "rel_pivot_events",             # null event_type pivot keys
+    "rel_json_extract",             # null props through get_json_object
+    "rel_histogram",                # null values through width_bucket
+    "rel_asof_join",                # null values carried as-of
+    "rel_funnel_conversion",        # null event_type funnel stages
+    "tpch_q14_promo_effect",        # null discounts in conditional agg
+    "rel_window_topn_per_group",    # null order keys in ranking
+    "text_quality_score",
+    "text_pii_redact",              # null text through regex stack
+    "text_fingerprint",             # null text rolling hash
 ]
 
 
