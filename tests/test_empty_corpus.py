@@ -79,6 +79,11 @@ EMPTY_OK = {
     "dedup_provenance_report": 0,
     "text_lang_confusion": 0,
     "rel_seasonal_profile": 0,
+    # r8 faces
+    "euclid_q2_range_tree_topL": 0,
+    "euclid_verify_response": 0,
+    "euclid_verify_erc20_response": 0,
+    "sim_range_search": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

@@ -31,6 +31,10 @@ CASES = [
     "rel_event_dedup_window",      # lag window tie-break on (ts, id) (r7)
     "rel_ohlc_resample",           # first/last selections by total order (r7)
     "rel_value_outliers",          # decimal sums -> shared double seq (r7)
+    "euclid_q2_range_tree_topL",   # min-L lattice merges via collect_list (r8)
+    "euclid_verify_response",      # sha2 path refolds + binding compare (r8)
+    "rel_table_profile",           # stacked distincts + LC bitmap branch (r8)
+    "sim_range_search",            # rounded-cosine threshold set (r8)
 ]
 
 
