@@ -343,14 +343,27 @@ def build_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def serve_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key tree served OWNER-CLUSTERED: range-partitioned and
+    sorted by (owner, level, cell) before the write, so parquet
+    row-group min/max stats on `owner` let a single-owner revelation
+    read only that owner's row groups — per-owner top-L over any range
+    costs O(log range) rows from an owner-pruned slice of the artifact,
+    not a scan of every owner's tiles (the layout story D18/D26 tell
+    for the block dimension, applied to the query's OTHER key)."""
     from euclid_spark import artifacts
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="q2_key_tree", tile=TILE_SIZE, L=Q2_L
+        [f"{sf_dir}/events.parquet"],
+        op="q2_key_tree", tile=TILE_SIZE, L=Q2_L, layout="owner_v2",
     )
-    return artifacts.serve_frame(
-        spark, "q2_key_tiles", fp, lambda: build_q2_key_tree(spark, sf_dir)
-    )
+
+    def build() -> DataFrame:
+        t = build_q2_key_tree(spark, sf_dir)
+        return t.repartitionByRange(8, "owner").sortWithinPartitions(
+            "owner", "level", "cell"
+        )
+
+    return artifacts.serve_frame(spark, "q2_key_tiles", fp, build)
 
 
 _Q2_EMPTY = "owner long, pos int, token_id long, b_min long, b_max long"

@@ -246,3 +246,23 @@ def test_q2_reveal_bound_is_baked(spark):
     # smaller L is a valid narrowing of the same tiles
     small = q2_range_tree_topl(spark, SF_SMOKE, L=2)
     assert small.agg(F.max("pos")).collect()[0][0] <= 2
+
+
+def test_q2_tiles_owner_clustered_layout(spark):
+    """The served key-tile artifact is owner-clustered: a single-owner
+    revelation pushes the owner equality into the parquet scan
+    (row-group pruning on the artifact's sort column), so per-owner
+    top-L reads an owner-pruned slice, never every owner's tiles."""
+    import re
+
+    from euclid_spark.operators.range_tree import serve_q2_key_tree
+
+    tiles = serve_q2_key_tree(spark, SF_SMOKE)
+    plan = (
+        tiles.filter(F.col("owner") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(owner,7)" in m.group(1), plan[:500]
