@@ -435,20 +435,35 @@ def _owner_token_tree(spark: SparkSession, sf_dir: str):
     from euclid_spark import artifacts
     from euclid_spark.operators.euclid import q2_distinct_keys
 
+    # owner-clustered layout (the q2_key_tiles story): both stores are
+    # range-partitioned + sorted on group_key at write, so the
+    # single-owner faces' group_key filter prunes parquet row groups —
+    # a one-owner response reads that owner's slice, not every tree
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="owner_token_tree"
+        [f"{sf_dir}/events.parquet"], op="owner_token_tree",
+        layout="owner_v2",
     )
+
+    def _clustered(df: DataFrame, *sort_cols: str) -> DataFrame:
+        return df.repartitionByRange(8, "group_key").sortWithinPartitions(
+            "group_key", *sort_cols
+        )
 
     def build_leaves() -> DataFrame:
         keys = q2_distinct_keys(spark, sf_dir).filter(
             F.col("token_id").isNotNull()
         )
         w = Window.partitionBy("owner").orderBy("token_id")
-        return keys.select(
-            F.col("owner").alias("group_key"),
-            "token_id",
-            (F.row_number().over(w) - 1).alias("pos"),
-            F.sha2(F.col("token_id").cast("string"), 256).alias("node_hash"),
+        return _clustered(
+            keys.select(
+                F.col("owner").alias("group_key"),
+                "token_id",
+                (F.row_number().over(w) - 1).alias("pos"),
+                F.sha2(F.col("token_id").cast("string"), 256).alias(
+                    "node_hash"
+                ),
+            ),
+            "pos",
         )
 
     leaves = artifacts.serve_frame(spark, "owner_token_leaves", fp, build_leaves)
@@ -456,9 +471,13 @@ def _owner_token_tree(spark: SparkSession, sf_dir: str):
         spark,
         "owner_token_nodes",
         fp,
-        lambda: merkle_levels(
-            persist_tracked(leaves).select("group_key", "pos", "node_hash")
-        )[0],
+        lambda: _clustered(
+            merkle_levels(
+                persist_tracked(leaves).select("group_key", "pos", "node_hash")
+            )[0],
+            "level",
+            "pos",
+        ),
     )
     depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
     return leaves, nodes, depth
@@ -539,7 +558,8 @@ def _erc20_fp(sf_dir: str, rewards_rate: "int | None" = None) -> str:
     # the rate is baked into the leaf rewards (exactly as the reference
     # bakes it into the leaf proofs), so each rate keys its own artifact
     return artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2, rate=rate
+        [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2, rate=rate,
+        layout="owner_v2",
     )
 
 
@@ -569,7 +589,7 @@ def erc20_entry_leaves(
             (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
         )
         w = Window.partitionBy("owner").orderBy("event_id")
-        return rows.select(
+        out = rows.select(
             F.col("owner").alias("group_key"),
             "event_id",
             entry_hex.alias("entry_reward_hex"),
@@ -584,6 +604,10 @@ def erc20_entry_leaves(
                 ),
                 256,
             ),
+        )
+        # owner-clustered write: single-owner faces prune row groups
+        return out.repartitionByRange(8, "group_key").sortWithinPartitions(
+            "group_key", "pos"
         )
 
     return artifacts.serve_frame(
@@ -608,7 +632,9 @@ def _erc20_entry_tree(
         _erc20_fp(sf_dir, rewards_rate),
         lambda: merkle_levels(
             persist_tracked(leaves).select("group_key", "pos", "node_hash")
-        )[0],
+        )[0]
+        .repartitionByRange(8, "group_key")
+        .sortWithinPartitions("group_key", "level", "pos"),
     )
     depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
     return leaves, nodes, depth
