@@ -60,6 +60,7 @@ HEADLINE = [
     "euclid_erc20_batch_responses",
     "euclid_range_tree_agg",
     "euclid_q2_range_tree_topL",
+    "euclid_erc20_range_tree_reward",
     "euclid_verify_response",
     "euclid_verify_erc20_response",
     "euclid_day_partitioned_range",

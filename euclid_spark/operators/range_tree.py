@@ -465,9 +465,233 @@ def q2_range_tree_topl(
     )
 
 
+# --- the ERC-20 family over the tile tree: per-owner u256 reward ------------
+#
+# A25 carries the GLOBAL scalar monoids, A26 the per-owner KEY SETS;
+# this face completes the pair of reference query families: the
+# per-owner u256 REWARD (query_erc20/block/ — the block tree whose
+# nodes aggregate leaf-circuit rewards) over an arbitrary
+# [B_min, B_max), answered from per-(owner, cell) LIMB-SUM tiles. The
+# u256 monoid is the same limb-wise decimal(38) sum the D20
+# `erc20_reward_view` spec maintains (carry normalization deferred to
+# read), so tile merge ≡ re-aggregation in any order; the Arrow leaf
+# circuit runs once per corpus version at entry-leaf artifact build,
+# never at query time (edges read the block-clustered entry rows with
+# event_id pushdown and fold them in column expressions).
+
+
+def serve_erc20_all_entry_leaves(
+    spark: SparkSession, sf_dir: str, rewards_rate: "int | None" = None
+) -> DataFrame:
+    """Per-entry leaf-circuit rewards over ALL purchase entries (the
+    un-range-restricted sibling of merkle.erc20_entry_leaves — the
+    block dimension is the QUERY parameter here), BLOCK-CLUSTERED at
+    write so edge scans push their event_id range to the parquet
+    row groups."""
+    from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import REWARDS_RATE, erc20_leaf_rows
+
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"],
+        op="erc20_all_entry_leaves", rate=rate, tile=TILE_SIZE,
+    )
+
+    def build() -> DataFrame:
+        ev = load_events(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        rows = erc20_leaf_rows(ev, rewards_rate)
+        return (
+            rows.withColumn(
+                "cell",
+                F.floor(F.col("event_id") / TILE_SIZE).cast("long"),
+            )
+            .repartitionByRange(8, "event_id")
+            .sortWithinPartitions("event_id")
+        )
+
+    return artifacts.serve_frame(spark, "erc20_all_entry_leaves", fp, build)
+
+
+_DEC38 = "decimal(38,0)"
+
+
+def _erc20_tile_agg(df: DataFrame, keys: "list") -> DataFrame:
+    return df.groupBy(*keys).agg(
+        *[
+            F.sum(F.col(f"l{i}").cast(_DEC38)).cast(_DEC38).alias(f"s{i}")
+            for i in range(4)
+        ],
+        F.sum("zs").cast("long").alias("zs"),
+        F.sum("of").cast("long").alias("of"),
+        F.count(F.lit(1)).alias("n_entries"),
+    )
+
+
+def _erc20_fold_up(lvl: DataFrame) -> DataFrame:
+    return lvl.groupBy(
+        F.shiftright(F.col("cell"), 1).alias("cell"), "owner"
+    ).agg(
+        *[F.sum(f"s{i}").cast(_DEC38).alias(f"s{i}") for i in range(4)],
+        F.sum("zs").cast("long").alias("zs"),
+        F.sum("of").cast("long").alias("of"),
+        F.sum("n_entries").cast("long").alias("n_entries"),
+    )
+
+
+def build_erc20_reward_tree(
+    spark: SparkSession, sf_dir: str, rewards_rate: "int | None" = None
+) -> DataFrame:
+    import math
+
+    ev = load_events(spark, sf_dir)
+    mb = ev.agg(F.max("event_id")).collect()[0][0]  # one-row fetch
+    n_cells = (int(mb or 0) // TILE_SIZE) + 1
+    depth = max(1, math.ceil(math.log2(n_cells))) if n_cells > 1 else 1
+    leaves = serve_erc20_all_entry_leaves(spark, sf_dir, rewards_rate)
+    lvl = _erc20_tile_agg(leaves, ["cell", "owner"])
+    out = [lvl.withColumn("level", F.lit(0))]
+    for k in range(1, depth + 1):
+        lvl = _erc20_fold_up(lvl)
+        out.append(lvl.withColumn("level", F.lit(k)))
+    tiles = out[0]
+    for o in out[1:]:
+        tiles = tiles.unionByName(o)
+    return tiles.select(
+        "level", "cell", "owner", "s0", "s1", "s2", "s3", "zs", "of",
+        "n_entries",
+    )
+
+
+def serve_erc20_reward_tree(
+    spark: SparkSession, sf_dir: str, rewards_rate: "int | None" = None
+) -> DataFrame:
+    from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import REWARDS_RATE
+
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"],
+        op="erc20_reward_tree", rate=rate, tile=TILE_SIZE,
+    )
+    return artifacts.serve_frame(
+        spark,
+        "erc20_reward_tiles",
+        fp,
+        lambda: build_erc20_reward_tree(spark, sf_dir, rewards_rate)
+        .repartitionByRange(8, "owner")
+        .sortWithinPartitions("owner", "level", "cell"),
+    )
+
+
+_ERC20_EMPTY = (
+    "owner long, reward_hex string, n_zero_supply long, n_overflow long, "
+    "n_entries long, b_min long, b_max long"
+)
+
+
+def erc20_range_tree_reward(
+    spark: SparkSession,
+    sf_dir: str,
+    owner: "int | None" = None,
+    b_min: "int | None" = None,
+    b_max: "int | None" = None,
+    rewards_rate: "int | None" = None,
+) -> DataFrame:
+    """A29 — the ERC-20 reward over an ARBITRARY block range in
+    O(log range): per-owner ⌊balance·rate/supply⌋ u256 totals for
+    [B_min, B_max) folded from the canonical tile cover + two edge
+    scans of the block-clustered entry-leaf artifact — with A25/A26
+    this makes BOTH reference query families answerable from tiles
+    over any range. Parameterized (owner, b_min, b_max, rewards_rate);
+    the pinned face is all owners over the ⅕..⅘ probe range."""
+    from euclid_spark.functions.u256 import u256_carry_hex
+
+    tiles = serve_erc20_reward_tree(spark, sf_dir, rewards_rate)
+    ml = tiles.agg(F.max("level")).collect()[0][0]  # bounded fetch
+    if ml is None:
+        return spark.createDataFrame([], _ERC20_EMPTY)
+    max_level = int(ml)
+    if b_min is None or b_max is None:
+        mb = (
+            serve_range_tree(spark, sf_dir)
+            .agg(F.max("max_block"))
+            .collect()[0][0]
+        )
+        mb = int(mb or 0)
+        b_min = mb // 5 if b_min is None else int(b_min)
+        b_max = mb * 4 // 5 if b_max is None else int(b_max)
+    else:
+        b_min, b_max = int(b_min), int(b_max)
+    cover, edges = tile_cover(b_min, b_max, max_level)
+    if not cover and not edges:
+        return spark.createDataFrame([], _ERC20_EMPTY)
+
+    parts = []
+    if cover:
+        by_level: dict[int, list[int]] = {}
+        for k, c in cover:
+            by_level.setdefault(k, []).append(c)
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("level") == k) & F.col("cell").isin(cells)
+                for k, cells in by_level.items()
+            ],
+        )
+        t = tiles.filter(cond)
+        if owner is not None:
+            t = t.filter(F.col("owner") == owner)
+        parts.append(
+            t.select(
+                "owner", "s0", "s1", "s2", "s3", "zs", "of", "n_entries"
+            )
+        )
+    if edges:
+        econd = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                for lo, hi in edges
+            ],
+        )
+        e = serve_erc20_all_entry_leaves(spark, sf_dir, rewards_rate).filter(
+            econd
+        )
+        if owner is not None:
+            e = e.filter(F.col("owner") == owner)
+        parts.append(
+            _erc20_tile_agg(e, ["owner"]).select(
+                "owner", "s0", "s1", "s2", "s3", "zs", "of", "n_entries"
+            )
+        )
+    partials = parts[0]
+    for p in parts[1:]:
+        partials = partials.unionByName(p)
+    total = partials.groupBy("owner").agg(
+        *[F.sum(f"s{i}").cast(_DEC38).alias(f"s{i}") for i in range(4)],
+        F.sum("zs").cast("long").alias("n_zero_supply"),
+        F.sum("of").cast("long").alias("n_overflow"),
+        F.sum("n_entries").cast("long").alias("n_entries"),
+    )
+    return total.select(
+        "owner",
+        u256_carry_hex(
+            F.col("s0"), F.col("s1"), F.col("s2"), F.col("s3")
+        ).alias("reward_hex"),
+        "n_zero_supply",
+        "n_overflow",
+        "n_entries",
+        F.lit(b_min).cast("long").alias("b_min"),
+        F.lit(b_max).cast("long").alias("b_max"),
+    )
+
+
 QUERIES = {
     "euclid_range_tree_agg": range_tree_agg,
     "euclid_q2_range_tree_topL": q2_range_tree_topl,
+    "euclid_erc20_range_tree_reward": erc20_range_tree_reward,
 }
 
 from euclid_spark.functions.hashing import MIX  # noqa: E402
@@ -522,3 +746,36 @@ ORACLES = {
         WHERE r.pos <= {Q2_L}
     """,
 }
+
+from euclid_spark.operators.euclid import REWARDS_RATE as _RATE  # noqa: E402
+
+# A29: full HUGEINT recompute over the range — the gate proves the
+# per-owner limb-sum tile path equals re-running the leaf circuit on
+# every row in range (the A13 oracle shape with the range as the query)
+ORACLES["euclid_erc20_range_tree_reward"] = f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(MAX(event_id) / 5) AS BIGINT) AS b_min,
+               CAST(FLOOR(MAX(event_id) * 4 / 5) AS BIGINT) AS b_max
+        FROM events
+    ),
+    e AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 10000) AS HUGEINT) AS scaled,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS tok
+        FROM events, b
+        WHERE event_type = 'purchase'
+          AND event_id >= b.b_min AND event_id < b.b_max
+    )
+    SELECT user_id AS owner,
+           lpad(lower(to_hex(SUM(
+               CASE WHEN tok IS NULL OR tok = 0 THEN CAST(0 AS HUGEINT)
+                    ELSE (scaled * CAST('18446744073709551616' AS HUGEINT)
+                          + event_id) * {_RATE} // tok
+               END))), 64, '0') AS reward_hex,
+           CAST(SUM(CASE WHEN tok IS NULL OR tok = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_supply,
+           CAST(0 AS BIGINT) AS n_overflow,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           b.b_min, b.b_max
+    FROM e, b GROUP BY user_id, b.b_min, b.b_max
+"""

@@ -564,6 +564,72 @@ def _q2_tiles_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- A29's ERC-20 reward tiles as a maintained aggregate ----------------------
+
+
+def _erc20_tiles_partial(events: DataFrame) -> DataFrame:
+    """The A29 per-(owner, cell) u256 reward tile tree as a streaming
+    monoid (query_erc20/block/'s nodes): the leaf circuit runs per
+    batch, limb-wise decimal(38) sums key on (chunk, level, cell,
+    owner) — carry normalization defers to read, so merge order cannot
+    matter; each entry touches one cell per level (the A25/A26 explode).
+    """
+    from euclid_spark.operators.euclid import erc20_leaf_rows
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    rows = erc20_leaf_rows(
+        events.filter(F.col("event_type") == "purchase")
+    )
+    cell0 = f"CAST(FLOOR(event_id / {TILE_SIZE}) AS BIGINT)"
+    return (
+        rows.select(
+            "owner",
+            "event_id",
+            *[f"l{i}" for i in range(4)],
+            "zs",
+            "of",
+            F.explode(F.sequence(F.lit(0), F.lit(_RT_LEVELS))).alias("level"),
+        )
+        .select(
+            F.expr(f"shiftright({cell0}, {_RT_LEVELS})")
+            .cast("int")
+            .alias("day"),
+            "level",
+            F.expr(f"shiftright({cell0}, CAST(level AS INT))").alias("cell"),
+            "owner",
+            *[f"l{i}" for i in range(4)],
+            "zs",
+            "of",
+        )
+        .groupBy("day", "level", "cell", "owner")
+        .agg(
+            *[
+                F.sum(F.col(f"l{i}").cast("decimal(38,0)")).alias(f"s{i}")
+                for i in range(4)
+            ],
+            F.sum("zs").cast("long").alias("zs"),
+            F.sum("of").cast("long").alias("of"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )
+
+
+def _erc20_tiles_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "level", "cell", "owner")
+        .agg(
+            *[
+                F.sum(F.col(f"s{i}")).cast("decimal(38,0)").alias(f"s{i}")
+                for i in range(4)
+            ],
+            F.sum("zs").cast("long").alias("zs"),
+            F.sum("of").cast("long").alias("of"),
+            F.sum("n_entries").cast("long").alias("n_entries"),
+        )
+    )
+
+
 # --- B56's OHLC bars as a maintained aggregate --------------------------------
 
 
@@ -647,5 +713,8 @@ SPECS = {
     "ohlc_bars": ParitySpec("ohlc_bars", _ohlc_partial, _ohlc_merge),
     "q2_key_tiles": ParitySpec(
         "q2_key_tiles", _q2_tiles_partial, _q2_tiles_merge
+    ),
+    "erc20_reward_tiles": ParitySpec(
+        "erc20_reward_tiles", _erc20_tiles_partial, _erc20_tiles_merge
     ),
 }

@@ -84,6 +84,7 @@ EMPTY_OK = {
     "euclid_verify_response": 0,
     "euclid_verify_erc20_response": 0,
     "sim_range_search": 0,
+    "euclid_erc20_range_tree_reward": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

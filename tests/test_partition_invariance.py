@@ -35,6 +35,7 @@ CASES = [
     "euclid_verify_response",      # sha2 path refolds + binding compare (r8)
     "rel_table_profile",           # stacked distincts + LC bitmap branch (r8)
     "sim_range_search",            # rounded-cosine threshold set (r8)
+    "euclid_erc20_range_tree_reward",  # u256 limb tiles + carry at read (r8)
 ]
 
 

@@ -266,3 +266,90 @@ def test_q2_tiles_owner_clustered_layout(spark):
     )
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "EqualTo(owner,7)" in m.group(1), plan[:500]
+
+
+# --- A29: ERC-20 reward over the tile tree ------------------------------------
+
+
+def test_erc20_reward_tree_scan_shape_and_params(spark):
+    """Cover stays logarithmic; the pinned face equals the explicit
+    parameterized call; owner scoping filters; rewards stay in the
+    >2^64 u256 zone (the whole point of the limb arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.range_tree import (
+        erc20_range_tree_reward,
+        serve_erc20_reward_tree,
+    )
+
+    tiles = serve_erc20_reward_tree(spark, SF_SMOKE)
+    max_level = int(tiles.agg(F.max("level")).collect()[0][0])
+    face = erc20_range_tree_reward(spark, SF_SMOKE).toPandas()
+    assert len(face) > 0
+    b_min, b_max = int(face["b_min"].iloc[0]), int(face["b_max"].iloc[0])
+    cover, edges = tile_cover(b_min, b_max, max_level)
+    assert len(cover) <= 2 * (max_level + 1)
+    assert sum(hi - lo for lo, hi in edges) < 2 * TILE_SIZE
+    # u256 magnitude: every nonzero reward exceeds 2^64
+    vals = [int(h, 16) for h in face["reward_hex"]]
+    assert all(v == 0 or v > 2**64 for v in vals)
+    # explicit pinned call == face
+    explicit = erc20_range_tree_reward(
+        spark, SF_SMOKE, b_min=b_min, b_max=b_max
+    ).toPandas()
+    key = ["owner", "reward_hex", "n_entries"]
+    assert sorted(map(tuple, face[key].values.tolist())) == sorted(
+        map(tuple, explicit[key].values.tolist())
+    )
+    an_owner = int(face["owner"].iloc[0])
+    scoped = erc20_range_tree_reward(
+        spark, SF_SMOKE, owner=an_owner
+    ).toPandas()
+    assert len(scoped) == 1
+    assert (
+        scoped["reward_hex"].iloc[0]
+        == face[face["owner"] == an_owner]["reward_hex"].iloc[0]
+    )
+
+
+def test_erc20_reward_tree_equals_direct_recompute(spark):
+    """The tile path must equal re-running the leaf circuit over the
+    raw rows in range (in-repo pin; the HUGEINT oracle proves it vs
+    DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.euclid import erc20_leaf_rows
+    from euclid_spark.operators.range_tree import erc20_range_tree_reward
+    from euclid_spark.functions.u256 import u256_carry_hex
+
+    face = erc20_range_tree_reward(spark, SF_SMOKE)
+    row = face.limit(1).collect()[0]
+    b_min, b_max = row["b_min"], row["b_max"]
+    ev = (
+        load_events(spark, SF_SMOKE)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") >= b_min)
+            & (F.col("event_id") < b_max)
+        )
+    )
+    ref = (
+        erc20_leaf_rows(ev)
+        .groupBy("owner")
+        .agg(
+            *[
+                F.sum(F.col(f"l{i}").cast("decimal(38,0)")).alias(f"s{i}")
+                for i in range(4)
+            ]
+        )
+        .select(
+            "owner",
+            u256_carry_hex(
+                F.col("s0"), F.col("s1"), F.col("s2"), F.col("s3")
+            ).alias("rh"),
+        )
+    ).toPandas()
+    got = face.select("owner", "reward_hex").toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, ref.values.tolist())
+    )
