@@ -31,10 +31,17 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     key the explode produced, so the window rides the join's
     partitioning."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # skip-NULL-writes rule (the A7 pin, caught by the null-injected
+    # crosscheck): the day's observation is the latest NON-NULL value —
+    # Spark's max_by would return the value at the max key even when
+    # NULL, DuckDB's skips NULLs; the filtered-struct max spells it out
+    last_nn = F.max(
+        F.when(F.col("value").isNotNull(), F.struct("event_id", "value"))
+    )
     obs = (
         ev.withColumn("day", F.to_date("ts"))
         .groupBy("user_id", "day")
-        .agg(F.max_by("value", "event_id").alias("obs_value"))
+        .agg(last_nn.getField("value").alias("obs_value"))
     )
     span = obs.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

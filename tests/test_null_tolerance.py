@@ -113,6 +113,19 @@ CROSSCHECK_OPS = [
     "text_quality_score",
     "text_pii_redact",              # null text through regex stack
     "text_fingerprint",             # null text rolling hash
+    # r8b: third batch — aggregation/window/array families
+    "rel_rollup_agg",               # null group keys in ROLLUP levels
+    "rel_grouping_sets",            # null-vs-subtotal disambiguation
+    "tpch_q6_forecast_revenue",     # null discounts in the range scan
+    "rel_exact_percentiles",        # null values in interpolation
+    "rel_window_running_agg",       # null values in running sums
+    "rel_time_weighted_avg",        # null values in v*dt terms
+    "rel_gap_fill_locf",            # null values carried forward
+    "euclid_erc20_weighted_sum",    # null props/values in guarded division
+    "euclid_block_range_scan",
+    "text_rag_chunks",              # null text chunking
+    "text_winnowing",               # null text windows
+    "text_unigram_logprob",         # null text word explosion
 ]
 
 
