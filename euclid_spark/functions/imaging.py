@@ -207,8 +207,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = len(_PNG_SIG)
     w = h = None
     idat = bytearray()
+    saw_iend = False
     while pos < len(payload):
+        # bounds-check against the DECLARED length before slicing: a
+        # truncated or corrupt length field must raise the ValueError the
+        # quarantine contract expects, not a struct.error from the crc
+        # unpack past the end of the buffer
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -228,9 +237,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
+            saw_iend = True
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        raise ValueError("PNG missing IEND chunk")
     raw = zlib.decompress(bytes(idat))
     stride = 3 * w
     if len(raw) != h * (stride + 1):

@@ -85,8 +85,15 @@ def cms_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(CMS_TOP)
         .withColumn(
+            # constant (but non-foldable: lit(0) would be optimized away)
+            # partition key over the LIMIT-CMS_TOP rows — bounded input,
+            # silences WindowExec's no-partition warning
             "rk",
-            F.row_number().over(Window.orderBy(F.desc("exact_n"), "user_id")),
+            F.row_number().over(
+                Window.partitionBy(
+                    F.col("exact_n") - F.col("exact_n")
+                ).orderBy(F.desc("exact_n"), "user_id")
+            ),
         )
     )
     probes = top.select(

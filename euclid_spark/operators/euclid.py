@@ -33,6 +33,26 @@ TOP_L = 5  # revelation reveals L results (query2/revelation/mod.rs Parameters<_
 REWARDS_RATE = 7  # query_erc20 rewards-rate public input analog
 
 
+def u256_overflow_oracle_sql(rate: int) -> str:
+    """DuckDB n_overflow expression matching the u256 leaf circuit's
+    overflow flag: rows where (scaled·2^64 + event_id)·rate > 2^256-1.
+    Emitted as base > (2^256-1)//rate when that threshold fits HUGEINT;
+    for smaller rates the threshold exceeds 2^127-1, so ANY base DuckDB
+    can represent is below it — the zero is implied by arithmetic, not a
+    corpus assumption (DuckDB raises on HUGEINT overflow of the base
+    itself before the predicate could misreport). Expects columns
+    `scaled` (HUGEINT), `tok`, `event_id` in scope."""
+    threshold = (2**256 - 1) // int(rate)
+    if threshold <= 2**127 - 1:
+        return (
+            "CAST(SUM(CASE WHEN tok IS NOT NULL AND tok <> 0 AND "
+            "(scaled * CAST('18446744073709551616' AS HUGEINT) + event_id)"
+            f" > CAST('{threshold}' AS HUGEINT) THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        )
+    return "CAST(0 AS BIGINT)"
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_events(spark, sf_dir)
 
@@ -718,7 +738,7 @@ ORACLES = {
                    END))), 64, '0') AS reward_hex,
                CAST(SUM(CASE WHEN tok IS NULL OR tok = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_zero_supply,
-               CAST(0 AS BIGINT) AS n_overflow
+               {u256_overflow_oracle_sql(REWARDS_RATE)} AS n_overflow
         FROM e GROUP BY user_id
     """,
     "euclid_erc20_weighted_sum": f"""

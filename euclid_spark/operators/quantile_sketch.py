@@ -203,7 +203,10 @@ def hdr_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles.filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
         .groupBy("nbits", "sub")
         .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("grp", F.lit("range"))
+        # constant single-group key; (nbits - nbits) rather than a literal
+        # because Catalyst folds literal partition keys away and WindowExec
+        # then warns about the (bounded: ≤ bucket-universe rows) bare window
+        .withColumn("grp", F.col("nbits") - F.col("nbits"))
     )
     w = Window.partitionBy("grp").orderBy("nbits", "sub").rowsBetween(
         Window.unboundedPreceding, 0

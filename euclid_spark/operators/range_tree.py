@@ -749,6 +749,10 @@ ORACLES = {
 
 from euclid_spark.operators.euclid import REWARDS_RATE as _RATE  # noqa: E402
 
+from euclid_spark.operators.euclid import u256_overflow_oracle_sql  # noqa: E402
+
+_A29_OVERFLOW_SQL = u256_overflow_oracle_sql(_RATE)
+
 # A29: full HUGEINT recompute over the range — the gate proves the
 # per-owner limb-sum tile path equals re-running the leaf circuit on
 # every row in range (the A13 oracle shape with the range as the query)
@@ -774,7 +778,7 @@ ORACLES["euclid_erc20_range_tree_reward"] = f"""
                END))), 64, '0') AS reward_hex,
            CAST(SUM(CASE WHEN tok IS NULL OR tok = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_zero_supply,
-           CAST(0 AS BIGINT) AS n_overflow,
+           {_A29_OVERFLOW_SQL} AS n_overflow,
            CAST(COUNT(*) AS BIGINT) AS n_entries,
            b.b_min, b.b_max
     FROM e, b GROUP BY user_id, b.b_min, b.b_max

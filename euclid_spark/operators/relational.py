@@ -1280,8 +1280,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(CMS_TOP)
         .withColumn(
+            # constant partition key: input is the LIMIT-CMS_TOP rows, so
+            # the single-partition window is bounded by construction — the
+            # explicit key silences WindowExec's no-partition warning.
+            # (exact_n - exact_n) rather than lit(0) because Catalyst
+            # constant-folds foldable partition specs away, reintroducing
+            # the bare-window warning
             "rk",
-            F.row_number().over(Window.orderBy(F.desc("exact_n"), "user_id")),
+            F.row_number().over(
+                Window.partitionBy(
+                    F.col("exact_n") - F.col("exact_n")
+                ).orderBy(F.desc("exact_n"), "user_id")
+            ),
         )
     )
     probes = top.select(
@@ -1447,9 +1457,9 @@ def _profile_lc_bit(col: F.Column, kind: str) -> F.Column:
     cheaper than an md5-over-text pass on the raw rows, which matters
     on the sketched high-cardinality branch); strings use md5 (their
     exact branches hash ≤ n_distinct keys, where md5 is free). NULL
-    values map to NULL (excluded from the count). Positive-domain
-    note: the integer path assumes non-negative values (true for every
-    profiled measure; pmod keeps Spark consistent either way)."""
+    values map to NULL (excluded from the count). Signed inputs are
+    well-defined on both engines: Spark uses pmod and the DuckDB
+    oracle folds its signed remainder up with (x % P + P) % P."""
     from euclid_spark.functions.hashing import DIGEST_PRIME, MIX
 
     if kind == "num":
@@ -2350,8 +2360,13 @@ def _profile_sql() -> str:
     parts = []
     for c, kind, auto in _PROFILE_COLS:
         if kind == "num":
+            # (x % P + P) % P keeps the oracle total over signed inputs:
+            # DuckDB % returns negative remainders for negatives while
+            # Spark pmod never does — without the fold-up, any signed
+            # column added to _PROFILE_COLS would silently diverge
             bit = (
-                f"((CAST(FLOOR({c} * 1000000) AS BIGINT) % {DIGEST_PRIME})"
+                f"(((CAST(FLOOR({c} * 1000000) AS BIGINT) % {DIGEST_PRIME}"
+                f" + {DIGEST_PRIME}) % {DIGEST_PRIME})"
                 f" * {MIX}) % {DIGEST_PRIME} % {m}"
             )
             mn = f"CAST(CAST(MIN({c}) AS DECIMAL(38,6)) AS VARCHAR)"
@@ -2362,7 +2377,8 @@ def _profile_sql() -> str:
             )
         elif kind == "ts":
             bit = (
-                f"((CAST(epoch({c}) AS BIGINT) % {DIGEST_PRIME})"
+                f"(((CAST(epoch({c}) AS BIGINT) % {DIGEST_PRIME}"
+                f" + {DIGEST_PRIME}) % {DIGEST_PRIME})"
                 f" * {MIX}) % {DIGEST_PRIME} % {m}"
             )
             mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"

@@ -295,7 +295,10 @@ def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="stream_state_rollup", n=N_SPLITS, v=2
+        # v=3: r8 changed _rollup_partial/_rollup_merge NULL-write
+        # semantics (skip-NULL argmax, last_nn_id state column) — bump so
+        # caches built with the old monoid rebuild instead of serving stale
+        [f"{sf_dir}/events.parquet"], op="stream_state_rollup", n=N_SPLITS, v=3
     )
 
     def build(tmp: str) -> DataFrame:

@@ -172,6 +172,27 @@ def test_png_crc_verified_and_unsupported_rejected():
         decode_png(b"JUNK")
 
 
+def test_png_truncation_raises_valueerror_not_struct_error():
+    """Corrupt/truncated chunk framing must stay inside the ValueError
+    quarantine contract — a declared length running past the buffer, a
+    cut-off file, or a missing IEND may not escape as struct.error."""
+    import pytest
+
+    from euclid_spark.functions.imaging import decode_png, encode_png
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    good = encode_png(px)
+    # cut mid-chunk: declared IDAT length now runs past the end
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[: len(good) - 20])
+    # cut mid-header: fewer than 8 bytes left for length+type
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[: len(good) - 9])
+    # IEND stripped cleanly (last 12 bytes): must be flagged, not EOF-looped
+    with pytest.raises(ValueError, match="IEND"):
+        decode_png(good[: len(good) - 12])
+
+
 def test_png_dhash_known_answers_and_brightness_invariance():
     """The C50 perceptual-hash contract holds on PNG payloads exactly
     as on BMP: known-answer dhash on a fixed gradient, and a monotone
