@@ -30,7 +30,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return registry.queries()
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() key
-    (keys without an oracle get the driver's rows-only check)."""
-    return registry.oracles()
+    (keys without an oracle get the driver's rows-only check). The
+    optional sf_dir parameterizes the few oracles that read a served
+    model artifact as an input table; the default matches the driver's
+    sf=0.01 gate, so a no-arg call behaves exactly as before."""
+    return registry.oracles(sf_dir)

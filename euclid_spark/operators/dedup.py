@@ -1401,3 +1401,77 @@ ORACLES["dedup_source_overlap"] = f"""
            source_x = source_y AS same_source
     FROM j GROUP BY 1, 2
 """
+
+
+def _oracle_dedup_semantic(sf_dir: str) -> str:
+    """C31 hash-check (r9, VERDICT #2): the fitted SemDeDup k-means
+    centroids are an INPUT TABLE — read_parquet of the served
+    `semdedup_centroids` artifact — and the verdict derivation
+    (nearest-centroid assignment with ROUND(·,6) + cid tiebreak,
+    cluster sizes, within-cluster pairwise max-cos, lowest-id keep
+    rule) replays in SQL. Only the Lloyd fit stays engine-side
+    (planted-duplicate gated). k is recomputed from the corpus row
+    count exactly as _semdedup_build does, via parquet metadata — no
+    Spark needed to derive the artifact key."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from euclid_spark import artifacts
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    n_vec = _pq.ParquetFile(emb_path).metadata.num_rows
+    k = max(4, -(-n_vec // SEMDEDUP_TARGET_CLUSTER))
+    fp = artifacts.corpus_fingerprint(
+        [emb_path], op="semdedup_centroids", k=k, seed=42
+    )
+    path = _os.path.join(
+        artifacts.artifact_dir(), f"semdedup_centroids_{fp}.parquet"
+    )
+    dot_ec = (
+        "list_sum(list_transform(range(1, len(e) + 1),"
+        " i -> CAST(e[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)))"
+    )
+    n_e = "sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    n_c = n_e.replace("(e,", "(cemb,")
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.e) + 1),"
+        " i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))"
+    )
+    n_a = n_e.replace("(e,", "(a.e,")
+    n_b = n_e.replace("(e,", "(b.e,")
+    pair_cos = (
+        f"ROUND(CASE WHEN {n_a} * {n_b} = 0 THEN 0.0 "
+        f"ELSE {dot_ab} / ({n_a} * {n_b}) END, 6)"
+    )
+    return f"""
+    WITH cent AS (SELECT cid, cemb FROM read_parquet('{path}/*.parquet')),
+    emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+    asg AS (SELECT vec_id, e, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                       ROUND(CASE WHEN {n_e} * {n_c} = 0 THEN 0.0
+                                  ELSE {dot_ec} / ({n_e} * {n_c})
+                             END, 6) DESC, cid) AS crn
+            FROM emb CROSS JOIN cent),
+    assign AS (SELECT vec_id, e, cid FROM asg WHERE crn = 1),
+    sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_cluster
+              FROM assign GROUP BY cid),
+    pair_stats AS (
+        SELECT a.vec_id AS vec_a,
+               MAX({pair_cos}) AS max_cos,
+               MAX(CASE WHEN {pair_cos} >= {SEMDEDUP_TAU}
+                         AND b.vec_id < a.vec_id THEN 1 ELSE 0 END)
+                   AS has_lower_dup
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id)
+    SELECT s.vec_id, s.cid, z.n_cluster, p.max_cos,
+           (COALESCE(p.max_cos, -1.0) >= {SEMDEDUP_TAU}) AS is_dup,
+           (COALESCE(p.has_lower_dup, 0) = 0) AS keep
+    FROM assign s
+    JOIN sizes z ON s.cid = z.cid
+    LEFT JOIN pair_stats p ON s.vec_id = p.vec_a
+    """
+
+
+DYNAMIC_ORACLES = {"dedup_semantic": _oracle_dedup_semantic}

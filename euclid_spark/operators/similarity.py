@@ -851,3 +851,54 @@ def _ann_lsh_sql() -> str:
 
 
 ORACLES["sim_ann_lsh"] = _ann_lsh_sql()
+
+
+def _oracle_ivf_topk(sf_dir: str) -> str:
+    """C12 hash-check (r9, VERDICT #2): the FITTED k-means model is an
+    INPUT TABLE — the oracle read_parquet()s the served centroids
+    artifact (the same file every fresh process probes from) and
+    replays the whole serving path in SQL: corpus→list assignment,
+    query→probe routing, candidate ranking, all with the same
+    ROUND(·,6) + id tiebreaks (C48's pinned-model gate generalized to
+    the real model). Only the Lloyd FIT stays engine-side, gated by
+    the recall-floor tests. The path is fingerprint-derived from the
+    corpus file stats, so it is computable before the artifact exists;
+    the gate's contract runs the Spark side (which serves the
+    artifact) before the SQL."""
+    path = os.path.join(
+        _ARTIFACT_DIR, f"ivf_centroids_{_corpus_fingerprint(sf_dir)}.parquet"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    cent AS (SELECT cid, cemb FROM read_parquet('{path}')),
+    asg AS (SELECT neighbor_id, ce, cid,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY
+                       ROUND(CASE WHEN {_NC} * {_N_CEMB} = 0 THEN 0.0
+                                  ELSE {_DOT_CC} / ({_NC} * {_N_CEMB})
+                             END, 6) DESC, cid) AS crn
+            FROM c CROSS JOIN cent),
+    assign AS (SELECT neighbor_id, ce, cid FROM asg WHERE crn = 1),
+    prb AS (SELECT query_id, qe, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       ROUND(CASE WHEN {_NQ} * {_N_CEMB} = 0 THEN 0.0
+                                  ELSE {_DOT_QC} / ({_NQ} * {_N_CEMB})
+                             END, 6) DESC, cid) AS crn
+            FROM q CROSS JOIN cent),
+    probes AS (SELECT query_id, qe, cid FROM prb WHERE crn <= {N_PROBE}),
+    scored AS (SELECT p.query_id, a.neighbor_id,
+                      ROUND(CASE WHEN {_NQ} * {_NC} = 0 THEN 0.0
+                                 ELSE {_DOT} / ({_NQ} * {_NC}) END, 6)
+                          AS cosine
+               FROM assign a JOIN probes p ON a.cid = p.cid)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+    FROM scored
+    QUALIFY rn <= {TOP_K}
+    """
+
+
+DYNAMIC_ORACLES = {"sim_ivf_topk": _oracle_ivf_topk}

@@ -87,8 +87,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-def oracles() -> dict[str, str]:
+def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Static ORACLES plus each module's DYNAMIC_ORACLES — generators
+    called with the corpus dir at lookup time. Dynamic oracles exist for
+    queries whose oracle takes a SERVED MODEL ARTIFACT as an input table
+    (read_parquet of the fitted k-means centroids): the artifact path is
+    corpus-fingerprint-keyed, so the SQL string depends on sf_dir. The
+    default is the driver's correctness-gate corpus. A generator that
+    raises (e.g. corpus missing) degrades that key to the rows-only
+    check instead of failing the whole lookup."""
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLES)
+        for k, gen in getattr(m, "DYNAMIC_ORACLES", {}).items():
+            try:
+                out[k] = gen(sf_dir)
+            except Exception:  # noqa: BLE001 — degrade to rows-only
+                out.pop(k, None)
     return out

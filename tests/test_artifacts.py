@@ -169,3 +169,20 @@ def test_merkle_tree_artifact_equals_inline(spark, tmp_path, monkeypatch):
         map(tuple, Mk.merkle_opening_paths(leaves, ["c_custkey"]).collect())
     )
     assert served == inline
+
+
+def test_dynamic_oracles_reference_served_model_artifacts():
+    """C12/C31 oracles take the FITTED model as an input table: the
+    generated SQL must read_parquet the fingerprint-keyed centroid
+    artifacts (and regenerate per corpus), so the serving path is
+    hash-checked with only the fit engine-side."""
+    from euclid_spark import registry
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        o = registry.oracles(sf)
+        assert "ivf_centroids_" in o["sim_ivf_topk"]
+        assert "semdedup_centroids_" in o["dedup_semantic"]
+    # different corpora -> different artifact keys in the SQL
+    a = registry.oracles("/root/testdata/sf0.001")["sim_ivf_topk"]
+    b = registry.oracles("/root/testdata/sf0.01")["sim_ivf_topk"]
+    assert a != b

@@ -56,7 +56,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, os_ = e.queries(), e.oracle_sql()
+    qs, os_ = e.queries(), e.oracle_sql(sf_dir)
     failures = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
