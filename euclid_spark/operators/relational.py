@@ -1422,14 +1422,107 @@ def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose cardinality grows with the data (l_extendedprice is ~unique per
 # row — at 100 TB an exact COUNT(DISTINCT) on it shuffles every key),
 # "exact" for the bounded-cardinality columns.
-_PROFILE_COLS = [
-    ("l_quantity", "num", "exact"),
-    ("l_extendedprice", "num", "sketch"),
-    ("l_discount", "num", "exact"),
-    ("l_returnflag", "str", "exact"),
-    ("l_linestatus", "str", "exact"),
-    ("l_shipdate", "ts", "exact"),
-]
+# B55 profile spec is DERIVED FROM THE SCHEMA (r9, VERDICT #3 — the r8
+# version hardcoded a lineitem column list): every primitive column of
+# the profiled table gets a (kind, auto-mode) from its type and name
+# alone. Cardinality is data knowledge the schema does not carry, so the
+# auto-mode prior errs toward sketch: a wrongly-EXACT choice costs a
+# full-width distinct shuffle at 100 TB, a wrongly-SKETCH choice merely
+# estimates what it could have counted. distinct_mode="exact" remains
+# the audit override that counts everything exactly.
+_PROFILE_PAYLOAD_RE = None  # compiled lazily below
+
+
+def _profile_auto_mode(name: str, t: str) -> str:
+    """Schema-only exact/sketch prior. `t` is the normalized type:
+    int | frac | ts | date | str.
+      - fractional numerics are measures → row-scaling → sketch;
+      - integral surrogate keys (*key / *_id / id) → sketch;
+      - other integrals (line numbers, small codes) → exact;
+      - µs timestamps are row-scaling by construction → sketch;
+        dates are calendar-bounded → exact;
+      - strings are categorical codes unless payload-named
+        (props/comment/json/…) → exact, payload → sketch."""
+    import re as _re
+
+    global _PROFILE_PAYLOAD_RE
+    if _PROFILE_PAYLOAD_RE is None:
+        _PROFILE_PAYLOAD_RE = _re.compile(
+            r"(props|comment|json|payload|body|text|desc|url|address|phone)",
+            _re.I,
+        )
+    low = name.lower()
+    if t == "frac":
+        return "sketch"
+    if t == "int":
+        return (
+            "sketch"
+            if low.endswith("key") or low.endswith("_id") or low == "id"
+            else "exact"
+        )
+    if t == "ts":
+        return "sketch"
+    if t == "date":
+        return "exact"
+    return "sketch" if _PROFILE_PAYLOAD_RE.search(low) else "exact"
+
+
+def profile_spec(fields: "list[tuple[str, str]]") -> "list[tuple[str, str, str]]":
+    """(column, kind, auto-mode) for every profilable column, from a
+    list of (name, normalized_type). kind collapses the type for the
+    profile branches: num (int|frac), ts (ts|date), str. Complex /
+    binary columns are skipped (not profilable in this long format).
+    Shared by the Spark side (fed from df.schema) and the DuckDB oracle
+    generator (fed from the parquet footer via pyarrow) so both derive
+    the identical spec from the identical schema."""
+    kind_of = {"int": "num", "frac": "num", "ts": "ts", "date": "ts"}
+    out = []
+    for name, t in fields:
+        if t not in ("int", "frac", "ts", "date", "str"):
+            continue
+        out.append((name, kind_of.get(t, "str"), _profile_auto_mode(name, t)))
+    return out
+
+
+_SPARK_TYPE_NORM = {
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "frac", "double": "frac",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+    "string": "str",
+}
+
+
+def _spec_from_spark_schema(schema) -> "list[tuple[str, str, str]]":
+    fields = []
+    for f in schema.fields:
+        tn = f.dataType.typeName()
+        if tn.startswith("decimal"):
+            tn = "double"  # scaled measure → fractional
+        fields.append((f.name, _SPARK_TYPE_NORM.get(tn, tn)))
+    return profile_spec(fields)
+
+
+def _spec_from_parquet(path: str) -> "list[tuple[str, str, str]]":
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    fields = []
+    for f in pq.ParquetFile(path).schema_arrow:
+        t = f.type
+        if pt.is_integer(t):
+            n = "int"
+        elif pt.is_floating(t) or pt.is_decimal(t):
+            n = "frac"
+        elif pt.is_timestamp(t):
+            n = "ts"
+        elif pt.is_date(t):
+            n = "date"
+        elif pt.is_string(t) or pt.is_large_string(t):
+            n = "str"
+        else:
+            n = "skip"
+        fields.append((f.name, n))
+    return profile_spec(fields)
 
 # linear-counting bitmap size for the profile's distinct estimates —
 # sized for ~10⁶ distinct keys at full precision (the B48 monoid at a
@@ -1465,7 +1558,10 @@ def _profile_lc_bit(col: F.Column, kind: str) -> F.Column:
     if kind == "num":
         u = F.floor(col * 1000000).cast("long")
     elif kind == "ts":
-        u = col.cast("timestamp").cast("long")  # epoch seconds (UTC session)
+        # epoch MICROS (r9): second-resolution collapsed distinct
+        # timestamps within a second once real µs columns (events.ts)
+        # joined the profiled set; µs is the native parquet resolution
+        u = F.unix_micros(col.cast("timestamp"))
     else:
         return F.when(
             col.isNotNull(),
@@ -1494,7 +1590,10 @@ def _profile_lc_estimate() -> F.Column:
 
 
 def table_profile(
-    spark: SparkSession, sf_dir: str, distinct_mode: str = "auto"
+    spark: SparkSession,
+    sf_dir: str,
+    distinct_mode: str = "auto",
+    table: str = "lineitem",
 ) -> DataFrame:
     """B55 — TABLE PROFILING (the ANALYZE-TABLE / data-quality-report
     shape every pipeline runs on ingest): per column, row count, null
@@ -1509,11 +1608,11 @@ def table_profile(
                   (the audit mode — what the sketch is tested against);
       - "sketch": every column gets the B48 linear-counting estimate
                   only (the 100 TB mode — no per-key shuffle anywhere);
-      - "auto" (default, the gate face): per-column choice from
-        _PROFILE_COLS — bounded-cardinality columns stay exact, the
-        row-scaling column (l_extendedprice, ~unique per row) is
-        sketched, so the profile's cost no longer contains ANY
-        full-width distinct shuffle.
+      - "auto" (default, the gate face): per-column choice DERIVED
+        FROM THE SCHEMA (profile_spec — type+name prior, r9): measures,
+        surrogate keys, µs timestamps and payload strings are sketched,
+        bounded codes stay exact, so the profile's cost contains NO
+        full-width distinct shuffle whatever table it is pointed at.
     Columns report `n_distinct` (exact modes), `distinct_est` (the LC
     estimate, sketch modes — the oracle replays its exact bit
     derivation, so the estimate itself is hash-checked) and `d_mode`.
@@ -1532,10 +1631,9 @@ def table_profile(
     m/64 word rows regardless of row count; min/max/mean one wide agg."""
     if distinct_mode not in ("auto", "exact", "sketch"):
         raise ValueError(f"distinct_mode must be auto|exact|sketch, got {distinct_mode!r}")
-    cols = [(c, kind, auto) for c, kind, auto in _PROFILE_COLS]
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        *[c for c, _, _ in cols]
-    )
+    src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    cols = _spec_from_spark_schema(src.schema)
+    li = src.select(*[c for c, _, _ in cols])
 
     as_text = _profile_text
     modes = {c: (auto if distinct_mode == "auto" else distinct_mode)
@@ -1670,6 +1768,16 @@ def table_profile(
     )
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55b — the generalized profiler pointed at a SECOND table with a
+    different shape (events: surrogate keys, a µs timestamp, a JSON
+    payload string): same long-format schema, spec fully derived from
+    the schema — event_id/user_id/value/ts/props sketch, event_type
+    exact — so the auto plan stays free of full-width distinct shuffles
+    on the row-scaling columns."""
+    return table_profile(spark, sf_dir, table="events")
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "rel_bloom_join_prune": bloom_join_prune,
@@ -1718,6 +1826,9 @@ QUERIES = {
     "tpch_q11_important_stock": q11_important_stock,
     "tpch_q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "tpch_q20_potential_promotion": q20_potential_promotion,
+    # appended (r9): keep the first-50 registry prefix stable — the
+    # driver's gate window covers euclid + the head of this dict
+    "rel_events_profile": events_profile,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -2348,22 +2459,25 @@ ORACLES["rel_cohort_retention"] = """
 """
 
 
-def _profile_sql() -> str:
+def _profile_sql(table: str, spec: "list[tuple[str, str, str]]") -> str:
     """B55 oracle: one SELECT per profiled column, UNION ALL into the
     same long format; min/max formatted AFTER aggregation with the
     same pinned representations (decimal(38,6) text / strftime); the
     LC distinct estimate replays the identical bit derivation
-    (integer fixed-point/epoch mix for num/ts, md5 for str)."""
+    (integer fixed-point/epoch-µs mix for num/ts, md5 for str). The
+    column spec is DERIVED from the parquet schema by the same
+    profile_spec the Spark side uses — generated per corpus via
+    DYNAMIC_ORACLES, never a hardcoded list."""
     from euclid_spark.functions.hashing import DIGEST_PRIME, MIX
 
     m = _PROFILE_LC_BITS
     parts = []
-    for c, kind, auto in _PROFILE_COLS:
+    for c, kind, auto in spec:
         if kind == "num":
             # (x % P + P) % P keeps the oracle total over signed inputs:
             # DuckDB % returns negative remainders for negatives while
             # Spark pmod never does — without the fold-up, any signed
-            # column added to _PROFILE_COLS would silently diverge
+            # column entering the derived spec would silently diverge
             bit = (
                 f"(((CAST(FLOOR({c} * 1000000) AS BIGINT) % {DIGEST_PRIME}"
                 f" + {DIGEST_PRIME}) % {DIGEST_PRIME})"
@@ -2371,13 +2485,19 @@ def _profile_sql() -> str:
             )
             mn = f"CAST(CAST(MIN({c}) AS DECIMAL(38,6)) AS VARCHAR)"
             mx = f"CAST(CAST(MAX({c}) AS DECIMAL(38,6)) AS VARCHAR)"
-            mean = (
-                f"CAST(ROUND(SUM(CAST({c} AS DECIMAL(38,6))) / COUNT({c}),"
-                f" 6) AS DOUBLE)"
-            )
+            # Spark divides decimals EXACTLY then rounds HALF_UP; DuckDB
+            # decimal division detours through DOUBLE and loses exact
+            # half-cases (l_tax mean hit one) — so replay the half-up
+            # quotient in integer micros: (2S+n)//(2n), sign-folded
+            su = f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) * 1000000 AS HUGEINT)"
+            cnt = f"COUNT({c})"
+            mean = f"""CAST(CASE WHEN {cnt} = 0 THEN NULL
+                 WHEN {su} >= 0 THEN (2 * {su} + {cnt}) // (2 * {cnt})
+                 ELSE -((-2 * {su} + {cnt}) // (2 * {cnt}))
+            END / 1000000.0 AS DOUBLE)"""
         elif kind == "ts":
             bit = (
-                f"(((CAST(epoch({c}) AS BIGINT) % {DIGEST_PRIME}"
+                f"(((CAST(epoch_us({c}) AS BIGINT) % {DIGEST_PRIME}"
                 f" + {DIGEST_PRIME}) % {DIGEST_PRIME})"
                 f" * {MIX}) % {DIGEST_PRIME} % {m}"
             )
@@ -2416,12 +2536,24 @@ def _profile_sql() -> str:
                      {nd} AS n_distinct,
                      {mn} AS min_s, {mx} AS max_s,
                      {mean} AS mean
-              FROM lineitem
+              FROM {table}
             ) s CROSS JOIN (
               SELECT {ns} AS n_set
-              FROM lineitem WHERE {c} IS NOT NULL
+              FROM {table} WHERE {c} IS NOT NULL
             ) b""")
     return " UNION ALL ".join(parts)
 
 
-ORACLES["rel_table_profile"] = _profile_sql()
+def _oracle_table_profile(table: str):
+    def gen(sf_dir: str) -> str:
+        return _profile_sql(
+            table, _spec_from_parquet(f"{sf_dir}/{table}.parquet")
+        )
+
+    return gen
+
+
+DYNAMIC_ORACLES = {
+    "rel_table_profile": _oracle_table_profile("lineitem"),
+    "rel_events_profile": _oracle_table_profile("events"),
+}

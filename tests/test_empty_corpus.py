@@ -71,7 +71,7 @@ EMPTY_OK = {
     "rel_event_dedup_window": 0,
     "graph_triangle_count": 0,
     "sim_ivf_pinned_topk": 0,
-    "rel_table_profile": 6,  # one profile row per column, zero counts
+    "rel_table_profile": 11,  # one profile row per column (schema-derived), zero counts
     "rel_ohlc_resample": 0,
     "dedup_source_overlap": 0,
     "mm_image_dhash": 0,

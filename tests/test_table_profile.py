@@ -13,11 +13,14 @@ import re
 import pytest
 
 from euclid_spark.operators.relational import (
-    _PROFILE_COLS,
     _PROFILE_LC_BITS,
+    _spec_from_parquet,
     table_profile,
 )
 from tests.conftest import SF_SMOKE
+
+# the derived lineitem spec — what _PROFILE_COLS used to hardcode
+_LINEITEM_SPEC = _spec_from_parquet(f"{SF_SMOKE}/lineitem.parquet")
 
 
 def _by_col(df):
@@ -31,7 +34,7 @@ def test_sketch_estimate_within_lc_error(spark):
     exact = _by_col(table_profile(spark, SF_SMOKE, "exact"))
     sketch = _by_col(table_profile(spark, SF_SMOKE, "sketch"))
     m = _PROFILE_LC_BITS
-    for c, _, _ in _PROFILE_COLS:
+    for c, _, _ in _LINEITEM_SPEC:
         d = exact[c]["n_distinct"]
         est = sketch[c]["distinct_est"]
         assert est is not None, f"{c}: sketch estimate missing"
@@ -45,7 +48,7 @@ def test_sketch_estimate_within_lc_error(spark):
 def test_modes_agree_on_row_local_stats(spark):
     auto = _by_col(table_profile(spark, SF_SMOKE))
     exact = _by_col(table_profile(spark, SF_SMOKE, "exact"))
-    for c, _, automode in _PROFILE_COLS:
+    for c, _, automode in _LINEITEM_SPEC:
         for k in ("n_rows", "n_nulls", "min_s", "max_s", "mean"):
             assert auto[c][k] == exact[c][k], (c, k)
         assert auto[c]["d_mode"] == automode
@@ -85,3 +88,48 @@ def test_auto_plan_has_no_highcard_distinct_shuffle(spark):
 def test_bad_mode_rejected(spark):
     with pytest.raises(ValueError, match="distinct_mode"):
         table_profile(spark, SF_SMOKE, "bogus")
+
+
+def test_spec_derivation_schema_only():
+    """The spec is derived, not listed: surrogate keys / measures / µs
+    timestamps / payload strings sketch; bounded codes stay exact."""
+    from euclid_spark.operators.relational import _spec_from_parquet
+
+    ev = dict(
+        (c, (k, m))
+        for c, k, m in _spec_from_parquet(f"{SF_SMOKE}/events.parquet")
+    )
+    assert ev["event_id"] == ("num", "sketch")      # *_id surrogate key
+    assert ev["user_id"] == ("num", "sketch")
+    assert ev["event_type"] == ("str", "exact")     # categorical code
+    assert ev["value"] == ("num", "sketch")         # fractional measure
+    assert ev["props"] == ("str", "sketch")         # JSON payload
+    assert ev["ts"] == ("ts", "sketch")             # µs row-scaling
+    li = dict(
+        (c, (k, m)) for c, k, m in _LINEITEM_SPEC
+    )
+    assert li["l_linenumber"] == ("num", "exact")   # small integral code
+    assert li["l_returnflag"] == ("str", "exact")
+    assert li["l_orderkey"] == ("num", "sketch")    # *key
+
+
+def test_events_profile_auto_plan_shuffle_clean(spark):
+    """The generalized face's contract: pointing the profiler at a table
+    with row-scaling keys and a JSON payload must NOT introduce a
+    full-width distinct shuffle — no HashAggregate keyed on any sketched
+    column; only event_type's bounded exact branch aggregates values."""
+    import re as _re
+
+    from euclid_spark.operators.relational import events_profile
+
+    plan = (
+        events_profile(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    keys = _re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    for bad in ("event_id", "user_id", "props", "value", "ts"):
+        offenders = [k for k in keys if bad in k]
+        assert not offenders, (bad, offenders)
+    assert any("word_idx" in k for k in keys)
