@@ -75,6 +75,30 @@ def _range(
     return load_events(spark, sf_dir, t_min or T_MIN, t_max or T_MAX)
 
 
+# The CONTRACT-ADDRESS public input analog (r9, VERDICT #4): reference
+# query inputs carry the contract whose storage is queried
+# (query2/api.rs, query_erc20/api.rs); here each event_type plays one
+# contract's entry stream. CONTRACT is the pinned default; every
+# param-API query takes `contract=` to target another one.
+CONTRACT = "purchase"
+
+
+def _qualifying(
+    spark: SparkSession,
+    sf_dir: str,
+    t_min: "str | None" = None,
+    t_max: "str | None" = None,
+    contract: "str | None" = None,
+) -> DataFrame:
+    """The range-pruned scan narrowed to ONE contract's mapping entries
+    — the (block range × contract address) input every reference query
+    binds (query2/api.rs CircuitInput carries the contract; the MPT
+    walk only opens that contract's storage trie)."""
+    return _range(spark, sf_dir, t_min, t_max).filter(
+        F.col("event_type") == (CONTRACT if contract is None else contract)
+    )
+
+
 def block_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — filtered range scan ≈ MPT mapping-entry extraction at a block
     (storage/mapping/): emit the (owner, key, value) tuples in range."""
@@ -96,15 +120,15 @@ def q2_distinct_keys(
     t_min: "str | None" = None,
     t_max: "str | None" = None,
     owner: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A2 — Query2 semantics (query2/revelation): the DISTINCT set of
     mapping keys seen for each owner across the block range. Set-union is
     the aggregation monoid, exactly as the circuit unions NFT-id sets up
     the (storage × block) tree. Public parameterized surface
-    (t_min, t_max, owner) — defaults are the pinned gate face."""
-    ev = _range(spark, sf_dir, t_min, t_max).filter(
-        F.col("event_type") == "purchase"
-    )
+    (t_min, t_max, owner, contract) — defaults are the pinned gate face;
+    `contract` is the contract-address input of query2/api.rs."""
+    ev = _qualifying(spark, sf_dir, t_min, t_max, contract)
     if owner is not None:
         ev = ev.filter(F.col("user_id") == owner)
     return ev.select(
@@ -140,6 +164,7 @@ def q2_revelation_topl(
     t_min: "str | None" = None,
     t_max: "str | None" = None,
     L: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A3 — revelation step: one owner, bounded to L results in canonical
     key order (RevelationInput sorts mapping keys; revelation/mod.rs:70).
@@ -147,13 +172,13 @@ def q2_revelation_topl(
     NULL keys are excluded (consistent with A11/A12; Spark sorts NULLS
     FIRST vs DuckDB NULLS LAST, so an unfiltered NULL would silently skew
     the top-L set). Every result row carries the provenance columns.
-    Public parameterized surface (owner, t_min, t_max, L) — defaults are
-    the pinned gate face, exactly like the reference's RevelationInput
-    takes (contract, owner, range) per query."""
+    Public parameterized surface (owner, t_min, t_max, L, contract) —
+    defaults are the pinned gate face, exactly like the reference's
+    RevelationInput takes (contract, owner, range) per query."""
     owner = OWNER if owner is None else int(owner)
     L = TOP_L if L is None else int(L)
     top = (
-        q2_distinct_keys(spark, sf_dir, t_min, t_max, owner=owner)
+        q2_distinct_keys(spark, sf_dir, t_min, t_max, owner=owner, contract=contract)
         .filter(F.col("token_id").isNotNull())
         .select("token_id")
         .orderBy("token_id")
@@ -170,17 +195,17 @@ def erc20_weighted_sum(
     t_min: "str | None" = None,
     t_max: "str | None" = None,
     rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A4 — query_erc20: per entry compute value * rewards_rate / supply
     with an explicit zero-supply guard (query_erc20/storage/leaf.rs:88-106
     multiplies then guards overflow/div-by-zero), then SUM over the block
     range per owner. Single scan, map-side partial sums. Public
-    parameterized surface (t_min, t_max, rewards_rate) — the rate is a
-    per-query public input in the reference (public_inputs.rs)."""
+    parameterized surface (t_min, t_max, rewards_rate, contract) — rate
+    and contract are per-query public inputs in the reference
+    (public_inputs.rs; query_erc20/api.rs)."""
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
-    ev = _range(spark, sf_dir, t_min, t_max).filter(
-        F.col("event_type") == "purchase"
-    )
+    ev = _qualifying(spark, sf_dir, t_min, t_max, contract)
     supply = _token_id()  # per-row divisor analog (may be 0 or NULL)
     term = (
         F.when(supply.isNull() | (supply == 0), F.lit(0.0))
@@ -444,12 +469,13 @@ def erc20_entry_rows(
     spark: SparkSession,
     sf_dir: str,
     rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
-    """Per-entry ERC-20 u256 leaf rewards over the in-range purchase
-    scan — shared leaf stage of A13 (which limb-sums it per owner) and
-    the ERC-20 verifiable response (which commits the entries to a
-    Merkle tree; operators/merkle.py)."""
-    ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    """Per-entry ERC-20 u256 leaf rewards over the in-range entry scan
+    of ONE contract — shared leaf stage of A13 (which limb-sums it per
+    owner) and the ERC-20 verifiable response (which commits the
+    entries to a Merkle tree; operators/merkle.py)."""
+    ev = _qualifying(spark, sf_dir, contract=contract)
     return erc20_leaf_rows(ev, rewards_rate)
 
 
@@ -457,6 +483,7 @@ def erc20_weighted_sum_u256(
     spark: SparkSession,
     sf_dir: str,
     rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A4u — the ERC-20 query in FULL 256-bit integer arithmetic, matching
     query_erc20/storage/leaf.rs:88-106 exactly: per entry compute
@@ -500,7 +527,7 @@ def erc20_weighted_sum_u256(
     )
 
     return _owner_rewards_from_leaves(
-        erc20_entry_leaves(spark, sf_dir, rewards_rate)
+        erc20_entry_leaves(spark, sf_dir, rewards_rate, contract=contract)
     )
 
 

@@ -550,16 +550,21 @@ def _oracle_batch_responses() -> str:
     """
 
 
-def _erc20_fp(sf_dir: str, rewards_rate: "int | None" = None) -> str:
+def _erc20_fp(
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
+) -> str:
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import REWARDS_RATE
+    from euclid_spark.operators.euclid import CONTRACT, REWARDS_RATE
 
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
-    # the rate is baked into the leaf rewards (exactly as the reference
-    # bakes it into the leaf proofs), so each rate keys its own artifact
+    # rate AND contract are baked into the leaf rewards (exactly as the
+    # reference bakes them into the leaf proofs — each contract has its
+    # own storage DB), so each (rate, contract) keys its own artifact
     return artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"], op="erc20_entry_tree", v=2, rate=rate,
-        layout="owner_v2",
+        layout="owner_v2", contract=CONTRACT if contract is None else contract,
     )
 
 
@@ -567,6 +572,7 @@ def erc20_entry_leaves(
     spark: SparkSession,
     sf_dir: str,
     rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """The per-owner ERC-20 CONTRIBUTING-ENTRY leaf table as a
     fingerprint-keyed DISK ARTIFACT. Each leaf commits one in-range
@@ -584,7 +590,7 @@ def erc20_entry_leaves(
     from euclid_spark.operators.euclid import erc20_entry_rows
 
     def build_leaves() -> DataFrame:
-        rows = erc20_entry_rows(spark, sf_dir, rewards_rate)
+        rows = erc20_entry_rows(spark, sf_dir, rewards_rate, contract)
         entry_hex = u256_to_hex(
             (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
         )
@@ -611,7 +617,8 @@ def erc20_entry_leaves(
         )
 
     return artifacts.serve_frame(
-        spark, "erc20_entry_leaves", _erc20_fp(sf_dir, rewards_rate),
+        spark, "erc20_entry_leaves",
+        _erc20_fp(sf_dir, rewards_rate, contract),
         build_leaves,
     )
 
@@ -620,16 +627,17 @@ def _erc20_entry_tree(
     spark: SparkSession,
     sf_dir: str,
     rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ):
     """Leaves + all tree levels (the query_erc20 twin of
     _owner_token_tree). Returns (leaves, nodes, depth)."""
     from euclid_spark import artifacts
 
-    leaves = erc20_entry_leaves(spark, sf_dir, rewards_rate)
+    leaves = erc20_entry_leaves(spark, sf_dir, rewards_rate, contract)
     nodes = artifacts.serve_frame(
         spark,
         "erc20_entry_nodes",
-        _erc20_fp(sf_dir, rewards_rate),
+        _erc20_fp(sf_dir, rewards_rate, contract),
         lambda: merkle_levels(
             persist_tracked(leaves).select("group_key", "pos", "node_hash")
         )[0]

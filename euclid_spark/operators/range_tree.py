@@ -275,12 +275,17 @@ def range_tree_agg(
 from euclid_spark.operators.euclid import TOP_L as Q2_L  # noqa: E402
 
 
-def _q2_entries(ev: DataFrame) -> DataFrame:
-    """Qualifying mapping entries: the Query2 extraction filter (purchase
-    events carrying a mapping key), shared by build and edge scans."""
+def _q2_entries(ev: DataFrame, contract: "str | None" = None) -> DataFrame:
+    """Qualifying mapping entries: the Query2 extraction filter (one
+    contract's events carrying a mapping key — the contract-address
+    input of query2/api.rs), shared by build and edge scans."""
+    from euclid_spark.operators.euclid import CONTRACT
+
     tok = F.get_json_object("props", "$.k").cast("long")
     return (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(
+            F.col("event_type") == (CONTRACT if contract is None else contract)
+        )
         .select(
             "event_id",
             F.col("user_id").alias("owner"),
@@ -321,7 +326,9 @@ def _q2_fold_up(lvl: DataFrame) -> DataFrame:
     )
 
 
-def build_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_q2_key_tree(
+    spark: SparkSession, sf_dir: str, contract: "str | None" = None
+) -> DataFrame:
     """All levels of the per-owner key tree. Depth is sized to the FULL
     block space (max event_id over all events), not just qualifying
     cells, so any [b_min, b_max) cover stays ≤ 2 tiles per level."""
@@ -331,7 +338,7 @@ def build_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     mb = ev.agg(F.max("event_id")).collect()[0][0]  # one-row fetch
     n_cells = (int(mb or 0) // TILE_SIZE) + 1
     depth = max(1, math.ceil(math.log2(n_cells))) if n_cells > 1 else 1
-    lvl = _q2_leaf_tiles(_q2_entries(ev))
+    lvl = _q2_leaf_tiles(_q2_entries(ev, contract))
     out = [lvl.withColumn("level", F.lit(0))]
     for k in range(1, depth + 1):
         lvl = _q2_fold_up(lvl)
@@ -342,7 +349,9 @@ def build_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("level", "cell", "owner", "keys")
 
 
-def serve_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def serve_q2_key_tree(
+    spark: SparkSession, sf_dir: str, contract: "str | None" = None
+) -> DataFrame:
     """The key tree served OWNER-CLUSTERED: range-partitioned and
     sorted by (owner, level, cell) before the write, so parquet
     row-group min/max stats on `owner` let a single-owner revelation
@@ -351,14 +360,16 @@ def serve_q2_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a scan of every owner's tiles (the layout story D18/D26 tell
     for the block dimension, applied to the query's OTHER key)."""
     from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import CONTRACT
 
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"],
         op="q2_key_tree", tile=TILE_SIZE, L=Q2_L, layout="owner_v2",
+        contract=CONTRACT if contract is None else contract,
     )
 
     def build() -> DataFrame:
-        t = build_q2_key_tree(spark, sf_dir)
+        t = build_q2_key_tree(spark, sf_dir, contract)
         return t.repartitionByRange(8, "owner").sortWithinPartitions(
             "owner", "level", "cell"
         )
@@ -376,22 +387,24 @@ def q2_range_tree_topl(
     b_min: "int | None" = None,
     b_max: "int | None" = None,
     L: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A26 — Query2 answered from the tile tree in O(log range): per-owner
     first-L distinct mapping keys over [b_min, b_max), read from the
     canonical cover (≤ 2 tiles/level) plus two < TILE_SIZE edge scans
     pushed to the events scan. The public parameterized surface —
-    (owner, b_min, b_max, L) — with the pinned gate face as one
-    instantiation (owner=None → all owners; bounds default to the ⅕/⅘
-    probe range). L must be ≤ the tree's baked reveal bound Q2_L,
-    exactly as the circuit's L is fixed at setup."""
+    (owner, b_min, b_max, L, contract) — with the pinned gate face as
+    one instantiation (owner=None → all owners; bounds default to the
+    ⅕/⅘ probe range). L must be ≤ the tree's baked reveal bound Q2_L,
+    exactly as the circuit's L is fixed at setup; each contract serves
+    its own key-tile tree (one storage DB per contract)."""
     L = Q2_L if L is None else int(L)
     if L > Q2_L:
         raise ValueError(
             f"L={L} exceeds the tile tree's baked reveal bound {Q2_L}; "
             "rebuild the tree with a larger Q2_L (the circuit-setup analog)"
         )
-    tiles = serve_q2_key_tree(spark, sf_dir)
+    tiles = serve_q2_key_tree(spark, sf_dir, contract)
     ml = tiles.agg(F.max("level")).collect()[0][0]  # bounded fetch
     if ml is None:  # no qualifying entries anywhere
         return spark.createDataFrame([], _Q2_EMPTY)
@@ -435,7 +448,7 @@ def q2_range_tree_topl(
                 for lo, hi in edges
             ],
         )
-        e = _q2_entries(load_events(spark, sf_dir)).filter(econd)
+        e = _q2_entries(load_events(spark, sf_dir), contract).filter(econd)
         if owner is not None:
             e = e.filter(F.col("owner") == owner)
         parts.append(
@@ -481,25 +494,34 @@ def q2_range_tree_topl(
 
 
 def serve_erc20_all_entry_leaves(
-    spark: SparkSession, sf_dir: str, rewards_rate: "int | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
-    """Per-entry leaf-circuit rewards over ALL purchase entries (the
-    un-range-restricted sibling of merkle.erc20_entry_leaves — the
+    """Per-entry leaf-circuit rewards over ALL of one contract's entries
+    (the un-range-restricted sibling of merkle.erc20_entry_leaves — the
     block dimension is the QUERY parameter here), BLOCK-CLUSTERED at
     write so edge scans push their event_id range to the parquet
     row groups."""
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import REWARDS_RATE, erc20_leaf_rows
+    from euclid_spark.operators.euclid import (
+        CONTRACT,
+        REWARDS_RATE,
+        erc20_leaf_rows,
+    )
 
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"],
         op="erc20_all_entry_leaves", rate=rate, tile=TILE_SIZE,
+        contract=CONTRACT if contract is None else contract,
     )
 
     def build() -> DataFrame:
         ev = load_events(spark, sf_dir).filter(
-            F.col("event_type") == "purchase"
+            F.col("event_type")
+            == (CONTRACT if contract is None else contract)
         )
         rows = erc20_leaf_rows(ev, rewards_rate)
         return (
@@ -541,7 +563,10 @@ def _erc20_fold_up(lvl: DataFrame) -> DataFrame:
 
 
 def build_erc20_reward_tree(
-    spark: SparkSession, sf_dir: str, rewards_rate: "int | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     import math
 
@@ -549,7 +574,7 @@ def build_erc20_reward_tree(
     mb = ev.agg(F.max("event_id")).collect()[0][0]  # one-row fetch
     n_cells = (int(mb or 0) // TILE_SIZE) + 1
     depth = max(1, math.ceil(math.log2(n_cells))) if n_cells > 1 else 1
-    leaves = serve_erc20_all_entry_leaves(spark, sf_dir, rewards_rate)
+    leaves = serve_erc20_all_entry_leaves(spark, sf_dir, rewards_rate, contract)
     lvl = _erc20_tile_agg(leaves, ["cell", "owner"])
     out = [lvl.withColumn("level", F.lit(0))]
     for k in range(1, depth + 1):
@@ -565,21 +590,25 @@ def build_erc20_reward_tree(
 
 
 def serve_erc20_reward_tree(
-    spark: SparkSession, sf_dir: str, rewards_rate: "int | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import REWARDS_RATE
+    from euclid_spark.operators.euclid import CONTRACT, REWARDS_RATE
 
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"],
         op="erc20_reward_tree", rate=rate, tile=TILE_SIZE,
+        contract=CONTRACT if contract is None else contract,
     )
     return artifacts.serve_frame(
         spark,
         "erc20_reward_tiles",
         fp,
-        lambda: build_erc20_reward_tree(spark, sf_dir, rewards_rate)
+        lambda: build_erc20_reward_tree(spark, sf_dir, rewards_rate, contract)
         .repartitionByRange(8, "owner")
         .sortWithinPartitions("owner", "level", "cell"),
     )
@@ -598,6 +627,7 @@ def erc20_range_tree_reward(
     b_min: "int | None" = None,
     b_max: "int | None" = None,
     rewards_rate: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A29 — the ERC-20 reward over an ARBITRARY block range in
     O(log range): per-owner ⌊balance·rate/supply⌋ u256 totals for
@@ -605,10 +635,11 @@ def erc20_range_tree_reward(
     scans of the block-clustered entry-leaf artifact — with A25/A26
     this makes BOTH reference query families answerable from tiles
     over any range. Parameterized (owner, b_min, b_max, rewards_rate);
-    the pinned face is all owners over the ⅕..⅘ probe range."""
+    the pinned face is all owners over the ⅕..⅘ probe range; each
+    contract serves its own reward tile tree."""
     from euclid_spark.functions.u256 import u256_carry_hex
 
-    tiles = serve_erc20_reward_tree(spark, sf_dir, rewards_rate)
+    tiles = serve_erc20_reward_tree(spark, sf_dir, rewards_rate, contract)
     ml = tiles.agg(F.max("level")).collect()[0][0]  # bounded fetch
     if ml is None:
         return spark.createDataFrame([], _ERC20_EMPTY)
@@ -656,9 +687,9 @@ def erc20_range_tree_reward(
                 for lo, hi in edges
             ],
         )
-        e = serve_erc20_all_entry_leaves(spark, sf_dir, rewards_rate).filter(
-            econd
-        )
+        e = serve_erc20_all_entry_leaves(
+            spark, sf_dir, rewards_rate, contract
+        ).filter(econd)
         if owner is not None:
             e = e.filter(F.col("owner") == owner)
         parts.append(

@@ -16,6 +16,7 @@ from euclid_spark.operators import (
     cdc,
     cms_range,
     components,
+    contract_param,
     skew,
     curation,
     dedup,
@@ -56,6 +57,7 @@ _MODULES = [
     distinct_sketch,
     timeseries,
     cms_range,
+    contract_param,  # last: keeps the driver's first-50 key prefix stable
 ]
 
 def _with_session_confs(

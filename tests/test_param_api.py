@@ -156,3 +156,53 @@ def test_sim_range_search_params(spark):
     }
     assert tight_pairs <= face_pairs
     assert len(tight_pairs) < len(face_pairs)
+
+
+def test_contract_param_pinned_equals_face(spark):
+    """The contract-address input (r9): contract=None ≡ the pinned
+    CONTRACT on every param-API entry point, and a non-default contract
+    actually changes the scanned entry stream."""
+    from euclid_spark.operators.euclid import (
+        CONTRACT,
+        erc20_weighted_sum,
+        q2_distinct_keys,
+    )
+
+    pinned = _rows(q2_distinct_keys(spark, SF_SMOKE))
+    explicit = _rows(q2_distinct_keys(spark, SF_SMOKE, contract=CONTRACT))
+    assert pinned == explicit
+    alt = _rows(q2_distinct_keys(spark, SF_SMOKE, contract="click"))
+    assert alt != pinned
+    assert _rows(erc20_weighted_sum(spark, SF_SMOKE)) == _rows(
+        erc20_weighted_sum(spark, SF_SMOKE, contract=CONTRACT)
+    )
+
+
+def test_contract_param_through_tile_artifacts(spark):
+    """The deepest thread: a non-default contract must serve ITS OWN
+    key-tile tree (per-contract fingerprint) and answer A26 from it —
+    equal to recomputing A2 over that contract's entries in range."""
+    from euclid_spark.operators.contract_param import (
+        ALT_CONTRACT,
+        q2_range_tree_topl_alt,
+    )
+    from euclid_spark.operators.euclid import CONTRACT, q2_distinct_keys
+    from euclid_spark.operators.range_tree import q2_range_tree_topl
+
+    face = q2_range_tree_topl_alt(spark, SF_SMOKE)
+    rows = face.collect()
+    assert rows, "alt-contract tile face returned nothing"
+    b_min = rows[0]["b_min"]
+    b_max = rows[0]["b_max"]
+    # pinned ≡ explicit through the tile path too
+    assert _rows(q2_range_tree_topl(spark, SF_SMOKE)) == _rows(
+        q2_range_tree_topl(spark, SF_SMOKE, contract=CONTRACT)
+    )
+    # the alt tree's revealed keys differ from the pinned contract's
+    pinned_rows = q2_range_tree_topl(
+        spark, SF_SMOKE, b_min=b_min, b_max=b_max
+    ).collect()
+    assert {(r["owner"], r["token_id"]) for r in rows} != {
+        (r["owner"], r["token_id"]) for r in pinned_rows
+    }
+    assert ALT_CONTRACT != CONTRACT
