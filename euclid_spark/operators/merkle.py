@@ -348,6 +348,8 @@ def verifiable_query_response(
     sf_dir: str,
     owner: "int | None" = None,
     L: "int | None" = None,
+    b_min: "int | None" = None,
+    b_max: "int | None" = None,
 ) -> DataFrame:
     """A20 — the END DELIVERABLE of the reference's query phase, as one
     row set: a VERIFIABLE QUERY RESPONSE (what the groth16 final proof
@@ -368,13 +370,24 @@ def verifiable_query_response(
     on the same owner/token columns; provenance is a broadcast one-row
     aggregate; the top-L is ORDER BY + LIMIT (TakeOrderedAndProject).
     Oracle: the A3 result CTE plugged into the generic chained-CTE
-    merkle construction (merkle_proof_sql), provenance cross-joined."""
+    merkle construction (merkle_proof_sql), provenance cross-joined.
+
+    r9: pass (b_min, b_max) to get the ARBITRARY-RANGE verifiable
+    response instead — answered in O(log range + |result|) from the
+    per-tile subtree-root commitments (operators/range_response.py,
+    which documents the element/fold schema that response carries)."""
     from euclid_spark.operators.euclid import (
         OWNER,
         TOP_L,
         _range_provenance,
     )
 
+    if b_min is not None or b_max is not None:
+        from euclid_spark.operators.range_response import q2_range_response
+
+        return q2_range_response(
+            spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max, L=L
+        )
     owner = OWNER if owner is None else int(owner)
     L = TOP_L if L is None else int(L)
     # the single-owner response is a FILTER of the all-owner tree
@@ -686,6 +699,9 @@ def erc20_verifiable_response(
     owner: "int | None" = None,
     L: "int | None" = None,
     rewards_rate: "int | None" = None,
+    b_min: "int | None" = None,
+    b_max: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A23 — the ERC-20 VERIFIABLE RESPONSE, the A20 twin for the
     reference's second query family (query_erc20/revelation/{mod.rs,
@@ -707,7 +723,11 @@ def erc20_verifiable_response(
     artifact (per-owner subtrees share nothing), so the served tree
     answers both this and the batched face. Oracle: the per-entry
     HUGEINT leaf CTE plugged into the leaf-pluggable merkle_proof_sql
-    + A13's reward oracle + the provenance cross join."""
+    + A13's reward oracle + the provenance cross join.
+
+    r9: pass (b_min, b_max) for the ARBITRARY-RANGE verifiable response
+    (operators/range_response.py — tile-cover commitment, its own
+    element/fold schema)."""
     from euclid_spark.operators.euclid import (
         OWNER,
         REWARDS_RATE,
@@ -715,10 +735,19 @@ def erc20_verifiable_response(
         _range_provenance,
     )
 
+    if b_min is not None or b_max is not None:
+        from euclid_spark.operators.range_response import (
+            erc20_range_response,
+        )
+
+        return erc20_range_response(
+            spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max, L=L,
+            rewards_rate=rewards_rate, contract=contract,
+        )
     owner = OWNER if owner is None else int(owner)
     L = TOP_L if L is None else int(L)
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
-    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir, rewards_rate)
+    leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir, rewards_rate, contract)
     owner_leaves = leaves.filter(F.col("group_key") == owner)
     paths = merkle_opening_paths(
         owner_leaves.drop("zs", "of"),

@@ -27,6 +27,7 @@ from euclid_spark.operators import (
     multimodal,
     preprocessing,
     quantile_sketch,
+    range_response,
     range_tree,
     relational,
     similarity,
@@ -57,7 +58,8 @@ _MODULES = [
     distinct_sketch,
     timeseries,
     cms_range,
-    contract_param,  # last: keeps the driver's first-50 key prefix stable
+    contract_param,   # } last: keep the driver's first-50 key prefix stable
+    range_response,   # }
 ]
 
 def _with_session_confs(

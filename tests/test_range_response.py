@@ -1,0 +1,202 @@
+"""Arbitrary-range verifiable responses (A30-A33): the response for ANY
+(owner, b_min, b_max) must carry self-verifying openings — leaf →
+element → header-bound root — and equal the reference semantics (A26's
+revealed set / A23's entry order). Tamper flips the verdict."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from euclid_spark.operators.range_response import (
+    erc20_range_response,
+    q2_range_response,
+    verify_erc20_range_response,
+    verify_q2_range_response,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _refold(leaf: str, path: str) -> str:
+    acc = leaf.encode()
+    for step in [s for s in path.split("/") if s]:
+        tag, sib = step.split(":")
+        if tag[-1] == "R":
+            acc = hashlib.sha256(acc + sib.encode()).hexdigest().encode()
+        else:
+            acc = hashlib.sha256(sib.encode() + acc).hexdigest().encode()
+    return acc.decode()
+
+
+def _check_rows(rows, family: str):
+    """Full client-side verification of a response row set."""
+    assert rows
+    elems = rows[0]["elements"].split("/") if rows[0]["elements"] else []
+    hdr = (
+        f"hdr:{rows[0]['b_min']}:{rows[0]['b_max']}:{rows[0]['owner']}"
+        + (f":{rows[0]['rewards_rate']}" if family == "erc20" else "")
+    )
+    acc = hashlib.sha256(hdr.encode()).hexdigest().encode()
+    for e in elems:
+        acc = hashlib.sha256(acc + e.encode()).hexdigest().encode()
+    assert acc.decode() == rows[0]["response_root"], "root chain"
+    for r in rows:
+        payload = (
+            f"{r['event_id']}:{r['entry_reward_hex']}"
+            if family == "erc20"
+            else str(r["token_id"])
+        )
+        assert (
+            hashlib.sha256(payload.encode()).hexdigest() == r["leaf_hash"]
+        ), "leaf"
+        assert _refold(r["leaf_hash"], r["path"]) == r["elem_hash"], "path"
+        assert elems[r["elem_idx"]] == r["elem_hash"], "elem idx"
+
+
+def test_pinned_faces_self_verify(spark):
+    _check_rows(q2_range_response(spark, SF_SMOKE).collect(), "q2")
+    _check_rows(erc20_range_response(spark, SF_SMOKE).collect(), "erc20")
+
+
+def test_arbitrary_ranges_verify_and_match_tiles(spark):
+    """Randomized (owner, b_min, b_max): every response self-verifies
+    and the revealed q2 keys equal the tile-tree query's first-L."""
+    from euclid_spark.operators.range_tree import q2_range_tree_topl
+
+    rng = random.Random(99)
+    for _ in range(4):
+        b_min = rng.randint(0, 800)
+        b_max = b_min + rng.randint(1, 900)
+        owner = rng.choice([3, 7])
+        q = q2_range_response(
+            spark, SF_SMOKE, owner=owner, b_min=b_min, b_max=b_max
+        ).collect()
+        ref = [
+            r["token_id"]
+            for r in q2_range_tree_topl(
+                spark, SF_SMOKE, owner=owner, b_min=b_min, b_max=b_max
+            ).collect()
+        ]
+        got = sorted(r["token_id"] for r in q)
+        assert got == ref[: len(got)], (owner, b_min, b_max)
+        if q:
+            _check_rows(q, "q2")
+        e = erc20_range_response(
+            spark, SF_SMOKE, owner=owner, b_min=b_min, b_max=b_max
+        ).collect()
+        for r in e:
+            assert b_min <= r["event_id"] < b_max
+        if e:
+            _check_rows(e, "erc20")
+            # revealed entries are the FIRST L in block order
+            ids = [r["event_id"] for r in sorted(e, key=lambda r: r["event_id"])]
+            assert ids == sorted(ids)
+
+
+def test_edge_only_and_empty_ranges(spark):
+    """A range inside one cell is answered entirely from edge leaves
+    (empty paths, each leaf its own element); an empty range yields an
+    empty typed frame."""
+    q = q2_range_response(spark, SF_SMOKE, owner=7, b_min=300, b_max=340)
+    rows = q.collect()
+    for r in rows:
+        assert r["path"] == ""
+        assert r["elem_hash"] == r["leaf_hash"]
+    if rows:
+        _check_rows(rows, "q2")
+    empty = q2_range_response(spark, SF_SMOKE, owner=7, b_min=10, b_max=10)
+    assert empty.count() == 0
+
+
+def test_l_bounds_reveal(spark):
+    two = erc20_range_response(spark, SF_SMOKE, L=2).collect()
+    five = erc20_range_response(spark, SF_SMOKE).collect()
+    assert len(two) == 2 and len(five) == 5
+    # L=2 reveals exactly the first 2 entries (block order) of the L=5 set
+    assert {r["event_id"] for r in two} == set(
+        sorted(r["event_id"] for r in five)[:2]
+    )
+    # the response root is range-level: independent of L
+    assert two[0]["response_root"] == five[0]["response_root"]
+
+
+def test_verifier_faces_all_valid(spark):
+    for face in (verify_q2_range_response, verify_erc20_range_response):
+        rows = face(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert r["leaf_ok"] and r["elem_ok"] and r["root_ok"], r
+            assert r["commit_ok"] and r["valid"], r
+
+
+@pytest.mark.parametrize(
+    "mutation,broken",
+    [
+        # payload tamper → leaf_ok
+        (lambda d: d.withColumn("event_id", F.col("event_id") + 1), "leaf_ok"),
+        # path tamper → elem_ok (refold diverges)
+        (
+            lambda d: d.withColumn(
+                "path",
+                F.when(F.col("path") == "", F.lit("0R:" + "ab" * 32)).otherwise(
+                    F.concat(F.substring("path", 1, 3), F.lit("ff"),
+                             F.expr("substring(path, 6)"))
+                ),
+            ),
+            "elem_ok",
+        ),
+        # element-list tamper → root_ok (chain re-derivation diverges)
+        (
+            lambda d: d.withColumn(
+                "elements",
+                F.concat(F.lit("ff"), F.expr("substring(elements, 3)")),
+            ),
+            "root_ok",
+        ),
+        # bound tamper → root_ok (header is part of the chain)
+        (lambda d: d.withColumn("b_min", F.col("b_min") + 1), "root_ok"),
+        (
+            lambda d: d.withColumn("rewards_rate", F.col("rewards_rate") + 1),
+            "root_ok",
+        ),
+        # root tamper → root_ok and commit_ok
+        (
+            lambda d: d.withColumn("response_root", F.sha2("response_root", 256)),
+            "root_ok",
+        ),
+    ],
+)
+def test_tamper_flips_verdict(spark, mutation, broken):
+    """Every tamper class breaks its verdict column. Verification logic
+    applied directly to the mutated frame (same exprs as the face)."""
+    from euclid_spark.operators.merkle import _refold_to_root
+    from euclid_spark.operators.range_response import _sql_fold
+
+    resp = mutation(erc20_range_response(spark, SF_SMOKE))
+    payload = F.concat_ws(
+        ":", F.col("event_id").cast("string"), "entry_reward_hex"
+    )
+    seed = F.sha2(
+        F.concat_ws(
+            ":", F.lit("hdr"), F.col("b_min").cast("string"),
+            F.col("b_max").cast("string"), F.col("owner").cast("string"),
+            F.col("rewards_rate").cast("string"),
+        ),
+        256,
+    )
+    checked = resp.select(
+        (F.sha2(payload, 256) == F.col("leaf_hash")).alias("leaf_ok"),
+        (
+            (_refold_to_root(F.col("leaf_hash"), F.col("path"))
+             == F.col("elem_hash"))
+            & (F.get(F.split("elements", "/"), F.col("elem_idx"))
+               == F.col("elem_hash"))
+        ).alias("elem_ok"),
+        (_sql_fold(seed, F.col("elements")) == F.col("response_root")).alias(
+            "root_ok"
+        ),
+    ).collect()
+    assert any(not r[broken] for r in checked), (broken, checked)

@@ -29,7 +29,7 @@ from euclid_spark.cache import release_all
 from euclid_spark.session import get_session
 
 SF = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = 10  # override with --replicas N (e.g. 100 for two-decade probes)
 DEFAULT_OPS = [
     "text_bm25_topk",
     "text_rag_chunks",
@@ -40,10 +40,12 @@ DEFAULT_OPS = [
 ]
 
 
-def build_10x(spark, out_dir: str, scale_events: bool = False) -> None:
+def build_10x(
+    spark, out_dir: str, scale_events: bool = False, replicas: int = REPLICAS
+) -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
     big = docs.join(reps).select(
         (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
         *[c for c in docs.columns if c != "doc_id"],
@@ -85,6 +87,11 @@ def main() -> None:
     args = sys.argv[1:]
     scale_events = "--events" in args
     args = [a for a in args if a != "--events"]
+    replicas = REPLICAS
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        replicas = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
     ops = args or DEFAULT_OPS
     spark = get_session("scale_probe")
     _time.spark = spark
@@ -95,8 +102,8 @@ def main() -> None:
     # corpus and would be one-shot garbage there
     os.environ["EUCLID_SPARK_ARTIFACTS"] = os.path.join(tmp, "_arts")
     try:
-        build_10x(spark, tmp, scale_events=scale_events)
-        out = {"sf": "0.1", "replicas": REPLICAS, "ops": {}}
+        build_10x(spark, tmp, scale_events=scale_events, replicas=replicas)
+        out = {"sf": "0.1", "replicas": replicas, "ops": {}}
         for name in ops:
             one_cold = _time(qs, name, SF)
             one_warm = _time(qs, name, SF)
@@ -105,12 +112,12 @@ def main() -> None:
             out["ops"][name] = {
                 "x1_cold": one_cold,
                 "x1_warm": one_warm,
-                "x10_cold": ten_cold,
-                "x10_warm": ten_warm,
+                f"x{replicas}_cold": ten_cold,
+                f"x{replicas}_warm": ten_warm,
                 "cold_ratio": round(ten_cold / max(one_cold, 1e-9), 1),
             }
             print(f"# {name}: 1x {one_cold}/{one_warm}s "
-                  f"10x {ten_cold}/{ten_warm}s", file=sys.stderr)
+                  f"{replicas}x {ten_cold}/{ten_warm}s", file=sys.stderr)
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
