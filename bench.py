@@ -63,6 +63,11 @@ HEADLINE = [
     "euclid_erc20_range_tree_reward",
     "euclid_verify_response",
     "euclid_verify_erc20_response",
+    "euclid_q2_range_response",
+    "euclid_erc20_range_response",
+    "euclid_verify_q2_range_response",
+    "euclid_verify_erc20_range_response",
+    "euclid_q2_range_tree_topL_alt_contract",
     "euclid_day_partitioned_range",
     "euclid_zorder_box_scan",
     "graph_doc_pagerank",
@@ -70,6 +75,7 @@ HEADLINE = [
     "sim_prefix_rerank",
     "rel_full_outer_reconcile",
     "rel_table_profile",
+    "rel_events_profile",
     "rel_heavy_hitters_cms",
     "cdc_scd2_time_travel",
     "rel_skew_salted_join",
