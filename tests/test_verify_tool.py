@@ -32,7 +32,11 @@ def responses(spark):
 
     _serve_q2_response(spark, SF_SMOKE).count()
     _serve_erc20_response(spark, SF_SMOKE).count()
-    targets = vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
+    targets = [
+        (p, k)
+        for p, k in vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
+        if not k.endswith("_range")
+    ]
     assert {k for _, k in targets} == {"q2", "erc20"}
     return dict((k, p) for p, k in targets)
 
@@ -68,7 +72,7 @@ def test_cli_discovery_mode_exit_zero(responses):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
-    assert {x["kind"] for x in lines} == {"q2", "erc20"}
+    assert {"q2", "erc20"} <= {x["kind"] for x in lines}
     assert all(x["verdict"] == "VALID" for x in lines)
 
 
@@ -122,3 +126,101 @@ def test_wrong_corpus_binding_rejected(responses):
     )
     assert v["verdict"] == "INVALID"
     assert "binding_ok" in v["failed"]
+
+
+# ---- arbitrary-range responses (A30-A33 artifacts) ----------------------
+
+
+@pytest.fixture(scope="module")
+def range_responses(spark):
+    """Published ARBITRARY-RANGE responses for the smoke corpus."""
+    from euclid_spark.operators.range_response import _serve_range_response
+
+    for fam in ("q2", "erc20"):
+        _serve_range_response(spark, SF_SMOKE, fam).count()
+    targets = vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
+    out = {k: p for p, k in targets if k.endswith("_range")}
+    assert set(out) == {"q2_range", "erc20_range"}
+    return out
+
+
+def test_untampered_range_responses_verify(range_responses):
+    for kind, path in range_responses.items():
+        v = vr.verify_range(path, kind, _events())
+        assert v["verdict"] == "VALID", v
+        assert v["valid_rows"] == v["rows"] > 0
+
+
+@pytest.mark.parametrize(
+    "kind,set_expr,check",
+    [
+        # payload tamper: claimed row no longer hashes to its leaf
+        ("q2_range", "(token_id + 1) AS token_id", "leaf_ok"),
+        ("erc20_range", "(event_id + 1) AS event_id", "leaf_ok"),
+        (
+            "erc20_range",
+            "(substr(entry_reward_hex, 1, 63) || 'f') AS entry_reward_hex",
+            "leaf_ok",
+        ),
+        # leaf-hash tamper breaks the payload binding
+        ("q2_range", "sha256(leaf_hash) AS leaf_hash", "leaf_ok"),
+        # path tamper: refold no longer reaches the claimed element
+        (
+            "erc20_range",
+            "(CASE WHEN path = '' THEN path "
+            "ELSE substr(path, 1, 3) || 'ff' || substr(path, 6) END) AS path",
+            "elem_ok",
+        ),
+        # element-index tamper: claimed element not at claimed position
+        ("q2_range", "(elem_idx + 1) AS elem_idx", "elem_ok"),
+        # element-list tamper: the root chain no longer re-derives
+        (
+            "q2_range",
+            "('ff' || substr(elements, 3)) AS elements",
+            "root_ok",
+        ),
+        # root tamper: chain AND independent recompute both flag it
+        ("q2_range", "sha256(response_root) AS response_root", "root_ok"),
+        (
+            "erc20_range",
+            "sha256(response_root) AS response_root",
+            "binding_ok",
+        ),
+        # public-input tampers: the header binding flips the chain
+        ("q2_range", "(b_min + 1) AS b_min", "root_ok"),
+        ("erc20_range", "(b_max - 1) AS b_max", "root_ok"),
+        ("q2_range", "(owner + 1) AS owner", "root_ok"),
+        ("erc20_range", "(rewards_rate + 1) AS rewards_rate", "root_ok"),
+    ],
+)
+def test_range_tamper_flagged(range_responses, tmp_path, kind, set_expr, check):
+    tampered = _tamper(range_responses[kind], str(tmp_path), set_expr)
+    v = vr.verify_range(tampered, kind, _events())
+    assert v["verdict"] == "INVALID", v
+    assert check in v["failed"], v
+    assert len(v["failed"][check]) > 0
+
+
+def test_range_wrong_corpus_binding_rejected(range_responses):
+    """The from-raw-rows recompute ties a range response to ITS corpus:
+    the same claimed root cannot verify against different events."""
+    v = vr.verify_range(
+        range_responses["erc20_range"],
+        "erc20_range",
+        "/root/testdata/sf0.01/events.parquet",
+    )
+    assert v["verdict"] == "INVALID"
+    assert "binding_ok" in v["failed"]
+
+
+def test_range_cli_discovery_includes_range_kinds(range_responses):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "verify_response.py"), SF_SMOKE],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    kinds = {x["kind"] for x in lines}
+    assert {"q2_range", "erc20_range"} <= kinds
+    assert all(x["verdict"] == "VALID" for x in lines)

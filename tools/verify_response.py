@@ -24,9 +24,25 @@ code would inherit the prover's bugs. The spec constants below are the
 published query parameters a consumer knows because they asked the
 query (the reference's public inputs, query2/revelation/public_inputs.rs).
 
+It also verifies the ARBITRARY-RANGE responses (A30-A33,
+.artifacts/rr_q2_response_*.parquet / rr_erc20_response_*.parquet):
+
+  1. leaf_ok    — the revealed payload re-hashes to its leaf,
+  2. elem_ok    — the opening path refolds leaf → its element AND the
+                  element sits at its claimed index in the published
+                  element list,
+  3. root_ok    — the response root re-chains from the header that
+                  binds the public inputs (b_min, b_max, owner, rate)
+                  through the element list,
+  4. binding_ok — the root equals an INDEPENDENT pure-Python recompute
+                  from the raw events table for the response's own
+                  claimed parameters: canonical tile cover, in-cell
+                  Merkle trees, promotion cell tree, edge leaves,
+                  header-bound fold — the full spec restated here.
+
 Usage:
   python tools/verify_response.py <sf_dir> [--artifacts DIR]
-                                  [--response PATH --kind q2|erc20]
+          [--response PATH --kind q2|erc20|q2_range|erc20_range]
 Exit 0 iff every revealed row of every checked response verifies.
 """
 
@@ -76,6 +92,12 @@ _LEAF_ENCODING = {
 
 _ID_COL = {"q2": "token_id", "erc20": "event_id"}
 
+# ---- range-response spec (A30-A33 public parameters) -------------------
+TILE_SIZE = 256                 # blocks per level-0 commitment cell
+CONTRACT = "purchase"           # contract-address analog (event_type)
+# the mapping-key extraction the query was asked with
+_TOKEN_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
 
 def _corpus_fingerprint(paths: list[str], **params: object) -> str:
     """Locate THIS corpus's published responses: md5 over each file's
@@ -122,6 +144,21 @@ def _discover(artifacts_dir: str, sf_dir: str) -> list[tuple[str, str]]:
     erc = os.path.join(artifacts_dir, f"erc20_response_{fp}.parquet")
     if os.path.exists(erc):
         out.append((erc, "erc20"))
+    for fam in ("q2", "erc20"):
+        params = {
+            "op": f"range_response_{fam}",
+            "tile": TILE_SIZE,
+            "contract": CONTRACT,
+        }
+        if fam == "erc20":
+            params["rate"] = REWARDS_RATE
+        rr = os.path.join(
+            artifacts_dir,
+            f"rr_{fam}_response_{_corpus_fingerprint([ev], **params)}"
+            ".parquet",
+        )
+        if os.path.exists(rr):
+            out.append((rr, f"{fam}_range"))
     return out
 
 
@@ -171,6 +208,250 @@ def verify(response_path: str, kind: str, events_path: str) -> dict:
     }
 
 
+# ---- range responses: independent from-raw-rows root recompute ---------
+
+
+def _sha(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _tile_cover_spec(b_min: int, b_max: int, max_level: int):
+    """Canonical segment-tree decomposition of [b_min, b_max) over
+    TILE_SIZE-block cells — restated from the published query spec:
+    (tiles, edges); tiles = [(level, cell)] ≤ 2/level, edges =
+    < TILE_SIZE-wide [lo, hi) block ranges at the two ends."""
+    s = TILE_SIZE
+    lo_cell = -(-b_min // s)
+    hi_cell = b_max // s
+    if lo_cell >= hi_cell:
+        return [], ([(b_min, b_max)] if b_min < b_max else [])
+    edges = []
+    if b_min < lo_cell * s:
+        edges.append((b_min, lo_cell * s))
+    if hi_cell * s < b_max:
+        edges.append((hi_cell * s, b_max))
+    tiles, lo = [], lo_cell
+    while lo < hi_cell:
+        align = (lo & -lo).bit_length() - 1 if lo > 0 else max_level
+        fit = (hi_cell - lo).bit_length() - 1
+        k = min(align, fit, max_level)
+        tiles.append((k, lo >> k))
+        lo += 1 << k
+    return tiles, edges
+
+
+def _pair_up(hashes: "list[str]") -> str:
+    """Root of a promotion Merkle tree over an ordered leaf list: pair
+    (2i, 2i+1) with sha256 over hex-string concat; a lone last node
+    promotes unchanged."""
+    cur = list(hashes)
+    while len(cur) > 1:
+        cur = [
+            _sha(cur[i] + cur[i + 1]) if i + 1 < len(cur) else cur[i]
+            for i in range(0, len(cur), 2)
+        ]
+    return cur[0]
+
+
+def _cell_tree(level0: "dict[int, str]", depth: int):
+    """All (level, pos) → hash nodes of the promotion tree over sparse
+    cell roots (pos at level k = cell >> k; absent sibling promotes)."""
+    nodes = {(0, p): h for p, h in level0.items()}
+    cur = dict(level0)
+    for k in range(1, depth + 1):
+        nxt = {}
+        for p in sorted({q // 2 for q in cur}):
+            l, r = cur.get(2 * p), cur.get(2 * p + 1)
+            nxt[p] = _sha(l + r) if l is not None and r is not None else (l or r)
+        nodes.update({(k, p): h for p, h in nxt.items()})
+        cur = nxt
+    return nodes
+
+
+def _erc20_entry_hex(event_id: int, value, tok, rate: int) -> str:
+    """The leaf circuit's per-entry reward, restated: fixed-point
+    (⌊value·10⁴⌋·2⁶⁴ + event_id)·rate ÷ token, 64 hex digits."""
+    import math
+
+    if tok is None or tok == 0 or value is None:
+        return "0" * 64
+    scaled = math.floor(value * 10000)
+    return format((scaled * (1 << 64) + event_id) * rate // int(tok), "064x")
+
+
+def _recompute_range_root(
+    events_path: str,
+    family: str,
+    owner: int,
+    b_min: int,
+    b_max: int,
+    rate: "int | None",
+) -> str:
+    """Re-derive the response root for (owner, [b_min, b_max)) from the
+    RAW events table: family-qualifying entries → per-cell leaf trees →
+    promotion cell tree → canonical cover tiles + edge leaves in block
+    order → header-bound sha256 chain. Pure Python + one DuckDB scan;
+    shares no code with the prover."""
+    import math
+
+    con = duckdb.connect()
+    qual = f"event_type = '{CONTRACT}'" + (
+        f" AND {_TOKEN_SQL} IS NOT NULL" if family == "q2" else ""
+    )
+    mb_q = con.execute(
+        f"SELECT MAX(event_id) FROM read_parquet('{events_path}') "
+        f"WHERE {qual}"
+    ).fetchone()[0]
+    n_cells = (int(mb_q or 0) // TILE_SIZE) + 1
+    depth = max(1, math.ceil(math.log2(n_cells))) if n_cells > 1 else 1
+    cover, edges = _tile_cover_spec(b_min, b_max, depth)
+
+    # the owner's qualifying entries, block order
+    if family == "q2":
+        rows = con.execute(
+            f"SELECT DISTINCT {_TOKEN_SQL} AS t, event_id // {TILE_SIZE} "
+            f"FROM read_parquet('{events_path}') "
+            f"WHERE {qual} AND user_id = {owner}"
+        ).fetchall()
+        # per cell: distinct keys in key order; leaf = sha256(token)
+        cells: "dict[int, list]" = {}
+        for t, cell in rows:
+            cells.setdefault(int(cell), []).append(int(t))
+        level0 = {
+            c: _pair_up([_sha(str(t)) for t in sorted(ts)])
+            for c, ts in cells.items()
+        }
+    else:
+        rows = con.execute(
+            f"SELECT event_id, value, {_TOKEN_SQL} AS tok "
+            f"FROM read_parquet('{events_path}') "
+            f"WHERE {qual} AND user_id = {owner} ORDER BY event_id"
+        ).fetchall()
+        cells = {}
+        for eid, value, tok in rows:
+            h = _sha(f"{int(eid)}:{_erc20_entry_hex(int(eid), value, tok, rate)}")
+            cells.setdefault(int(eid) // TILE_SIZE, []).append((int(eid), h))
+        level0 = {
+            c: _pair_up([h for _, h in sorted(es)]) for c, es in cells.items()
+        }
+    nodes = _cell_tree(level0, depth)
+
+    # element sequence: edge leaves + occupied cover-tile roots, block order
+    elems: "list[tuple[int, str]]" = []
+    if edges:
+        if family == "q2":
+            # a key seen in both edges contributes ONE element, at its
+            # first in-edge occurrence
+            pred = " OR ".join(
+                f"(event_id >= {lo} AND event_id < {hi})" for lo, hi in edges
+            )
+            er = con.execute(
+                f"SELECT {_TOKEN_SQL} AS t, MIN(event_id) "
+                f"FROM read_parquet('{events_path}') "
+                f"WHERE {qual} AND user_id = {owner} AND ({pred}) GROUP BY 1"
+            ).fetchall()
+            for t, first_id in er:
+                elems.append((int(first_id), _sha(str(int(t)))))
+        else:
+            for eid, h in sorted(
+                (e, h) for lst in cells.values() for e, h in lst
+            ):
+                if any(lo <= eid < hi for lo, hi in edges):
+                    elems.append((eid, h))
+    for k, c in cover:
+        h = nodes.get((k, c))
+        if h is not None:
+            elems.append((c * (1 << k) * TILE_SIZE, h))
+    elems.sort(key=lambda e: e[0])
+
+    parts = [str(b_min), str(b_max), str(owner)]
+    if rate is not None:
+        parts.append(str(rate))
+    acc = _sha("hdr:" + ":".join(parts))
+    for _, h in elems:
+        acc = _sha(acc + h)
+    return acc
+
+
+def verify_range(response_path: str, kind: str, events_path: str) -> dict:
+    """Verify one published ARBITRARY-RANGE response parquet
+    (kind = q2_range | erc20_range)."""
+    family = kind.split("_")[0]
+    idc = _ID_COL[family]
+    con = duckdb.connect()
+
+    # binding: independent recompute per distinct claimed parameter row
+    param_cols = "owner, b_min, b_max" + (
+        ", rewards_rate" if family == "erc20" else ""
+    )
+    params = con.execute(
+        f"SELECT DISTINCT {param_cols} "
+        f"FROM read_parquet('{response_path}/*.parquet')"
+    ).fetchall()
+    vals = []
+    for p in params:
+        owner, b_min, b_max = int(p[0]), int(p[1]), int(p[2])
+        rate = int(p[3]) if family == "erc20" else None
+        root = _recompute_range_root(
+            events_path, family, owner, b_min, b_max, rate
+        )
+        vals.append(f"({owner}, {b_min}, {b_max}, '{root}')")
+    exp = (
+        "(VALUES " + ", ".join(vals) + ") b(owner, b_min, b_max, exp_root)"
+        if vals
+        else "(SELECT NULL AS owner, NULL AS b_min, NULL AS b_max, "
+        "NULL AS exp_root WHERE FALSE) b"
+    )
+
+    hdr = "'hdr:' || r.b_min || ':' || r.b_max || ':' || r.owner" + (
+        " || ':' || r.rewards_rate" if family == "erc20" else ""
+    )
+    rows = con.execute(
+        f"""
+        SELECT {idc}, leaf_ok, elem_ok, root_ok, binding_ok,
+               (leaf_ok AND elem_ok AND root_ok AND binding_ok) AS valid
+        FROM (
+          SELECT r.{idc},
+                 ({_LEAF_ENCODING[family]} = r.leaf_hash) AS leaf_ok,
+                 ({_REFOLD} = r.elem_hash
+                  AND str_split(r.elements, '/')[r.elem_idx + 1]
+                      = r.elem_hash) AS elem_ok,
+                 (list_reduce(
+                      list_prepend(sha256({hdr}),
+                          COALESCE(str_split(NULLIF(r.elements, ''), '/'),
+                                   [])),
+                      (a, x) -> sha256(a || x)) = r.response_root)
+                     AS root_ok,
+                 (r.response_root = b.exp_root) AS binding_ok
+          FROM read_parquet('{response_path}/*.parquet') r
+          LEFT JOIN {exp}
+            ON r.owner = b.owner AND r.b_min = b.b_min
+           AND r.b_max = b.b_max
+        )
+        ORDER BY {idc}
+        """
+    ).fetchall()
+    n = len(rows)
+    fails = {
+        "leaf_ok": [r[0] for r in rows if not r[1]],
+        "elem_ok": [r[0] for r in rows if not r[2]],
+        "root_ok": [r[0] for r in rows if not r[3]],
+        "binding_ok": [r[0] for r in rows if not r[4]],
+    }
+    return {
+        "response": response_path,
+        "kind": kind,
+        "rows": n,
+        "valid_rows": sum(1 for r in rows if r[5]),
+        "failed": {k: v[:5] for k, v in fails.items() if v},
+        "verdict": "VALID"
+        if n > 0 and all(r[5] for r in rows)
+        else ("EMPTY" if n == 0 else "INVALID"),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("sf_dir", help="corpus dir holding events.parquet")
@@ -182,7 +463,9 @@ def main() -> int:
         ),
     )
     ap.add_argument("--response", help="explicit response parquet dir")
-    ap.add_argument("--kind", choices=["q2", "erc20"])
+    ap.add_argument(
+        "--kind", choices=["q2", "erc20", "q2_range", "erc20_range"]
+    )
     args = ap.parse_args()
     events = os.path.join(args.sf_dir, "events.parquet")
     if not os.path.exists(events):
@@ -209,7 +492,8 @@ def main() -> int:
 
     ok = True
     for path, kind in targets:
-        v = verify(path, kind, events)
+        fn = verify_range if kind.endswith("_range") else verify
+        v = fn(path, kind, events)
         print(json.dumps(v, separators=(",", ":")))
         ok = ok and v["verdict"] == "VALID"
     return 0 if ok else 1
