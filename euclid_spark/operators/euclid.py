@@ -454,6 +454,11 @@ def erc20_leaf_rows(
         F.col("event_id").cast("long"),
         F.coalesce(_token_id(), F.lit(0)).cast("long"),
     )
+    # entries with a NULL balance reading don't qualify — the leaf
+    # circuit has no input for them, and SQL aggregates drop NULL
+    # measures; the predicate is mirrored verbatim in every erc20
+    # oracle (A13/A29/responses) so both engines see one entry set
+    ev = ev.filter(F.col("value").isNotNull())
     return ev.select(
         F.col("user_id").alias("owner"), "event_id", leaf.alias("lf")
     ).select(
@@ -592,28 +597,34 @@ def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join on the account key. Values pass through unchanged (no
     arithmetic), so equality filtering is engine-exact.
 
-    NULL discipline (r7 ADVICE): "added" is keyed on ABSENCE AT H1 (a
-    has_h1 join flag, not old_value IS NULL — an account whose latest
-    h1 value is NULL is present, not added), and "changed" uses the
-    null-safe IS DISTINCT FROM so a NULL→x or x→NULL transition is a
-    change in both engines instead of silently dropping out of the
-    oracle (NULL <> x is NULL in SQL)."""
+    NULL discipline (r7 ADVICE + r9 null-crosscheck): "added" is keyed
+    on ABSENCE AT H1 (a has_h1 join flag, not old_value IS NULL — an
+    account whose latest h1 value is NULL is present, not added), and
+    "changed" uses the null-safe IS DISTINCT FROM so a NULL→x or x→NULL
+    transition is a change in both engines instead of silently dropping
+    out of the oracle (NULL <> x is NULL in SQL). The per-height state
+    read is A7's skip-NULLs rule (a NULL write does not overwrite
+    state) spelled as a filtered-struct max: Spark's max_by returns the
+    possibly-NULL value at the max key while DuckDB's skips NULLs."""
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
     bounds = ev.agg(
         F.floor(F.max("event_id") / 3).cast("long").alias("h1"),
         F.floor(F.max("event_id") * 2 / 3).cast("long").alias("h2"),
     )
+    last_nn = F.max(
+        F.when(F.col("value").isNotNull(), F.struct("event_id", "value"))
+    ).getField("value")
     evb = ev.join(F.broadcast(bounds))
     s1 = (
         evb.filter(F.col("event_id") <= F.col("h1"))
         .groupBy("user_id")
-        .agg(F.max_by("value", "event_id").alias("old_value"))
+        .agg(last_nn.alias("old_value"))
         .withColumn("has_h1", F.lit(True))
     )
     s2 = (
         evb.filter(F.col("event_id") <= F.col("h2"))
         .groupBy("user_id")
-        .agg(F.max_by("value", "event_id").alias("new_value"))
+        .agg(last_nn.alias("new_value"))
     )
     return (
         s2.join(s1, "user_id", "left")
@@ -756,6 +767,7 @@ ORACLES = {
                    {_TOKEN} AS tok
             FROM events
             WHERE {_RANGE} AND event_type = 'purchase'
+              AND value IS NOT NULL
         )
         SELECT user_id AS owner,
                lpad(lower(to_hex(SUM(

@@ -851,7 +851,8 @@ def _erc20_l0_sql(owner_filter: bool) -> str:
                           + event_id) * {REWARDS_RATE} // tok
                END)), 64, '0') AS entry_reward_hex
     FROM (SELECT user_id, event_id, value, {_TOKEN} AS tok FROM events
-          WHERE {_RANGE} AND event_type = 'purchase'{own})
+          WHERE {_RANGE} AND event_type = 'purchase'
+            AND value IS NOT NULL{own})
   )"""
 
 

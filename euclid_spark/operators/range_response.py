@@ -831,7 +831,9 @@ def _oracle_range_response(family: str):
         mb_all = int(mb_all or 0)
         b_min, b_max = mb_all // 5, mb_all * 4 // 5
         qual = "event_type = 'purchase'" + (
-            f" AND {_TOKEN} IS NOT NULL" if family == "q2" else ""
+            f" AND {_TOKEN} IS NOT NULL"
+            if family == "q2"
+            else " AND value IS NOT NULL"  # NULL balance: not an entry
         )
         mb_q = con.execute(
             f"SELECT MAX(event_id) FROM read_parquet('{ev}') WHERE {qual}"
@@ -866,7 +868,8 @@ def _oracle_range_response(family: str):
            event_id // {S} AS cell
     FROM (SELECT event_id, value, {_TOKEN} AS tok
           FROM events
-          WHERE event_type = 'purchase' AND user_id = {OWNER})"""
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+            AND user_id = {OWNER})"""
             l0 = f"""  SELECT cell AS group_key, event_id, entry_reward_hex,
          row_number() OVER (PARTITION BY cell ORDER BY event_id) - 1 AS pos,
          sha256(event_id::VARCHAR || ':' || entry_reward_hex) AS node_hash

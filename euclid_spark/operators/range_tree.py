@@ -798,7 +798,7 @@ ORACLES["euclid_erc20_range_tree_reward"] = f"""
                CAST(FLOOR(value * 10000) AS HUGEINT) AS scaled,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS tok
         FROM events, b
-        WHERE event_type = 'purchase'
+        WHERE event_type = 'purchase' AND value IS NOT NULL
           AND event_id >= b.b_min AND event_id < b.b_max
     )
     SELECT user_id AS owner,

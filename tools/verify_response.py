@@ -272,10 +272,11 @@ def _cell_tree(level0: "dict[int, str]", depth: int):
 
 def _erc20_entry_hex(event_id: int, value, tok, rate: int) -> str:
     """The leaf circuit's per-entry reward, restated: fixed-point
-    (⌊value·10⁴⌋·2⁶⁴ + event_id)·rate ÷ token, 64 hex digits."""
+    (⌊value·10⁴⌋·2⁶⁴ + event_id)·rate ÷ token, 64 hex digits.
+    (NULL-balance entries never reach here — they don't qualify.)"""
     import math
 
-    if tok is None or tok == 0 or value is None:
+    if tok is None or tok == 0:
         return "0" * 64
     scaled = math.floor(value * 10000)
     return format((scaled * (1 << 64) + event_id) * rate // int(tok), "064x")
@@ -298,7 +299,9 @@ def _recompute_range_root(
 
     con = duckdb.connect()
     qual = f"event_type = '{CONTRACT}'" + (
-        f" AND {_TOKEN_SQL} IS NOT NULL" if family == "q2" else ""
+        f" AND {_TOKEN_SQL} IS NOT NULL"
+        if family == "q2"
+        else " AND value IS NOT NULL"  # NULL balance: not an entry
     )
     mb_q = con.execute(
         f"SELECT MAX(event_id) FROM read_parquet('{events_path}') "
