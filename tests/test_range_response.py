@@ -96,6 +96,42 @@ def test_arbitrary_ranges_verify_and_match_tiles(spark):
             assert ids == sorted(ids)
 
 
+def test_roots_match_standalone_recompute(spark):
+    """Cross-IMPLEMENTATION agreement for arbitrary params: the Spark
+    face's response root equals the standalone verifier tool's pure
+    Python + DuckDB from-raw-rows recompute (tools/verify_response.py
+    restates the whole spec without importing euclid_spark — two
+    independent derivations of the same commitment)."""
+    import sys
+
+    from tests.conftest import REPO
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import verify_response as vr
+
+    events = f"{SF_SMOKE}/events.parquet"
+    rng = random.Random(17)
+    for _ in range(3):
+        b_min = rng.randint(0, 800)
+        b_max = b_min + rng.randint(1, 900)
+        owner = rng.choice([3, 7])
+        q = q2_range_response(
+            spark, SF_SMOKE, owner=owner, b_min=b_min, b_max=b_max
+        ).limit(1).collect()
+        if q:
+            assert q[0]["response_root"] == vr._recompute_range_root(
+                events, "q2", owner, b_min, b_max, None
+            ), ("q2", owner, b_min, b_max)
+        e = erc20_range_response(
+            spark, SF_SMOKE, owner=owner, b_min=b_min, b_max=b_max
+        ).limit(1).collect()
+        if e:
+            assert e[0]["response_root"] == vr._recompute_range_root(
+                events, "erc20", owner, b_min, b_max,
+                int(e[0]["rewards_rate"]),
+            ), ("erc20", owner, b_min, b_max)
+
+
 def test_edge_only_and_empty_ranges(spark):
     """A range inside one cell is answered entirely from edge leaves
     (empty paths, each leaf its own element); an empty range yields an
