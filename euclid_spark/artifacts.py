@@ -84,13 +84,26 @@ def load_frame(spark: SparkSession, name: str, fp: str) -> "DataFrame | None":
     return None
 
 
-def save_frame(df: DataFrame, name: str, fp: str) -> str:
+# Write option for artifacts whose queries read a PREDICATE-PRUNED
+# sliver (a tile cover, an edge window): small parquet row groups give
+# the min/max stats enough resolution that the scan reads O(selected)
+# row groups instead of whole 128 MB defaults — measured 0.69→0.25 s on
+# a 12 M-row tile cover and 4.4→0.28 s on an edge window at 100× events.
+FINE_ROW_GROUPS = {"parquet.block.size": 4 * 1024 * 1024}
+
+
+def save_frame(
+    df: DataFrame, name: str, fp: str, options: "dict | None" = None
+) -> str:
     """Write `df` as the artifact (atomic temp+rename; a lost race keeps
     the winner's identical output). Returns the artifact path."""
     path = _path(name, fp)
     os.makedirs(artifact_dir(), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.parquet(tmp)
     try:
         os.rename(tmp, path)
     except OSError:  # concurrent builder won — deterministic, same bytes
@@ -98,11 +111,38 @@ def save_frame(df: DataFrame, name: str, fp: str) -> str:
     return path
 
 
+def stat_max(name: str, fp: str, column: str):
+    """MAX of a column across a served artifact's parquet FOOTER
+    statistics — O(row groups) metadata reads, never a data scan. The
+    served-metadata fetch every tile-tree query needs (its max level /
+    max block): an `agg(max(...))` on the artifact frame scans every
+    tile row, which GROWS WITH THE CORPUS and quietly breaks the
+    O(log range) query-cost claim; the footer already holds the answer.
+    Returns None when the artifact is empty or carries no stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    best = None
+    for p in glob.glob(os.path.join(_path(name, fp), "*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                if col.path_in_schema == column:
+                    st = col.statistics
+                    if st is not None and st.has_min_max:
+                        best = st.max if best is None else max(best, st.max)
+    return best
+
+
 def serve_frame(
     spark: SparkSession,
     name: str,
     fp: str,
     build: Callable[[], DataFrame],
+    options: "dict | None" = None,
 ) -> DataFrame:
     """Load the artifact, else build → save → reload. The reload is the
     point: every consumer gets a short-lineage parquet scan whether or
@@ -110,7 +150,7 @@ def serve_frame(
     cached = load_frame(spark, name, fp)
     if cached is not None:
         return cached
-    save_frame(build(), name, fp)
+    save_frame(build(), name, fp, options)
     out = load_frame(spark, name, fp)
     assert out is not None
     return out

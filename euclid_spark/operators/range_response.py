@@ -243,10 +243,10 @@ def serve_range_commitments(
     cell_nodes = artifacts.serve_frame(
         spark, f"rr_{family}_celltree", fp, build_celltree
     )
-    md, icd = (
-        cell_nodes.agg(F.max("level")).collect()[0][0],
-        incell.agg(F.max("level")).collect()[0][0],
-    )  # two one-row fetches
+    # served metadata from parquet footers — a frame agg(max) would
+    # scan every node row, which grows with the corpus
+    md = artifacts.stat_max(f"rr_{family}_celltree", fp, "level")
+    icd = artifacts.stat_max(f"rr_{family}_incell", fp, "level")
     return (
         leaves,
         incell,
@@ -276,14 +276,11 @@ def _fold(seed_hex: bytes, elements: "list[str]") -> str:
 
 
 def _default_range(spark, sf_dir, b_min, b_max) -> "tuple[int, int]":
-    from euclid_spark.operators.range_tree import serve_range_tree
+    from euclid_spark.operators.range_tree import _served_max_block
 
     if b_min is not None and b_max is not None:
         return int(b_min), int(b_max)
-    mb = (
-        serve_range_tree(spark, sf_dir).agg(F.max("max_block")).collect()
-    )[0][0]  # block-DB metadata: one tile row
-    mb = int(mb or 0)
+    mb = _served_max_block(spark, sf_dir)
     return (
         mb // 5 if b_min is None else int(b_min),
         mb * 4 // 5 if b_max is None else int(b_max),
@@ -362,12 +359,15 @@ def _range_response(
             # cells — one element per key, hash = sha256(token_id) (the
             # same leaf encoding as the in-cell trees, so a verifier
             # re-derives every element kind from revealed payloads),
-            # ordered by the key's first in-edge occurrence
-            from euclid_spark.catalog import load_events
-            from euclid_spark.operators.range_tree import _q2_entries
+            # ordered by the key's first in-edge occurrence; read from
+            # the block-clustered entry store (event_id pushdown), not
+            # the raw events table
+            from euclid_spark.operators.range_tree import (
+                serve_q2_entry_store,
+            )
 
             edge_rows = (
-                _q2_entries(load_events(spark, sf_dir), contract)
+                serve_q2_entry_store(spark, sf_dir, contract)
                 .filter(econd & (F.col("owner") == owner))
                 .groupBy("token_id")
                 .agg(F.min("event_id").alias("first_id"))

@@ -349,6 +349,36 @@ def build_q2_key_tree(
     return tiles.select("level", "cell", "owner", "keys")
 
 
+def _range_tree_fp(sf_dir: str) -> str:
+    from euclid_spark import artifacts
+
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="range_tree", tile=TILE_SIZE
+    )
+
+
+def _q2_key_fp(sf_dir: str, contract: "str | None") -> str:
+    from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import CONTRACT
+
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"],
+        op="q2_key_tree", tile=TILE_SIZE, L=Q2_L, layout="owner_v3",
+        contract=CONTRACT if contract is None else contract,
+    )
+
+
+def _served_max_block(spark: SparkSession, sf_dir: str) -> int:
+    """The corpus's max block from the served scalar tile tree's parquet
+    FOOTER — the default-range probe every pinned face derives, without
+    a data scan (serve first so the artifact exists)."""
+    from euclid_spark import artifacts
+
+    serve_range_tree(spark, sf_dir)
+    mb = artifacts.stat_max("range_tree_tiles", _range_tree_fp(sf_dir), "max_block")
+    return int(mb or 0)
+
+
 def serve_q2_key_tree(
     spark: SparkSession, sf_dir: str, contract: "str | None" = None
 ) -> DataFrame:
@@ -360,13 +390,8 @@ def serve_q2_key_tree(
     not a scan of every owner's tiles (the layout story D18/D26 tell
     for the block dimension, applied to the query's OTHER key)."""
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import CONTRACT
 
-    fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"],
-        op="q2_key_tree", tile=TILE_SIZE, L=Q2_L, layout="owner_v2",
-        contract=CONTRACT if contract is None else contract,
-    )
+    fp = _q2_key_fp(sf_dir, contract)
 
     def build() -> DataFrame:
         t = build_q2_key_tree(spark, sf_dir, contract)
@@ -374,7 +399,45 @@ def serve_q2_key_tree(
             "owner", "level", "cell"
         )
 
-    return artifacts.serve_frame(spark, "q2_key_tiles", fp, build)
+    # fine row groups (owner_v3): within each owner's sorted span the
+    # (level, cell) stats prune the cover predicate to O(cover) row
+    # groups — the all-owner pinned face stopped scanning the whole
+    # artifact (0.69→0.25 s at 100× events)
+    return artifacts.serve_frame(
+        spark, "q2_key_tiles", fp, build, options=artifacts.FINE_ROW_GROUPS
+    )
+
+
+def serve_q2_entry_store(
+    spark: SparkSession, sf_dir: str, contract: "str | None" = None
+) -> DataFrame:
+    """The contract's qualifying entries (event_id, owner, token_id)
+    BLOCK-CLUSTERED — the Q2 sibling of the ERC-20 all-entry leaf
+    store: A26's two < TILE_SIZE edge scans push their event_id window
+    to pruned parquet row groups instead of re-scanning (and re-JSON-
+    parsing) the raw events table, which grows with the corpus
+    (measured 4.4→0.28 s at 100× events)."""
+    from euclid_spark import artifacts
+    from euclid_spark.catalog import load_events
+    from euclid_spark.operators.euclid import CONTRACT
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"],
+        op="q2_entry_store", layout="block_v1",
+        contract=CONTRACT if contract is None else contract,
+    )
+
+    def build() -> DataFrame:
+        return (
+            _q2_entries(load_events(spark, sf_dir), contract)
+            .repartitionByRange(8, "event_id")
+            .sortWithinPartitions("event_id")
+        )
+
+    return artifacts.serve_frame(
+        spark, "q2_entry_store", fp, build,
+        options=artifacts.FINE_ROW_GROUPS,
+    )
 
 
 _Q2_EMPTY = "owner long, pos int, token_id long, b_min long, b_max long"
@@ -404,18 +467,18 @@ def q2_range_tree_topl(
             f"L={L} exceeds the tile tree's baked reveal bound {Q2_L}; "
             "rebuild the tree with a larger Q2_L (the circuit-setup analog)"
         )
+    from euclid_spark import artifacts
+
     tiles = serve_q2_key_tree(spark, sf_dir, contract)
-    ml = tiles.agg(F.max("level")).collect()[0][0]  # bounded fetch
+    # served metadata from the parquet footer — an agg(max) here would
+    # scan every tile row and grow with the corpus (measured: the 100×
+    # probe's residual slope was exactly this fetch)
+    ml = artifacts.stat_max("q2_key_tiles", _q2_key_fp(sf_dir, contract), "level")
     if ml is None:  # no qualifying entries anywhere
         return spark.createDataFrame([], _Q2_EMPTY)
     max_level = int(ml)
     if b_min is None or b_max is None:
-        mb = (
-            serve_range_tree(spark, sf_dir)
-            .agg(F.max("max_block"))
-            .collect()[0][0]
-        )  # block-DB metadata from the served scalar tree (one tile row)
-        mb = int(mb or 0)
+        mb = _served_max_block(spark, sf_dir)
         b_min = mb // 5 if b_min is None else int(b_min)
         b_max = mb * 4 // 5 if b_max is None else int(b_max)
     else:
@@ -448,7 +511,7 @@ def q2_range_tree_topl(
                 for lo, hi in edges
             ],
         )
-        e = _q2_entries(load_events(spark, sf_dir), contract).filter(econd)
+        e = serve_q2_entry_store(spark, sf_dir, contract).filter(econd)
         if owner is not None:
             e = e.filter(F.col("owner") == owner)
         parts.append(
@@ -515,6 +578,7 @@ def serve_erc20_all_entry_leaves(
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"],
         op="erc20_all_entry_leaves", rate=rate, tile=TILE_SIZE,
+        layout="block_v2",
         contract=CONTRACT if contract is None else contract,
     )
 
@@ -533,7 +597,10 @@ def serve_erc20_all_entry_leaves(
             .sortWithinPartitions("event_id")
         )
 
-    return artifacts.serve_frame(spark, "erc20_all_entry_leaves", fp, build)
+    return artifacts.serve_frame(
+        spark, "erc20_all_entry_leaves", fp, build,
+        options=artifacts.FINE_ROW_GROUPS,  # edge-window pruning
+    )
 
 
 _DEC38 = "decimal(38,0)"
@@ -589,6 +656,21 @@ def build_erc20_reward_tree(
     )
 
 
+def _erc20_tree_fp(
+    sf_dir: str, rewards_rate: "int | None", contract: "str | None"
+) -> str:
+    from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import CONTRACT, REWARDS_RATE
+
+    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"],
+        op="erc20_reward_tree", rate=rate, tile=TILE_SIZE,
+        layout="owner_v3",
+        contract=CONTRACT if contract is None else contract,
+    )
+
+
 def serve_erc20_reward_tree(
     spark: SparkSession,
     sf_dir: str,
@@ -596,14 +678,8 @@ def serve_erc20_reward_tree(
     contract: "str | None" = None,
 ) -> DataFrame:
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import CONTRACT, REWARDS_RATE
 
-    rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
-    fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"],
-        op="erc20_reward_tree", rate=rate, tile=TILE_SIZE,
-        contract=CONTRACT if contract is None else contract,
-    )
+    fp = _erc20_tree_fp(sf_dir, rewards_rate, contract)
     return artifacts.serve_frame(
         spark,
         "erc20_reward_tiles",
@@ -611,6 +687,7 @@ def serve_erc20_reward_tree(
         lambda: build_erc20_reward_tree(spark, sf_dir, rewards_rate, contract)
         .repartitionByRange(8, "owner")
         .sortWithinPartitions("owner", "level", "cell"),
+        options=artifacts.FINE_ROW_GROUPS,  # cover-predicate pruning
     )
 
 
@@ -639,18 +716,20 @@ def erc20_range_tree_reward(
     contract serves its own reward tile tree."""
     from euclid_spark.functions.u256 import u256_carry_hex
 
+    from euclid_spark import artifacts
+
     tiles = serve_erc20_reward_tree(spark, sf_dir, rewards_rate, contract)
-    ml = tiles.agg(F.max("level")).collect()[0][0]  # bounded fetch
+    # footer-stats metadata fetch — see q2_range_tree_topl's note
+    ml = artifacts.stat_max(
+        "erc20_reward_tiles",
+        _erc20_tree_fp(sf_dir, rewards_rate, contract),
+        "level",
+    )
     if ml is None:
         return spark.createDataFrame([], _ERC20_EMPTY)
     max_level = int(ml)
     if b_min is None or b_max is None:
-        mb = (
-            serve_range_tree(spark, sf_dir)
-            .agg(F.max("max_block"))
-            .collect()[0][0]
-        )
-        mb = int(mb or 0)
+        mb = _served_max_block(spark, sf_dir)
         b_min = mb // 5 if b_min is None else int(b_min)
         b_max = mb * 4 // 5 if b_max is None else int(b_max)
     else:
