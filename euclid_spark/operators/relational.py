@@ -1720,10 +1720,16 @@ def table_profile(
             )
         )
     # Sketched columns: the packed-word bit_or monoid straight off the
-    # raw rows (the B48 shape) — map-side combine bounds the shuffle at
-    # ≤ m/64 word rows per partition, NO per-key aggregation on the
-    # column anywhere in the plan: fixed size regardless of row count,
-    # the 100 TB shape.
+    # raw rows (the B48 shape), ONE PASS PER COLUMN — deliberately NOT
+    # stacked into a single exploded pass: columnar pruning means each
+    # pass reads exactly its one column, so N passes read the same
+    # total bytes as one N-column scan, while the per-column hash
+    # aggregate stays a 16 K-entry integer-keyed table in cache
+    # (measured: the stacked explode variant was 1.3-1.5× SLOWER at
+    # sf0.1 — struct/array allocation per row beat the saved job
+    # overhead). Map-side combine bounds each shuffle at ≤ m/64 word
+    # rows per partition; NO per-key aggregation on the column anywhere
+    # in the plan: fixed size regardless of row count, the 100 TB shape.
     for c, kind in sketch_cols:
         words = (
             li.select(_profile_lc_bit(F.col(c), kind).alias("bit"))
