@@ -425,7 +425,6 @@ def _range_response(
     contract: "str | None",
 ) -> DataFrame:
     from euclid_spark.operators.euclid import OWNER, REWARDS_RATE, TOP_L
-    from euclid_spark.operators.merkle import merkle_opening_paths
 
     owner = OWNER if owner is None else int(owner)
     L = TOP_L if L is None else int(L)
@@ -470,198 +469,225 @@ def _range_response(
     # ---- revealed rows: first L results in canonical order
     in_range = (F.col("event_id") >= b_min) & (F.col("event_id") < b_max)
     if family == "erc20":
-        revealed = (
+        rev_rows = (
             own_leaves.filter(in_range)
             .orderBy("event_id")
             .limit(L)
-            .select("owner", "cell", "pos", "node_hash", *payload_cols)
+            .select("cell", "pos", "node_hash", *payload_cols)
+            .collect()
         )
     else:
-        # first-L distinct keys over the range, in key order; each key
-        # opens at its smallest covering element
-        ent_cells = own_leaves  # (owner, cell, token_id, pos, node_hash)
-        # keys present in the range = keys of covered cells ∪ edge keys
-        cov_cells = [
-            (c << k, ((c + 1) << k) - 1) for k, c in cover
-        ]
-        ccond2 = (
-            reduce(
+        # first-L distinct keys over the range, in key order, READ FROM
+        # THE A26 KEY-TILE TREE (O(log range) — the same universe: keys
+        # of covered cells ∪ edge keys); each key then opens at its
+        # smallest covering element, located by an IN-list lookup of
+        # just those ≤ L keys (the previous formulation windowed over
+        # EVERY candidate key in the range — interior-proportional work
+        # the 100× probe exposed)
+        from euclid_spark.operators.range_tree import (
+            Q2_L,
+            q2_range_tree_topl,
+        )
+
+        edge_first_ids = {
+            m["edge_tok"] for _, _, m in elems if "edge_tok" in m
+        }
+        cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
+        if L <= Q2_L:
+            keys = sorted(
+                int(r["token_id"])
+                for r in q2_range_tree_topl(
+                    spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max,
+                    L=L, contract=contract,
+                ).collect()
+            )
+        else:
+            # beyond the tree's baked reveal width: derive the key set
+            # from the leaf store (range-proportional, the honest cost
+            # of over-asking the circuit setup)
+            ccond_all = (
+                reduce(
+                    lambda a, b: a | b,
+                    [
+                        (F.col("cell") >= lo) & (F.col("cell") <= hi)
+                        for lo, hi in cov_cells
+                    ],
+                )
+                if cov_cells
+                else F.lit(False)
+            )
+            covered_toks = {
+                int(r["token_id"])
+                for r in own_leaves.filter(ccond_all)
+                .select("token_id")
+                .distinct()
+                .collect()
+            }
+            keys = sorted(covered_toks | edge_first_ids)[:L]
+        cov_keys = [t for t in keys if t not in edge_first_ids]
+        cand: "dict[int, dict]" = {}
+        if cov_keys and cov_cells:
+            ccond2 = reduce(
                 lambda a, b: a | b,
                 [
                     (F.col("cell") >= lo) & (F.col("cell") <= hi)
                     for lo, hi in cov_cells
                 ],
             )
-            if cov_cells
-            else F.lit(False)
-        )
-        covered_keys = ent_cells.filter(ccond2).select(
-            "owner", "cell", "token_id", "pos", "node_hash"
-        )
-        edge_toks = sorted(
-            {m["edge_tok"] for _, _, m in elems if "edge_tok" in m}
-        )
-        edge_df = spark.createDataFrame(
-            [(owner, -1, t, -1, "") for t in edge_toks],
-            "owner long, cell long, token_id long, pos int, node_hash string",
-        )
-        all_keys = covered_keys.unionByName(edge_df)
-        wk = Window.partitionBy("token_id").orderBy("cell", "pos")
-        revealed = (
-            all_keys.withColumn("rk", F.row_number().over(wk))
-            .filter(F.col("rk") == 1)  # smallest covering (cell, pos)
-            .drop("rk")
-            .orderBy("token_id")
-            .limit(L)
-        )
+            for r in (
+                own_leaves.filter(
+                    F.col("token_id").isin(cov_keys) & ccond2
+                )
+                .groupBy("token_id")
+                .agg(
+                    F.min(F.struct("cell", "pos", "node_hash")).alias("s")
+                )
+                .collect()
+            ):
+                cand[int(r["token_id"])] = r["s"]
+        rev_rows = []
+        for t in keys:
+            if t in edge_first_ids:  # an edge occurrence opens first
+                rev_rows.append(
+                    {"token_id": t, "cell": -1, "pos": -1, "node_hash": ""}
+                )
+            else:  # a key in the range has a covered or edge occurrence
+                s = cand[t]
+                rev_rows.append(
+                    {"token_id": t, "cell": s["cell"], "pos": s["pos"],
+                     "node_hash": s["node_hash"]}
+                )
 
-    # ---- opening paths: split covered vs edge-revealed by PREDICATE
-    # (exceptAll would be a shuffle; the split is a row-local test)
+    # ---- opening paths, assembled DRIVER-SIDE: a response is ≤ L
+    # revealed rows by construction, so build every path in Python from
+    # two PRUNED BOUNDED node fetches — the in-cell trees of the ≤ L
+    # touched cells (group_key IN-list) and the ≤ L·depth cell-tree
+    # siblings ((level, pos) IN-list). The previous join formulation
+    # streamed the FULL node artifacts through the path joins, a
+    # per-query cost that grew with the corpus (the 100× probe's
+    # residual slope on A30/A31).
     if family == "q2":
-        is_covered = F.col("cell") >= 0
+        def _is_cov(r):
+            return r["cell"] >= 0
     elif edges:
-        is_covered = (
-            F.col("event_id") >= -(-b_min // TILE_SIZE) * TILE_SIZE
-        ) & (F.col("event_id") < (b_max // TILE_SIZE) * TILE_SIZE)
-    else:
-        is_covered = F.lit(True)
-    covered = revealed.filter(is_covered)
-    edge_revealed = revealed.filter(~is_covered)
+        lo_cov = -(-b_min // TILE_SIZE) * TILE_SIZE
+        hi_cov = (b_max // TILE_SIZE) * TILE_SIZE
 
-    out_parts = []
-    if True:
-        # in-cell path: leaf → its cell root (served nodes)
-        cov2 = covered.withColumn("group_key", _gk())
-        in_paths = merkle_opening_paths(
-            cov2.select("group_key", *payload_cols, "cell", "pos", "node_hash"),
-            entry_cols=payload_cols + ["cell"],
-            nodes=incell.select("group_key", "level", "pos", "node_hash"),
-            depth=incell_depth,
-        ).select(
-            *payload_cols, "cell", "leaf_hash",
-            F.col("path").alias("incell_path"),
-        )
-        # cell-tree path: cell → covering tile (k_c levels of siblings)
-        cover_map = spark.createDataFrame(
+        def _is_cov(r):
+            return lo_cov <= r["event_id"] < hi_cov
+    else:
+        def _is_cov(r):
+            return True
+    cov_rows = [r for r in rev_rows if _is_cov(r)]
+    edge_rev = [r for r in rev_rows if not _is_cov(r)]
+
+    cover_tiles = [
+        (m["k"], m["c"], i)
+        for i, (_, _, m) in enumerate(elems)
+        if "k" in m
+    ]
+
+    def _tile_for(cell: int):
+        for k, c, i in cover_tiles:
+            if (c << k) <= cell <= ((c + 1) << k) - 1:
+                return k, c, i
+        return None
+
+    # bounded fetch 1: in-cell nodes of the touched cells
+    in_nodes: "dict[str, dict]" = {}
+    gks = sorted({f"{owner}|{r['cell']}" for r in cov_rows})
+    if gks:
+        for n in (
+            incell.filter(F.col("group_key").isin(gks))
+            .select("group_key", "level", "pos", "node_hash")
+            .collect()
+        ):
+            in_nodes.setdefault(n["group_key"], {})[
+                (int(n["level"]), int(n["pos"]))
+            ] = n["node_hash"]
+    # bounded fetch 2: the needed cell-tree siblings
+    need: "set[tuple[int, int]]" = set()
+    for r in cov_rows:
+        t = _tile_for(int(r["cell"]))
+        if t is not None:
+            for j in range(t[0]):
+                anc = int(r["cell"]) >> j
+                need.add((j, anc + 1 if anc % 2 == 0 else anc - 1))
+    cell_sibs: "dict[tuple[int, int], str]" = {}
+    if need:
+        ncond = reduce(
+            lambda a, b: a | b,
             [
-                (c << k, ((c + 1) << k) - 1, k, c, idx)
-                for idx, (_, _, m) in enumerate(elems)
-                if "k" in m
-                for k, c in [(m["k"], m["c"])]
-            ]
-            or [],
-            "cell_lo long, cell_hi long, k int, c long, elem_idx int",
+                (F.col("level") == j) & (F.col("pos") == p)
+                for j, p in sorted(need)
+            ],
         )
-        cp = in_paths.join(
-            F.broadcast(cover_map),
-            (F.col("cell") >= F.col("cell_lo"))
-            & (F.col("cell") <= F.col("cell_hi")),
+        for n in cell_nodes.filter(
+            ncond & (F.col("owner") == owner)
+        ).collect():
+            cell_sibs[(int(n["level"]), int(n["pos"]))] = n["node_hash"]
+
+    out_rows: "list[tuple]" = []
+    for r in cov_rows:
+        cell, pos = int(r["cell"]), int(r["pos"])
+        steps: "list[str]" = []
+        nd = in_nodes.get(f"{owner}|{cell}", {})
+        for j in range(int(incell_depth)):
+            anc = pos >> j
+            sib = anc + 1 if anc % 2 == 0 else anc - 1
+            h = nd.get((j, sib))
+            if h is not None:  # promotion level: absent sibling, no step
+                steps.append(f"{j}{'R' if anc % 2 == 0 else 'L'}:{h}")
+        t = _tile_for(cell)
+        # an occupied leaf's cell always has an occupied cover tile
+        assert t is not None, (family, owner, cell)
+        k, _, eidx = t
+        for j in range(k):
+            anc = cell >> j
+            sib = anc + 1 if anc % 2 == 0 else anc - 1
+            h = cell_sibs.get((j, sib))
+            if h is not None:
+                steps.append(
+                    f"{CELL_LVL_OFF + j}{'R' if anc % 2 == 0 else 'L'}:{h}"
+                )
+        out_rows.append(
+            tuple(r[c] for c in payload_cols)
+            + (r["node_hash"], "/".join(steps), eidx)
         )
-        steps = cp.select(
-            *payload_cols, "cell", "leaf_hash", "incell_path", "k", "c",
-            "elem_idx",
-            # explode_outer: a k=0 row (leaf's cell IS the cover tile)
-            # survives with j = NULL → no sibling → empty cell path
-            F.explode_outer(
-                F.when(F.col("k") > 0,
-                       F.expr("sequence(0, k - 1)")).otherwise(F.array())
-            ).alias("j"),
-        ).select(
-            "*",
-            F.expr("shiftright(cell, j)").alias("anc"),
-        ).select(
-            "*",
-            F.when(F.col("anc") % 2 == 0, F.col("anc") + 1)
-            .otherwise(F.col("anc") - 1)
-            .alias("sib_pos"),
-            F.when(F.col("anc") % 2 == 0, F.lit("R"))
-            .otherwise(F.lit("L"))
-            .alias("side"),
-        )
-        sib = cell_nodes.filter(F.col("owner") == owner).select(
-            F.col("level").alias("j"),
-            F.col("pos").alias("sib_pos"),
-            F.col("node_hash").alias("sib_hash"),
-        )
-        joined = steps.join(F.broadcast(sib), ["j", "sib_pos"], "left")
-        cell_path = F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("sib_hash").isNotNull(),
-                            F.struct(
-                                "j",
-                                F.concat_ws(
-                                    "",
-                                    (F.col("j") + CELL_LVL_OFF).cast("string"),
-                                    "side", F.lit(":"), "sib_hash",
-                                ).alias("txt"),
-                            ),
-                        )
-                    )
-                ),
-                lambda x: x["txt"],
-            ),
-            "/",
-        )
-        with_cell = joined.groupBy(
-            *payload_cols, "leaf_hash", "incell_path", "elem_idx"
-        ).agg(cell_path.alias("cell_path"))
-        full = with_cell.select(
-            *payload_cols,
-            "leaf_hash",
-            F.when(
-                (F.col("incell_path") != "") & (F.col("cell_path") != ""),
-                F.concat_ws("/", "incell_path", "cell_path"),
-            )
-            .otherwise(F.concat("incell_path", "cell_path"))
-            .alias("path"),
-            "elem_idx",
-        )
-        out_parts.append(full)
-    if edges:
+    if edges and edge_rev:
         # edge rows: the leaf IS its element — empty path
         edge_idx = {
-            m["edge_id"]: idx
-            for idx, (_, _, m) in enumerate(elems)
+            m["edge_id"]: i
+            for i, (_, _, m) in enumerate(elems)
             if "edge_id" in m
         }
         if family == "erc20":
-            idx_map = spark.createDataFrame(
-                [(k, v) for k, v in edge_idx.items()] or [],
-                "event_id long, elem_idx int",
-            )
-            e_out = (
-                edge_revealed.join(F.broadcast(idx_map), "event_id")
-                .select(
-                    *payload_cols,
-                    F.col("node_hash").alias("leaf_hash"),
-                    F.lit("").alias("path"),
-                    "elem_idx",
-                )
-            )
+            for r in edge_rev:
+                i = edge_idx.get(int(r["event_id"]))
+                if i is not None:
+                    out_rows.append(
+                        (r["event_id"], r["entry_reward_hex"],
+                         r["node_hash"], "", i)
+                    )
         else:
             # Q2 edge-revealed key: opens as its FIRST edge entry
-            first_edge = {}
+            first_edge: "dict[int, tuple[int, str]]" = {}
             for _, h, m in elems:
                 if "edge_tok" in m and m["edge_tok"] not in first_edge:
                     first_edge[m["edge_tok"]] = (edge_idx[m["edge_id"]], h)
-            idx_map = spark.createDataFrame(
-                [(t, i, h) for t, (i, h) in first_edge.items()] or [],
-                "token_id long, elem_idx int, leaf_hash string",
-            )
-            e_out = edge_revealed.drop("node_hash").join(
-                F.broadcast(idx_map), "token_id"
-            ).select(
-                *payload_cols, "leaf_hash", F.lit("").alias("path"),
-                "elem_idx",
-            )
-        out_parts.append(e_out)
+            for r in edge_rev:
+                fe = first_edge.get(int(r["token_id"]))
+                if fe is not None:
+                    out_rows.append((r["token_id"], fe[1], "", fe[0]))
 
-    res = out_parts[0]
-    for p in out_parts[1:]:
-        res = res.unionByName(p)
+    res = spark.createDataFrame(
+        out_rows,
+        ", ".join(
+            f"{c} {'string' if c == 'entry_reward_hex' else 'long'}"
+            for c in payload_cols
+        )
+        + ", leaf_hash string, path string, elem_idx int",
+    )
     elem_arr = F.split(F.lit(elements_str), "/") if elements_str else F.array()
     out = res.select(
         *payload_cols,
