@@ -1172,6 +1172,132 @@ def _erc20_rewards_sql() -> str:
     return _e.ORACLES["euclid_erc20_weighted_sum_u256"]
 
 
+def stream_erc20_cell_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 face with the A31 RESPONSE-COMMITMENT monoid (r9): the
+    per-(owner, cell) in-cell Merkle leaf sets of the arbitrary-range
+    verifiable responses (range_response.serve_range_commitments'
+    rr_erc20 trees) maintained per micro-batch over the adversarial
+    hash-split feed, folded to CELL ROOTS at read — the reference's
+    IVC story applied to the r9 response artifacts: a live ingest
+    maintains the commitment structure responses open into, and the
+    gate checks the maintained roots equal the from-raw-rows
+    derivation (DuckDB replays the leaf circuit + the promotion
+    pairing over 8 halving CTEs)."""
+    from pyspark.sql import Window
+
+    from euclid_spark.cache import persist_tracked
+    from euclid_spark.operators.merkle import merkle_levels
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import (
+        _rr_cell_leaves_merge,
+        _rr_cell_leaves_partial,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_erc20_cell_roots",
+        n=N_SPLITS, v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_rr_cell_leaves_partial,
+            merge_fn=_rr_cell_leaves_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        empty_schema = "owner long, cell long, n_entries long, root string"
+        if not os.path.exists(view):  # zero-row corpus: nothing merged
+            return spark.createDataFrame([], empty_schema)
+        lv = (
+            sink.view(spark)
+            .select(
+                "owner", "cell",
+                F.posexplode("leaves").alias("pos", "lf"),
+            )
+            .select(
+                F.concat_ws("|", "owner", "cell").alias("group_key"),
+                "owner", "cell", "pos",
+                F.col("lf.node_hash").alias("node_hash"),
+            )
+        )
+        lv = persist_tracked(lv)
+        nodes, _ = merkle_levels(lv.select("group_key", "pos", "node_hash"))
+        wl = Window.partitionBy("group_key")
+        roots = (
+            nodes.withColumn("ml", F.max("level").over(wl))
+            .filter(F.col("level") == F.col("ml"))
+            .select("group_key", F.col("node_hash").alias("root"))
+        )
+        meta = lv.groupBy("group_key", "owner", "cell").agg(
+            F.count(F.lit(1)).alias("n_entries")
+        )
+        return meta.join(roots, "group_key").select(
+            "owner", "cell", "n_entries", "root"
+        )
+
+    return _serve_streamed(spark, "stream_erc20_cell_roots", fp, build)
+
+
+def _erc20_cell_roots_sql() -> str:
+    from euclid_spark.operators.euclid import REWARDS_RATE, _TOKEN
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    halvings = []
+    for k in range(1, 9):  # 2^8 = TILE_SIZE: a cell holds ≤ 256 entries
+        halvings.append(
+            f"""l{k} AS (
+  SELECT owner, cell, pos // 2 AS pos,
+         CASE WHEN count(*) = 2
+              THEN sha256(string_agg(node_hash, '' ORDER BY pos))
+              ELSE min(node_hash) END AS node_hash
+  FROM l{k - 1} GROUP BY owner, cell, pos // 2
+)"""
+        )
+    return f"""
+WITH base AS (
+  SELECT user_id AS owner, event_id,
+         lpad(lower(to_hex(
+             CASE WHEN tok IS NULL OR tok = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE (CAST(FLOOR(value * 10000) AS HUGEINT)
+                        * CAST('18446744073709551616' AS HUGEINT)
+                        + event_id) * {REWARDS_RATE} // tok
+             END)), 64, '0') AS entry_reward_hex,
+         event_id // {TILE_SIZE} AS cell
+  FROM (SELECT user_id, event_id, value, {_TOKEN} AS tok FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL)
+),
+l0 AS (
+  SELECT owner, cell,
+         row_number() OVER (PARTITION BY owner, cell
+                            ORDER BY event_id) - 1 AS pos,
+         sha256(event_id::VARCHAR || ':' || entry_reward_hex) AS node_hash
+  FROM base
+),
+{', '.join(halvings)},
+counts AS (
+  SELECT owner, cell, count(*) AS n_entries FROM l0 GROUP BY owner, cell
+)
+SELECT c.owner, c.cell, CAST(c.n_entries AS BIGINT) AS n_entries,
+       r.node_hash AS root
+FROM counts c JOIN l8 r ON r.owner = c.owner AND r.cell = c.cell
+"""
+
+
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D19 face with the B56 OHLC SELECTION monoid (late r7): per-
     (user, hour) open/high/low/close bars maintained per micro-batch —
@@ -1431,6 +1557,7 @@ QUERIES = {
     "stream_hdr_quantile_tiles": stream_hdr_quantile_tiles,
     "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
     "stream_erc20_rewards": stream_erc20_rewards,
+    "stream_erc20_cell_roots": stream_erc20_cell_roots,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_leakage_splits": stream_leakage_splits,
     "stream_ohlc_bars": stream_ohlc_bars,
@@ -1442,6 +1569,7 @@ ORACLES = {
     "stream_hdr_quantile_tiles": _hdr_tiles_sql(),
     "stream_lc_distinct_tiles": _lc_tiles_sql(),
     "stream_erc20_rewards": _erc20_rewards_sql(),
+    "stream_erc20_cell_roots": _erc20_cell_roots_sql(),
     "stream_ivf_assign": _ivf_assign_sql(),
     "stream_leakage_splits": _leakage_splits_sql(),
     "stream_ohlc_bars": _ohlc_bars_sql(),

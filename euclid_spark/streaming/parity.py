@@ -630,6 +630,69 @@ def _erc20_tiles_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+# --- A30/A31's response-commitment leaf sets as a maintained aggregate --------
+
+
+def _rr_cell_leaves_partial(events: DataFrame) -> DataFrame:
+    """The arbitrary-range RESPONSE COMMITMENT's level-0 structure
+    (range_response.serve_range_commitments — the per-(owner, cell)
+    in-cell Merkle leaf sets responses open into) as a streaming
+    monoid: the ERC-20 leaf circuit runs per batch, leaves key on
+    (chunk, owner, cell) as SORTED SETS of (event_id, leaf_hash).
+    State is bounded by construction (≤ TILE_SIZE entries per cell);
+    merge = order-insensitive set union re-sorted by event_id, so the
+    fold to cell roots at read is split-invariant — the reference's
+    IVC story applied to the r9 response artifacts."""
+    from euclid_spark.functions.u256 import u256_to_hex
+    from euclid_spark.operators.euclid import erc20_leaf_rows
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    rows = erc20_leaf_rows(events.filter(F.col("event_type") == "purchase"))
+    entry_hex = u256_to_hex(
+        (F.col("l3"), F.col("l2"), F.col("l1"), F.col("l0"))
+    )
+    cell0 = f"CAST(FLOOR(event_id / {TILE_SIZE}) AS BIGINT)"
+    return (
+        rows.select(
+            "owner",
+            "event_id",
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), entry_hex
+                ),
+                256,
+            ).alias("node_hash"),
+        )
+        .select(
+            F.expr(f"shiftright({cell0}, {_RT_LEVELS})")
+            .cast("int")
+            .alias("day"),
+            F.expr(cell0).alias("cell"),
+            "owner",
+            "event_id",
+            "node_hash",
+        )
+        .groupBy("day", "owner", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "node_hash"))
+            ).alias("leaves")
+        )
+    )
+
+
+def _rr_cell_leaves_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "owner", "cell")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("leaves")))
+            ).alias("leaves")
+        )
+    )
+
+
 # --- B56's OHLC bars as a maintained aggregate --------------------------------
 
 
@@ -716,5 +779,8 @@ SPECS = {
     ),
     "erc20_reward_tiles": ParitySpec(
         "erc20_reward_tiles", _erc20_tiles_partial, _erc20_tiles_merge
+    ),
+    "rr_cell_leaves": ParitySpec(
+        "rr_cell_leaves", _rr_cell_leaves_partial, _rr_cell_leaves_merge
     ),
 }
