@@ -1253,6 +1253,124 @@ def stream_erc20_cell_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_streamed(spark, "stream_erc20_cell_roots", fp, build)
 
 
+def stream_q2_cell_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q2 twin of stream_erc20_cell_roots (r9): the per-(owner,
+    cell) DISTINCT-KEY leaf sets of the A30 Query2 range-response
+    commitments maintained per micro-batch (idempotent set union —
+    16th D20 spec rr_q2_cell_leaves), folded to in-cell roots at read.
+    With the ERC-20 face this closes the pair: BOTH reference query
+    families' response commitments now have gate-checked incremental
+    maintenance."""
+    from pyspark.sql import Window
+
+    from euclid_spark.cache import persist_tracked
+    from euclid_spark.operators.merkle import merkle_levels
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import (
+        _rr_q2_cell_leaves_merge,
+        _rr_q2_cell_leaves_partial,
+    )
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_q2_cell_roots",
+        n=N_SPLITS, v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_rr_q2_cell_leaves_partial,
+            merge_fn=_rr_q2_cell_leaves_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        empty_schema = "owner long, cell long, n_keys long, root string"
+        if not os.path.exists(view):  # zero-row corpus: nothing merged
+            return spark.createDataFrame([], empty_schema)
+        lv = (
+            sink.view(spark)
+            .select(
+                "owner", "cell",
+                F.posexplode("tokens").alias("pos", "token_id"),
+            )
+            .select(
+                F.concat_ws("|", "owner", "cell").alias("group_key"),
+                "owner", "cell", "pos",
+                F.sha2(F.col("token_id").cast("string"), 256)
+                .alias("node_hash"),
+            )
+        )
+        lv = persist_tracked(lv)
+        nodes, _ = merkle_levels(lv.select("group_key", "pos", "node_hash"))
+        wl = Window.partitionBy("group_key")
+        roots = (
+            nodes.withColumn("ml", F.max("level").over(wl))
+            .filter(F.col("level") == F.col("ml"))
+            .select("group_key", F.col("node_hash").alias("root"))
+        )
+        meta = lv.groupBy("group_key", "owner", "cell").agg(
+            F.count(F.lit(1)).alias("n_keys")
+        )
+        return meta.join(roots, "group_key").select(
+            "owner", "cell", "n_keys", "root"
+        )
+
+    return _serve_streamed(spark, "stream_q2_cell_roots", fp, build)
+
+
+def _q2_cell_roots_sql() -> str:
+    from euclid_spark.operators.euclid import _TOKEN
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    halvings = []
+    for k in range(1, 9):
+        halvings.append(
+            f"""l{k} AS (
+  SELECT owner, cell, pos // 2 AS pos,
+         CASE WHEN count(*) = 2
+              THEN sha256(string_agg(node_hash, '' ORDER BY pos))
+              ELSE min(node_hash) END AS node_hash
+  FROM l{k - 1} GROUP BY owner, cell, pos // 2
+)"""
+        )
+    return f"""
+WITH base AS (
+  SELECT DISTINCT user_id AS owner, {_TOKEN} AS token_id,
+         event_id // {TILE_SIZE} AS cell
+  FROM events
+  WHERE event_type = 'purchase' AND {_TOKEN} IS NOT NULL
+),
+l0 AS (
+  SELECT owner, cell,
+         row_number() OVER (PARTITION BY owner, cell
+                            ORDER BY token_id) - 1 AS pos,
+         sha256(token_id::VARCHAR) AS node_hash
+  FROM base
+),
+{', '.join(halvings)},
+counts AS (
+  SELECT owner, cell, count(*) AS n_keys FROM l0 GROUP BY owner, cell
+)
+SELECT c.owner, c.cell, CAST(c.n_keys AS BIGINT) AS n_keys,
+       r.node_hash AS root
+FROM counts c JOIN l8 r ON r.owner = c.owner AND r.cell = c.cell
+"""
+
+
 def _erc20_cell_roots_sql() -> str:
     from euclid_spark.operators.euclid import REWARDS_RATE, _TOKEN
     from euclid_spark.operators.range_tree import TILE_SIZE
@@ -1558,6 +1676,7 @@ QUERIES = {
     "stream_lc_distinct_tiles": stream_lc_distinct_tiles,
     "stream_erc20_rewards": stream_erc20_rewards,
     "stream_erc20_cell_roots": stream_erc20_cell_roots,
+    "stream_q2_cell_roots": stream_q2_cell_roots,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_leakage_splits": stream_leakage_splits,
     "stream_ohlc_bars": stream_ohlc_bars,
@@ -1570,6 +1689,7 @@ ORACLES = {
     "stream_lc_distinct_tiles": _lc_tiles_sql(),
     "stream_erc20_rewards": _erc20_rewards_sql(),
     "stream_erc20_cell_roots": _erc20_cell_roots_sql(),
+    "stream_q2_cell_roots": _q2_cell_roots_sql(),
     "stream_ivf_assign": _ivf_assign_sql(),
     "stream_leakage_splits": _leakage_splits_sql(),
     "stream_ohlc_bars": _ohlc_bars_sql(),

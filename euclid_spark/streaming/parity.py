@@ -693,6 +693,45 @@ def _rr_cell_leaves_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+def _rr_q2_cell_leaves_partial(events: DataFrame) -> DataFrame:
+    """The Q2 twin of `rr_cell_leaves`: per (chunk, owner, cell), the
+    DISTINCT mapping keys in key order — the level-0 structure the A30
+    Query2 range responses open into (leaf = sha256(token_id), A20's
+    encoding). Distinct-set union is idempotent, so replayed batches
+    cannot double-count a key."""
+    from euclid_spark.operators.range_tree import TILE_SIZE
+
+    tok = F.get_json_object("props", "$.k").cast("long")
+    cell0 = f"CAST(FLOOR(event_id / {TILE_SIZE}) AS BIGINT)"
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("token_id", tok)
+        .filter(F.col("token_id").isNotNull())
+        .select(
+            F.expr(f"shiftright({cell0}, {_RT_LEVELS})")
+            .cast("int")
+            .alias("day"),
+            F.expr(cell0).alias("cell"),
+            F.col("user_id").alias("owner"),
+            "token_id",
+        )
+        .groupBy("day", "owner", "cell")
+        .agg(F.array_sort(F.collect_set("token_id")).alias("tokens"))
+    )
+
+
+def _rr_q2_cell_leaves_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("day", "owner", "cell")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("tokens")))
+            ).alias("tokens")
+        )
+    )
+
+
 # --- B56's OHLC bars as a maintained aggregate --------------------------------
 
 
@@ -782,5 +821,10 @@ SPECS = {
     ),
     "rr_cell_leaves": ParitySpec(
         "rr_cell_leaves", _rr_cell_leaves_partial, _rr_cell_leaves_merge
+    ),
+    "rr_q2_cell_leaves": ParitySpec(
+        "rr_q2_cell_leaves",
+        _rr_q2_cell_leaves_partial,
+        _rr_q2_cell_leaves_merge,
     ),
 }
