@@ -31,7 +31,9 @@ and the build side runs once per corpus version, cluster-wide.
 
 from __future__ import annotations
 
+import glob
 import hashlib
+import json
 import os
 import shutil
 from typing import Callable
@@ -156,6 +158,64 @@ def serve_frame(
     return out
 
 
+def publish_manifest(
+    name: str,
+    fp: str,
+    family: str,
+    sources: "list[str]",
+    params: "dict[str, object] | None" = None,
+) -> str:
+    """Publish a MANIFEST next to an artifact: a small JSON record
+    (family, params, fingerprint, relative path, source-file identity)
+    that consumers DISCOVER published artifacts through. This is the
+    single source of truth for "which responses exist for this corpus"
+    — the standalone verifier (tools/verify_response.py) reads
+    manifests instead of re-deriving the prover's fingerprint scheme,
+    so a prover-side keying change can never silently un-verify a
+    published response (the r10 failure class: the tool recomputed
+    fingerprints with stale params and skipped the ERC-20 response).
+    `sources` records each input file's (size, mtime_ns) so a consumer
+    can tell whether a manifest belongs to the CURRENT corpus version
+    by a plain stat comparison — no fingerprint algorithm needed."""
+    meta = {
+        "family": family,
+        "name": name,
+        "fingerprint": fp,
+        "path": f"{name}_{fp}.parquet",
+        "sources": {
+            p: {
+                "size": os.stat(p).st_size,
+                "mtime_ns": os.stat(p).st_mtime_ns,
+            }
+            for p in sources
+        },
+        "params": {k: v for k, v in (params or {}).items()},
+    }
+    os.makedirs(artifact_dir(), exist_ok=True)
+    path = os.path.join(artifact_dir(), f"{name}_{fp}.manifest.json")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True, default=str)
+    os.replace(tmp, path)
+    return path
+
+
+def read_manifests(root: "str | None" = None) -> "list[dict]":
+    """Every published manifest under the artifact root (unreadable or
+    truncated files are skipped — a consumer should never crash on a
+    foreign deployment's half-written metadata)."""
+    out: "list[dict]" = []
+    for p in sorted(
+        glob.glob(os.path.join(root or artifact_dir(), "*.manifest.json"))
+    ):
+        try:
+            with open(p) as f:
+                out.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue
+    return out
+
+
 def gc(keep: "dict[str, str]") -> "list[str]":
     """Garbage-collect the artifact root: for every name in `keep`
     (name → current fingerprint), delete that name's OTHER fingerprints
@@ -176,8 +236,17 @@ def gc(keep: "dict[str, str]") -> "list[str]":
             removed.append(path)
             continue
         for name, fp in keep.items():
-            if entry.startswith(f"{name}_") and entry != f"{name}_{fp}.parquet":
-                shutil.rmtree(path, ignore_errors=True)
+            if entry.startswith(f"{name}_") and entry not in (
+                f"{name}_{fp}.parquet",
+                f"{name}_{fp}.manifest.json",
+            ):
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:  # a superseded artifact's manifest
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
                 removed.append(path)
                 break
     return removed

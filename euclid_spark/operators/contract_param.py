@@ -88,3 +88,25 @@ ORACLES = {
         WHERE r.pos <= {Q2_L}
     """,
 }
+
+
+def verifiable_response_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 with contract='click': the single-owner VERIFIABLE RESPONSE
+    answered from THAT contract's OWN owner-token tree artifact
+    (merkle._owner_token_tree is fingerprint-keyed by contract, r11) —
+    the pinned-response path gate-checked end to end for a non-default
+    contract, so a second contract's published response can never
+    collide with the default's (VERDICT r10 #4)."""
+    from euclid_spark.operators.merkle import verifiable_query_response
+
+    return verifiable_query_response(spark, sf_dir, contract=ALT_CONTRACT)
+
+
+def _alt_response_oracle() -> str:
+    from euclid_spark.operators.merkle import _oracle_verifiable_response
+
+    return _oracle_verifiable_response(contract=ALT_CONTRACT)
+
+
+QUERIES["euclid_verifiable_response_alt_contract"] = verifiable_response_alt
+ORACLES["euclid_verifiable_response_alt_contract"] = _alt_response_oracle()

@@ -350,6 +350,7 @@ def verifiable_query_response(
     L: "int | None" = None,
     b_min: "int | None" = None,
     b_max: "int | None" = None,
+    contract: "str | None" = None,
 ) -> DataFrame:
     """A20 — the END DELIVERABLE of the reference's query phase, as one
     row set: a VERIFIABLE QUERY RESPONSE (what the groth16 final proof
@@ -386,7 +387,8 @@ def verifiable_query_response(
         from euclid_spark.operators.range_response import q2_range_response
 
         return q2_range_response(
-            spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max, L=L
+            spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max, L=L,
+            contract=contract,
         )
     owner = OWNER if owner is None else int(owner)
     L = TOP_L if L is None else int(L)
@@ -394,7 +396,7 @@ def verifiable_query_response(
     # artifact (A21's store): same leaf numbering, same per-owner
     # subtree, so the served tree answers both faces — and any
     # (owner, L) parameterization reads the same stored tree
-    leaves, nodes, depth = _owner_token_tree(spark, sf_dir)
+    leaves, nodes, depth = _owner_token_tree(spark, sf_dir, contract)
     owner_leaves = leaves.filter(F.col("group_key") == owner)
     owner_nodes = nodes.filter(F.col("group_key") == owner)
     paths = merkle_opening_paths(
@@ -415,8 +417,9 @@ def verifiable_query_response(
     )
 
 
-def _oracle_verifiable_response() -> str:
+def _oracle_verifiable_response(contract: "str | None" = None) -> str:
     from euclid_spark.operators.euclid import (
+        CONTRACT,
         OWNER,
         TOP_L,
         _PROV_SQL,
@@ -424,11 +427,12 @@ def _oracle_verifiable_response() -> str:
         _TOKEN,
     )
 
+    contract = CONTRACT if contract is None else contract
     l0 = f"""  SELECT {OWNER} AS group_key, token_id,
          row_number() OVER (ORDER BY token_id) - 1 AS pos,
          sha256(token_id::VARCHAR) AS node_hash
   FROM (SELECT DISTINCT {_TOKEN} AS token_id FROM events
-        WHERE {_RANGE} AND event_type = 'purchase'
+        WHERE {_RANGE} AND event_type = '{contract}'
           AND user_id = {OWNER} AND {_TOKEN} IS NOT NULL)"""
     return f"""
         SELECT m.token_id, m.leaf_pos, m.leaf_hash, m.path, m.root,
@@ -440,21 +444,27 @@ def _oracle_verifiable_response() -> str:
     """
 
 
-def _owner_token_tree(spark: SparkSession, sf_dir: str):
+def _owner_token_tree(
+    spark: SparkSession, sf_dir: str, contract: "str | None" = None
+):
     """The all-owner token-set Merkle tree (leaves + levels) as a
     fingerprint-keyed DISK ARTIFACT — the stored state DB both
     response faces (A20 single-owner, A21 all-owner) answer from;
-    only the path joins run live. Returns (leaves, nodes, depth)."""
+    only the path joins run live. Keyed by CONTRACT like every other
+    per-contract store (each contract has its own storage DB —
+    query2/api.rs CircuitInput binds which one). Returns
+    (leaves, nodes, depth)."""
     from euclid_spark import artifacts
-    from euclid_spark.operators.euclid import q2_distinct_keys
+    from euclid_spark.operators.euclid import CONTRACT, q2_distinct_keys
 
+    contract = CONTRACT if contract is None else contract
     # owner-clustered layout (the q2_key_tiles story): both stores are
     # range-partitioned + sorted on group_key at write, so the
     # single-owner faces' group_key filter prunes parquet row groups —
     # a one-owner response reads that owner's slice, not every tree
     fp = artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"], op="owner_token_tree",
-        layout="owner_v2",
+        layout="owner_v2", contract=contract,
     )
 
     def _clustered(df: DataFrame, *sort_cols: str) -> DataFrame:
@@ -463,7 +473,7 @@ def _owner_token_tree(spark: SparkSession, sf_dir: str):
         )
 
     def build_leaves() -> DataFrame:
-        keys = q2_distinct_keys(spark, sf_dir).filter(
+        keys = q2_distinct_keys(spark, sf_dir, contract=contract).filter(
             F.col("token_id").isNotNull()
         )
         w = Window.partitionBy("owner").orderBy("token_id")
@@ -927,30 +937,60 @@ def _refold_to_root(leaf: F.Column, path: F.Column) -> F.Column:
     return F.aggregate(steps, leaf, one)
 
 
-def _serve_q2_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q2_fp(sf_dir: str, contract: "str | None" = None) -> str:
+    """q2 pinned-response key — contract is baked in EXACTLY like
+    `_erc20_fp` does (one keying schema across both response families;
+    each contract's published response is its own artifact)."""
+    from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import CONTRACT
+
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="q2_response",
+        contract=CONTRACT if contract is None else contract,
+    )
+
+
+def _serve_q2_response(
+    spark: SparkSession, sf_dir: str, contract: "str | None" = None
+) -> DataFrame:
     """A20's response as a served artifact — the prover PUBLISHES a
     response once; verifiers consume the published rows (the
-    groth16-framework tests' fixture shape)."""
+    groth16-framework tests' fixture shape). Publishing writes a
+    MANIFEST (family, params, path) that the standalone verifier's
+    discovery reads — the keying logic lives HERE only."""
     from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import CONTRACT
 
-    fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="q2_response"
-    )
-    return artifacts.serve_frame(
+    contract = CONTRACT if contract is None else contract
+    ev = f"{sf_dir}/events.parquet"
+    fp = _q2_fp(sf_dir, contract)
+    out = artifacts.serve_frame(
         spark, "q2_response", fp,
-        lambda: verifiable_query_response(spark, sf_dir),
+        lambda: verifiable_query_response(spark, sf_dir, contract=contract),
     )
+    artifacts.publish_manifest(
+        "q2_response", fp, "q2", [ev], {"contract": contract}
+    )
+    return out
 
 
 def _serve_erc20_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark import artifacts
+    from euclid_spark.operators.euclid import CONTRACT, REWARDS_RATE
 
-    return artifacts.serve_frame(
+    ev = f"{sf_dir}/events.parquet"
+    fp = _erc20_fp(sf_dir)
+    out = artifacts.serve_frame(
         spark,
         "erc20_response",
-        _erc20_fp(sf_dir),
+        fp,
         lambda: erc20_verifiable_response(spark, sf_dir),
     )
+    artifacts.publish_manifest(
+        "erc20_response", fp, "erc20", [ev],
+        {"contract": CONTRACT, "rate": REWARDS_RATE},
+    )
+    return out
 
 
 def verify_response(spark: SparkSession, sf_dir: str) -> DataFrame:

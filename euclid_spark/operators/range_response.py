@@ -760,13 +760,23 @@ def _serve_range_response(
     A27/A28 pattern: the prover publishes once, verifiers consume)."""
     from euclid_spark import artifacts
 
+    from euclid_spark.operators.euclid import CONTRACT, REWARDS_RATE
+
     fp = _fp(sf_dir, family, None, None)
     build = (
         (lambda: erc20_range_response(spark, sf_dir))
         if family == "erc20"
         else (lambda: q2_range_response(spark, sf_dir))
     )
-    return artifacts.serve_frame(spark, f"rr_{family}_response", fp, build)
+    out = artifacts.serve_frame(spark, f"rr_{family}_response", fp, build)
+    params: "dict[str, object]" = {"tile": TILE_SIZE, "contract": CONTRACT}
+    if family == "erc20":
+        params["rate"] = REWARDS_RATE
+    artifacts.publish_manifest(
+        f"rr_{family}_response", fp, f"{family}_range",
+        [f"{sf_dir}/events.parquet"], params,
+    )
+    return out
 
 
 def _sql_fold(seed: F.Column, elements: F.Column) -> F.Column:

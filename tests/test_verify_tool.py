@@ -224,3 +224,57 @@ def test_range_cli_discovery_includes_range_kinds(range_responses):
     kinds = {x["kind"] for x in lines}
     assert {"q2_range", "erc20_range"} <= kinds
     assert all(x["verdict"] == "VALID" for x in lines)
+
+
+# ---- manifest discovery: the cross-implementation guard -----------------
+
+
+def test_manifest_discovery_matches_prover_paths(responses, range_responses):
+    """Cross-implementation guard (the r10 drift class): the tool's
+    discovery must return EXACTLY the artifact paths the prover served
+    for ALL FOUR response families. Discovery reads the prover's
+    published manifests, so the fingerprint scheme exists in one place
+    — a prover keying change either re-publishes a manifest (and this
+    still passes) or breaks the serve side loudly; it can never
+    silently un-verify a published response again."""
+    from euclid_spark import artifacts
+    from euclid_spark.operators.merkle import _erc20_fp, _q2_fp
+    from euclid_spark.operators.range_response import _fp
+
+    expected = {
+        "q2": artifacts._path("q2_response", _q2_fp(SF_SMOKE)),
+        "erc20": artifacts._path("erc20_response", _erc20_fp(SF_SMOKE)),
+        "q2_range": artifacts._path(
+            "rr_q2_response", _fp(SF_SMOKE, "q2", None, None)
+        ),
+        "erc20_range": artifacts._path(
+            "rr_erc20_response", _fp(SF_SMOKE, "erc20", None, None)
+        ),
+    }
+    got = dict(
+        (k, p) for p, k in vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
+    )
+    assert got == expected
+
+
+def test_discovery_skips_other_corpus_manifests(responses, tmp_path):
+    """A manifest whose recorded source identity doesn't stat-match the
+    CURRENT corpus is skipped — a response published from an older
+    corpus version never silently enters the default verify set."""
+    import shutil as _sh
+
+    src = str(REPO / ".artifacts")
+    alt = str(tmp_path / "artifacts")
+    _sh.copytree(src, alt)
+    ev = _events()
+    for mf in os.listdir(alt):
+        if not mf.endswith(".manifest.json"):
+            continue
+        p = os.path.join(alt, mf)
+        with open(p) as f:
+            m = json.load(f)
+        if ev in m.get("sources", {}):
+            m["sources"][ev]["mtime_ns"] += 1  # stale corpus identity
+            with open(p, "w") as f:
+                json.dump(m, f)
+    assert vr._discover(alt, SF_SMOKE) == []

@@ -99,66 +99,53 @@ CONTRACT = "purchase"           # contract-address analog (event_type)
 _TOKEN_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
 
-def _corpus_fingerprint(paths: list[str], **params: object) -> str:
-    """Locate THIS corpus's published responses: md5 over each file's
-    (path, size, mtime_ns) + sorted params — restated here (not
-    imported) to keep the verifier prover-independent; the artifact
-    NAMING convention is public surface, like a URL scheme."""
-    import hashlib
-
-    parts = [f"{k}={params[k]}" for k in sorted(params)]
-    for path in paths:
-        entries = (
-            sorted(
-                os.path.join(r, f)
-                for r, _, fs in os.walk(path)
-                for f in fs
-                if not f.startswith(("_", "."))
-            )
-            if os.path.isdir(path)
-            else [path]
-        )
-        for p in entries:
-            st = os.stat(p)
-            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
-
-
 def _discover(artifacts_dir: str, sf_dir: str) -> list[tuple[str, str]]:
-    """This corpus's response artifacts by exact fingerprint; responses
-    published from OTHER corpora are skipped (their binding check would
-    fail by construction, which is the verifier doing its job but not
-    what the default all-good/exit-0 contract should rest on)."""
+    """This corpus's published responses via the prover's MANIFESTS
+    (`<name>_<fp>.manifest.json`, written at publish time next to each
+    artifact). The manifest is the discovery contract: it carries the
+    family, the query params, and the SOURCE-FILE IDENTITY
+    (size, mtime_ns) of the corpus the response was published from —
+    so this tool never re-derives the prover's fingerprint scheme
+    (the r10 drift class: a prover-side keying change silently
+    un-verified the ERC-20 response). Selection here is:
+
+      - family is one of the four response kinds,
+      - the manifest's recorded identity of {sf_dir}/events.parquet
+        matches a plain os.stat of the file NOW (responses published
+        from OTHER corpus versions are skipped — their binding check
+        would fail by construction, which is the verifier doing its
+        job but not what the default all-good/exit-0 contract should
+        rest on),
+      - the manifest's params match the published query parameters
+        this verifier was asked to check (contract, rate, tile) —
+        responses for other parameterizations are someone else's.
+    """
     ev = f"{sf_dir}/events.parquet"
-    out = []
-    q2 = os.path.join(
-        artifacts_dir,
-        f"q2_response_{_corpus_fingerprint([ev], op='q2_response')}.parquet",
-    )
-    if os.path.exists(q2):
-        out.append((q2, "q2"))
-    fp = _corpus_fingerprint(
-        [ev], op="erc20_entry_tree", v=2, rate=REWARDS_RATE,
-        layout="owner_v2",
-    )
-    erc = os.path.join(artifacts_dir, f"erc20_response_{fp}.parquet")
-    if os.path.exists(erc):
-        out.append((erc, "erc20"))
-    for fam in ("q2", "erc20"):
-        params = {
-            "op": f"range_response_{fam}",
-            "tile": TILE_SIZE,
-            "contract": CONTRACT,
-        }
-        if fam == "erc20":
-            params["rate"] = REWARDS_RATE
-        rr = os.path.join(
-            artifacts_dir,
-            f"rr_{fam}_response_{_corpus_fingerprint([ev], **params)}"
-            ".parquet",
-        )
-        if os.path.exists(rr):
-            out.append((rr, f"{fam}_range"))
+    st = os.stat(ev)
+    cur = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    out: list[tuple[str, str]] = []
+    for mp in sorted(glob.glob(os.path.join(artifacts_dir, "*.manifest.json"))):
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        fam = m.get("family")
+        if fam not in ("q2", "erc20", "q2_range", "erc20_range"):
+            continue
+        src = (m.get("sources") or {}).get(ev)
+        if src != cur:
+            continue  # published from another corpus version
+        p = m.get("params") or {}
+        if p.get("contract", CONTRACT) != CONTRACT:
+            continue
+        if fam.startswith("erc20") and p.get("rate", REWARDS_RATE) != REWARDS_RATE:
+            continue
+        if fam.endswith("_range") and p.get("tile", TILE_SIZE) != TILE_SIZE:
+            continue
+        path = os.path.join(artifacts_dir, m.get("path", ""))
+        if os.path.isdir(path):
+            out.append((path, fam))
     return out
 
 
