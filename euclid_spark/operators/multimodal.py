@@ -504,3 +504,61 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mm_image_dhash"] = mm_image_dhash  # rows-only: real decode path
+
+
+def _oracle_mm_image_dhash(sf_dir: str) -> str:
+    """C50 hash-check (r11, the C31/C48 artifact-as-oracle-input
+    precedent): the served dHash signature table is an INPUT TABLE —
+    read_parquet of the `image_dhashes` artifact — and the ENTIRE
+    matching stage replays in SQL: quarantine filter, 16-bit band
+    decomposition, band-bucket skew cap, band equi-join with doc_a <
+    doc_b, distinct candidates, exact XOR-popcount verify. Only the
+    BMP decode + dHash extraction stays engine-side (pinned by
+    known-answer vectors in tests/test_multimodal.py). The sign-safe
+    part: both engines' `>>` on a signed 64-bit dhash is arithmetic,
+    and the `& 65535` mask makes the band value identical either
+    way."""
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="image_dhashes", h=IMG_H, w=IMG_W, v=2,
+    )
+    path = _os.path.join(
+        artifacts.artifact_dir(), f"image_dhashes_{fp}.parquet"
+    )
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, dhash FROM read_parquet('{path}/*.parquet')
+        WHERE dhash IS NOT NULL
+    ),
+    bands AS (
+        SELECT doc_id, dhash, b.band_idx,
+               (dhash >> (16 * b.band_idx)) & 65535 AS band_val
+        FROM sig, (SELECT UNNEST(range({DHASH_BANDS})) AS band_idx) b
+    ),
+    capped AS (
+        SELECT doc_id, dhash, band_idx, band_val FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val)
+                   AS bucket_n
+            FROM bands
+        ) WHERE bucket_n <= {DHASH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {DHASH_MAX_HAMMING}
+    """
+
+
+DYNAMIC_ORACLES = {"mm_image_dhash": _oracle_mm_image_dhash}
