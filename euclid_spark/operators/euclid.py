@@ -380,30 +380,95 @@ def q2_batch_revelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topl.crossJoin(F.broadcast(_range_provenance(spark, sf_dir)))
 
 
+def _keccak_key_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token_id, location, mpt_key) for EVERY distinct mapping key in
+    the corpus — the REAL-keccak storage-location index
+    (mrp2-utils/src/storage_key.rs; storage/key.rs keccak_mpt), served
+    once per corpus version as a fingerprint-keyed artifact. The
+    Arrow-batched keccak pass runs over the DISTINCT key universe at
+    indexing time, never over the event rows and never per query —
+    at 100 TB the map is |keys| rows, orders of magnitude smaller
+    than the entry stream that references them."""
+    from euclid_spark import artifacts
+    from euclid_spark.functions.mpt import keccak256_hex
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="keccak_key_map",
+        slot=MAPPING_SLOT,
+    )
+
+    def build() -> DataFrame:
+        from euclid_spark.catalog import load_events
+
+        tok = _token_id()
+        toks = (
+            load_events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(tok.alias("token_id"))
+            .filter(F.col("token_id").isNotNull())
+            .distinct()
+        )
+        key32 = F.unhex(F.lpad(F.lower(F.hex(F.col("token_id"))), 64, "0"))
+        slot32 = F.unhex(
+            F.lpad(F.lower(F.hex(F.lit(MAPPING_SLOT))), 64, "0")
+        )
+        return toks.withColumn(
+            "location", keccak256_hex(F.concat(key32, slot32))
+        ).withColumn("mpt_key", keccak256_hex(F.unhex(F.col("location"))))
+
+    return artifacts.serve_frame(spark, "keccak_key_map", fp, build)
+
+
 def mapping_extract_keccak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11k — the extraction step with REAL keccak-256: bit-exact Ethereum
     storage locations and MPT keys (mrp2-utils/src/storage_key.rs;
-    storage/key.rs keccak_mpt). The sha2 variant (mapping_extract) stays
-    the oracle-checked one; this is what a user with live chain data runs.
-    Rows-only at the driver (DuckDB has no keccak) — bit-exactness is
-    pinned by known-answer vectors in tests/test_keccak.py instead.
+    storage/key.rs keccak_mpt). The sha2 variant (mapping_extract) keeps
+    the all-SQL oracle; this is what a user with live chain data runs.
 
-    Plan shape: pruned range scan → Arrow-batched pandas UDF (one
-    vectorized keccak-f pass per batch) — embarrassingly parallel, runs
-    once at indexing time, never per query."""
-    from euclid_spark.functions.mpt import keccak256_hex
+    Hash-checked since r11 via artifact-as-oracle-input (the C31/C48/C50
+    precedent): the served keccak key map is the oracle's input table
+    and the extraction (pruned range scan → token decode → map join)
+    replays in SQL; keccak bit-exactness itself stays pinned by the
+    known-answer vectors in tests/test_keccak.py.
 
+    Plan shape: pruned range scan joined to the served key map —
+    keccak genuinely runs once at indexing time now (the map build),
+    never per query; AQE broadcasts the map while it is small."""
     ev = _range(spark, sf_dir).filter(F.col("event_type") == "purchase")
     tok = _token_id()
-    key32 = F.unhex(F.lpad(F.lower(F.hex(tok)), 64, "0"))
-    slot32 = F.unhex(F.lpad(F.lower(F.hex(F.lit(MAPPING_SLOT))), 64, "0"))
-    out = ev.filter(tok.isNotNull()).select(
+    base = ev.filter(tok.isNotNull()).select(
         "event_id",
         F.col("user_id").alias("owner"),
         tok.alias("token_id"),
-        keccak256_hex(F.concat(key32, slot32)).alias("location"),
     )
-    return out.withColumn("mpt_key", keccak256_hex(F.unhex(F.col("location"))))
+    return base.join(_keccak_key_map(spark, sf_dir), "token_id").select(
+        "event_id", "owner", "token_id", "location", "mpt_key"
+    )
+
+
+def _oracle_mapping_extract_keccak(sf_dir: str) -> str:
+    """A14's replay: read the served keccak key map, re-derive the
+    extraction in SQL."""
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="keccak_key_map",
+        slot=MAPPING_SLOT,
+    )
+    path = _os.path.join(
+        artifacts.artifact_dir(), f"keccak_key_map_{fp}.parquet"
+    )
+    return f"""
+        SELECT e.event_id, e.user_id AS owner, {_TOKEN} AS token_id,
+               km.location, km.mpt_key
+        FROM events e
+        JOIN read_parquet('{path}/*.parquet') km
+          ON km.token_id = {_TOKEN}
+        WHERE {_RANGE} AND e.event_type = 'purchase'
+          AND {_TOKEN} IS NOT NULL
+    """
 
 
 def erc20_leaf_rows(
@@ -857,3 +922,7 @@ ORACLES["euclid_state_diff"] = """
     WHERE s1.user_id IS NULL
        OR s1.old_value IS DISTINCT FROM s2.new_value
 """
+
+DYNAMIC_ORACLES = {
+    "euclid_mapping_extract_keccak": _oracle_mapping_extract_keccak,
+}
