@@ -1643,130 +1643,110 @@ def table_profile(
     as_text = _profile_text
     modes = {c: (auto if distinct_mode == "auto" else distinct_mode)
              for c, _, auto in cols}
-    exact_cols = [(c, kind) for c, kind, _ in cols if modes[c] == "exact"]
-    sketch_cols = [(c, kind) for c, kind, _ in cols if modes[c] == "sketch"]
 
     from functools import reduce
 
-    # Row-local stats run COLUMN-PARALLEL: one NARROW aggregate per
-    # column (count, null count via count(*)−count(col), min/max in
-    # native-type order then pinned text, the decimal mean), unioned
-    # straight into long format. Identical semantics to the former
-    # single wide aggregate, but measured 1.9× faster at sf0.1
-    # (2.18 s → 1.13 s, r11): each branch's scan is pruned to its ONE
-    # column and its agg buffer stays a handful of fields inside one
-    # whole-stage-codegen span, where the 40-expression wide buffer
-    # paid interpreted-path overhead on every row; the branches are
-    # independent one-row folds the scheduler overlaps. Total bytes
-    # read are unchanged (columnar pruning), so the shape holds at
-    # 100 TB — N single-column passes, no full-width materialization.
-    skeleton_parts = []
-    for c, kind, _ in cols:
-        mean = (
-            F.round(F.sum(F.col(c).cast("decimal(38,6)")) / F.count(c), 6)
-            .cast("double")
-            if kind == "num"
-            else F.lit(None).cast("double")
-        )
-        skeleton_parts.append(
-            li.select(c).agg(
-                F.lit(c).alias("column"),
-                F.lit(modes[c]).alias("d_mode"),
-                F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
-                as_text(F.min(F.col(c)), kind).alias("min_s"),
-                as_text(F.max(F.col(c)), kind).alias("max_s"),
-                mean.alias("mean"),
-            )
-        )
-    skeleton = reduce(lambda a, b: a.unionByName(b), skeleton_parts)
-
-    # Exact distinct counts: ONE stacked two-level pass for every exact
-    # column together — (column, value) keys collapse map-side to
-    # Σ n_distinct rows (all bounded-cardinality by the mode choice),
-    # one shuffle total instead of one per column. The stacked value is
-    # Spark's native string form (injective per column — only the COUNT
-    # crosses engines, never the encoding).
+    # ONE SCAN PER COLUMN (r11): each column's branch fuses its
+    # row-local stats AND its distinct strategy into a single pruned
+    # pass via a TWO-LEVEL aggregate —
+    #   exact:  groupBy(value) → per-value counts (map-side combine
+    #           collapses the bounded-cardinality column before the
+    #           shuffle), then a one-row re-agg derives n_rows (Σcnt),
+    #           n_nulls (the NULL group's cnt), n_distinct (count of
+    #           non-null groups), min/max (over group keys), and the
+    #           mean as Σ(value·cnt)/Σcnt — exact decimal arithmetic,
+    #           identical to the row-level sum by distributivity;
+    #   sketch: groupBy(word_idx) of the B48 LC bit (NULL values fall
+    #           into the NULL word group, keeping them countable) with
+    #           bit_or(word) + per-group count/min/max/decimal-sum,
+    #           then the same one-row re-agg; n_set sums bit_count
+    #           over real words only (the NULL group's word is NULL).
+    # Two-level min/max/Σ are associative, so results are bit-identical
+    # to the former separate passes — but the table is scanned 11×
+    # (once per column, each pruned to one column) instead of 20×, and
+    # every branch is an independent one-row fold the scheduler
+    # overlaps. No full-width distinct shuffle anywhere: the shuffle is
+    # ≤ n_distinct rows (exact, bounded by the mode choice) or ≤ m/64
+    # word rows (sketch, fixed) per column — the 100 TB shape.
     parts = []
-    if exact_cols:
-        stack_args = ", ".join(
-            f"'{c}', CAST({c} AS STRING)" for c, _ in exact_cols
-        )
-        stacked = li.select(
-            F.expr(
-                f"stack({len(exact_cols)}, {stack_args}) AS (col_name, v)"
+    for c, kind, _ in cols:
+        mode = modes[c]
+        li_c = li.select(c)
+        if mode == "exact":
+            g = li_c.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+            mean = (
+                F.round(
+                    F.sum(F.col(c).cast("decimal(38,6)") * F.col("cnt"))
+                    / F.sum(F.when(F.col(c).isNotNull(), F.col("cnt"))),
+                    6,
+                ).cast("double")
+                if kind == "num"
+                else F.lit(None).cast("double")
             )
-        ).filter(F.col("v").isNotNull())
-        exact_counts = (
-            stacked.groupBy("col_name", "v")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("col_name")
-            .agg(F.count(F.lit(1)).alias("n_distinct"))
-        )
-        parts.append(
-            exact_counts.select(
-                F.col("col_name").alias("column"),
-                "n_distinct",
-                F.lit(None).cast("long").alias("n_set"),
+            parts.append(
+                g.agg(
+                    F.lit(c).alias("column"),
+                    F.lit(mode).alias("d_mode"),
+                    F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
+                    F.coalesce(
+                        F.sum(F.when(F.col(c).isNull(), F.col("cnt"))),
+                        F.lit(0),
+                    ).alias("n_nulls"),
+                    as_text(F.min(F.col(c)), kind).alias("min_s"),
+                    as_text(F.max(F.col(c)), kind).alias("max_s"),
+                    mean.alias("mean"),
+                    F.count(F.col(c)).alias("n_distinct"),
+                    F.lit(None).cast("long").alias("n_set"),
+                )
             )
-        )
-    # Sketched columns: the packed-word bit_or monoid straight off the
-    # raw rows (the B48 shape), ONE PASS PER COLUMN — deliberately NOT
-    # stacked into a single exploded pass: columnar pruning means each
-    # pass reads exactly its one column, so N passes read the same
-    # total bytes as one N-column scan, while the per-column hash
-    # aggregate stays a 16 K-entry integer-keyed table in cache
-    # (measured: the stacked explode variant was 1.3-1.5× SLOWER at
-    # sf0.1 — struct/array allocation per row beat the saved job
-    # overhead). Map-side combine bounds each shuffle at ≤ m/64 word
-    # rows per partition; NO per-key aggregation on the column anywhere
-    # in the plan: fixed size regardless of row count, the 100 TB shape.
-    for c, kind in sketch_cols:
-        words = (
-            li.select(_profile_lc_bit(F.col(c), kind).alias("bit"))
-            .filter(F.col("bit").isNotNull())
-            .select(
+        else:
+            bit = _profile_lc_bit(F.col(c), kind)
+            rows = li_c.select(F.col(c), bit.alias("bit")).select(
+                F.col(c),
                 F.floor(F.col("bit") / 64).cast("int").alias("word_idx"),
                 F.expr(
                     "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
                 ).alias("w"),
             )
-            .groupBy("word_idx")
-            .agg(F.bit_or("w").alias("word"))
-        )
-        parts.append(
-            words.agg(
-                F.lit(c).alias("column"),
-                F.lit(None).cast("long").alias("n_distinct"),
-                F.coalesce(F.sum(F.bit_count("word")), F.lit(0))
-                .cast("long")
-                .alias("n_set"),
+            aggs = [
+                F.bit_or("w").alias("word"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.col(c)).alias("nn"),
+                F.min(F.col(c)).alias("mn"),
+                F.max(F.col(c)).alias("mx"),
+            ]
+            if kind == "num":
+                aggs.append(
+                    F.sum(F.col(c).cast("decimal(38,6)")).alias("s")
+                )
+            g = rows.groupBy("word_idx").agg(*aggs)
+            mean = (
+                F.round(F.sum("s") / F.sum("nn"), 6).cast("double")
+                if kind == "num"
+                else F.lit(None).cast("double")
             )
-        )
-    counts = reduce(lambda a, b: a.unionByName(b), parts)
-    return (
-        skeleton.join(F.broadcast(counts), "column", "left")
-        .withColumn(
-            # an exact column absent from the stacked counts is the
-            # empty-corpus case: its exact distinct is 0, not NULL
-            "n_distinct",
-            F.when(
-                F.col("d_mode") == "exact",
-                F.coalesce(F.col("n_distinct"), F.lit(0)),
-            ),
-        )
-        .withColumn(
-            "n_set",
-            F.when(
-                F.col("d_mode") != "exact",
-                F.coalesce(F.col("n_set"), F.lit(0)),
-            ),
-        )
-        .select(
-            "column", "n_rows", "n_nulls", "d_mode", "n_distinct",
-            _profile_lc_estimate().alias("distinct_est"),
-            "min_s", "max_s", "mean",
-        )
+            parts.append(
+                g.agg(
+                    F.lit(c).alias("column"),
+                    F.lit(mode).alias("d_mode"),
+                    F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+                    (
+                        F.coalesce(F.sum("n"), F.lit(0))
+                        - F.coalesce(F.sum("nn"), F.lit(0))
+                    ).alias("n_nulls"),
+                    as_text(F.min("mn"), kind).alias("min_s"),
+                    as_text(F.max("mx"), kind).alias("max_s"),
+                    mean.alias("mean"),
+                    F.lit(None).cast("long").alias("n_distinct"),
+                    F.coalesce(F.sum(F.bit_count("word")), F.lit(0))
+                    .cast("long")
+                    .alias("n_set"),
+                )
+            )
+    return reduce(lambda a, b: a.unionByName(b), parts).select(
+        "column", "n_rows", "n_nulls", "d_mode", "n_distinct",
+        _profile_lc_estimate().alias("distinct_est"),
+        "min_s", "max_s", "mean",
     )
 
 
