@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from euclid_spark.sources import bucketing, partitioned, zorder
+from euclid_spark.sources import bucketing, eth_proof, partitioned, zorder
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     cdc,
@@ -60,6 +60,7 @@ _MODULES = [
     cms_range,
     contract_param,   # } last: keep the driver's first-50 key prefix stable
     range_response,   # }
+    eth_proof,        # }
 ]
 
 def _with_session_confs(

@@ -1,0 +1,438 @@
+"""eth_getProof-shaped state ingestion + verification (public Ethereum
+JSON-RPC + yellow-paper spec).
+
+The reference ingests REAL chain state: it fetches `eth_getProof`
+responses — per (address, [storageKeys], block): the account's RLP body,
+its storage hash, and hash-chained Merkle-Patricia proof node lists —
+verifies them, and only then feeds extraction
+(mrp2-utils/src/eth.rs:1, mrp2-test-utils/src/eth.rs:1). This module is
+that consumer path for the engine, built entirely from the public spec:
+
+- `eth_proof_fixture` CAPTURES a corpus snapshot in the exact RPC wire
+  shape (0x-hex node lists, account fields, storage key/value/proof
+  triples): per owner a REAL secure storage trie (paths =
+  keccak(location), location = keccak(key32 ‖ slot32), values =
+  minimal-RLP integers), above them ONE state trie over yellow-paper
+  account bodies rlp([nonce, balance, storageRoot, codeHash]) with
+  paths = keccak(address). Node encoding, hex-prefix paths, the
+  <32-byte embed rule and keccak refs are the canonical kernels in
+  functions/rlp.py (bit-exact vs public vectors). The capture is a
+  fingerprint-keyed artifact — the stand-in for the RPC responses this
+  sandbox cannot fetch; a real deployment swaps this builder for the
+  RPC call and NOTHING downstream changes.
+- `eth_proof_verify` is the consumer: it re-derives every account and
+  storage slot FROM THE PROOFS ALONE — keccak-walks each node list from
+  the published state root, checks the hash chain, decodes the account
+  RLP, checks the claimed fields against the decoded ones, then proves
+  every storage slot against the account's own storage root. The face's
+  output (nonce, balance, per-account storage sums) is therefore
+  keccak-authenticated, and the DuckDB oracle re-derives the same
+  numbers relationally from raw events — a hash mismatch ANYWHERE in
+  trie build, proof extraction, or verification breaks the gate.
+
+Scale shape: storage tries build distributed (owner-partitioned
+mapInPandas, level-batched keccak across owners — the
+synthesize_owner_tries pattern); the state-trie stage folds ONE bounded
+row per account (the collect is |accounts|, not |events| — at true
+scale this top fold tree-parallelizes exactly like build_tries_batch's
+level batching, per partition then across). Verification is
+embarrassingly parallel: one account row per task batch, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from euclid_spark.functions.keccak import keccak256
+from euclid_spark.functions.rlp import (
+    build_tries_batch,
+    hp_decode,
+    rlp_decode,
+    rlp_encode,
+    to_nibbles,
+)
+
+MAPPING_SLOT = 1  # the demo mapping's storage slot (matches euclid.py)
+CODE_HASH = keccak256(b"")  # EOA/no-code account
+
+
+def _int_be(n: int) -> bytes:
+    """Minimal big-endian quantity (the RLP integer form; 0 → b'')."""
+    return b"" if n == 0 else n.to_bytes((n.bit_length() + 7) // 8, "big")
+
+
+def _hex0x(b: bytes) -> str:
+    return "0x" + b.hex()
+
+
+def _unhex(s: str) -> bytes:
+    return bytes.fromhex(s[2:] if s.startswith("0x") else s)
+
+
+def storage_location(token_id: int) -> bytes:
+    """keccak(key32 ‖ slot32) — the mapping-entry storage location
+    (mrp2-utils/src/storage_key.rs semantics, public solidity layout)."""
+    return keccak256(
+        token_id.to_bytes(32, "big") + MAPPING_SLOT.to_bytes(32, "big")
+    )
+
+
+def account_address(user_id: int) -> bytes:
+    """Deterministic 20-byte test address for a capture identity."""
+    return keccak256(b"addr:" + user_id.to_bytes(8, "big"))[-20:]
+
+
+# ------------------------------------------------------- proof kernels ---
+
+
+def extract_proof(
+    root: bytes, path: "list[int]", nodes: "dict[bytes, bytes]"
+) -> "list[bytes]":
+    """The eth_getProof node list for `path`: every HASH-REFERENCED node
+    on the walk root→leaf, in order (embedded <32-byte nodes ride
+    inside their parents, exactly as the RPC emits them)."""
+    proof: "list[bytes]" = []
+    ref: "bytes | list" = root
+    pos = 0
+    while True:
+        if isinstance(ref, (bytes, bytearray)) and len(ref) == 32:
+            enc = nodes[bytes(ref)]
+            proof.append(enc)
+            item = rlp_decode(enc)
+        else:
+            item = ref
+        if not isinstance(item, list):
+            return proof
+        if len(item) == 17:
+            if pos == len(path):
+                return proof
+            ref = item[path[pos]]
+            pos += 1
+            if ref == b"":
+                return proof  # absent key: proof of exclusion
+        else:
+            nib, is_leaf = hp_decode(item[0])
+            if path[pos : pos + len(nib)] != nib:
+                return proof
+            pos += len(nib)
+            if is_leaf:
+                return proof
+            ref = item[1]
+
+
+def verify_proof(
+    root: bytes, path: "list[int]", proof: "list[bytes]"
+) -> "tuple[bool, bytes]":
+    """Verify an eth_getProof node list: the first node must keccak to
+    the published root, every descent must follow the hash chain (or an
+    embedded structure), and the path must terminate at a value.
+    Returns (ok, value_rlp_payload). Restated from the public spec —
+    the verifier trusts nothing but the root."""
+    by_hash = {keccak256(n): bytes(n) for n in proof}
+
+    def walk(ref: "bytes | list", pos: int) -> "tuple[bool, bytes]":
+        if isinstance(ref, (bytes, bytearray)) and len(ref) == 32:
+            enc = by_hash.get(bytes(ref))
+            if enc is None:
+                return False, b""
+            item = rlp_decode(enc)
+        else:
+            item = ref
+        if not isinstance(item, list):
+            return False, b""
+        if len(item) == 17:
+            if pos == len(path):
+                return isinstance(item[16], bytes), item[16]
+            child = item[path[pos]]
+            if child == b"":
+                return False, b""
+            return walk(child, pos + 1)
+        if len(item) == 2:
+            try:
+                nib, is_leaf = hp_decode(item[0])
+            except Exception:  # noqa: BLE001 — malformed path byte
+                return False, b""
+            if path[pos : pos + len(nib)] != nib:
+                return False, b""
+            pos += len(nib)
+            if is_leaf:
+                return (pos == len(path) and isinstance(item[1], bytes)), item[1]
+            return walk(item[1], pos)
+        return False, b""
+
+    return walk(root, 0)
+
+
+# ---------------------------------------------------- fixture (capture) ---
+
+_FIXTURE_SCHEMA = (
+    "user_id long, address string, nonce string, balance string, "
+    "storageHash string, accountProof array<string>, "
+    "storage_keys array<string>, storage_values array<string>, "
+    "storage_proofs array<array<string>>, stateRoot string"
+)
+
+_STAGE1_SCHEMA = (
+    "user_id long, nonce long, balance long, storage_root binary, "
+    "storage_keys array<string>, storage_values array<string>, "
+    "storage_proofs array<array<string>>"
+)
+
+
+def _fixture_fp(sf_dir: str) -> str:
+    from euclid_spark import artifacts
+
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="eth_proof_fixture",
+        slot=MAPPING_SLOT, v=1,
+    )
+
+
+def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus snapshot as eth_getProof responses (one row per
+    account), served as a fingerprint-keyed artifact. `user_id` is a
+    CAPTURE-MANIFEST sidecar (which test identity produced the
+    address) — verification never reads it; the oracle uses it to join
+    expectations."""
+    from euclid_spark import artifacts
+
+    fp = _fixture_fp(sf_dir)
+
+    def build() -> DataFrame:
+        from euclid_spark.catalog import load_events
+
+        tok = F.get_json_object("props", "$.k").cast("long")
+        ev = (
+            load_events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id"), tok.alias("token_id"))
+            .filter(F.col("token_id").isNotNull())
+            .distinct()
+            .repartition("user_id")
+        )
+
+        def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            if pdf.empty:
+                return
+            owners, dicts, toks = [], [], []
+            for uid, grp in pdf.groupby("user_id"):
+                ts = sorted(int(t) for t in grp["token_id"])
+                owners.append(int(uid))
+                toks.append(ts)
+                dicts.append(
+                    {
+                        keccak256(storage_location(t)): rlp_encode(_int_be(t))
+                        for t in ts
+                    }
+                )
+            rows: "dict[str, list]" = {
+                k: []
+                for k in (
+                    "user_id", "nonce", "balance", "storage_root",
+                    "storage_keys", "storage_values", "storage_proofs",
+                )
+            }
+            for uid, ts, (root, nodes) in zip(
+                owners, toks, build_tries_batch(dicts)
+            ):
+                rows["user_id"].append(uid)
+                rows["nonce"].append(len(ts))
+                rows["balance"].append(sum(ts))
+                rows["storage_root"].append(root)
+                rows["storage_keys"].append(
+                    [_hex0x(storage_location(t)) for t in ts]
+                )
+                rows["storage_values"].append([_hex0x(_int_be(t)) for t in ts])
+                rows["storage_proofs"].append(
+                    [
+                        [
+                            _hex0x(n)
+                            for n in extract_proof(
+                                root,
+                                to_nibbles(keccak256(storage_location(t))),
+                                nodes,
+                            )
+                        ]
+                        for t in ts
+                    ]
+                )
+            yield pd.DataFrame(rows)
+
+        accounts = ev.mapInPandas(stage1, _STAGE1_SCHEMA)
+        # state-trie stage: ONE bounded row per account (|accounts|,
+        # never |events|); at true scale this fold tree-parallelizes
+        # like build_tries_batch's level batching
+        acct_rows = accounts.collect()
+        state_entries = {}
+        for r in acct_rows:
+            addr = account_address(r["user_id"])
+            body = rlp_encode(
+                [
+                    _int_be(r["nonce"]),
+                    _int_be(r["balance"]),
+                    bytes(r["storage_root"]),
+                    CODE_HASH,
+                ]
+            )
+            state_entries[keccak256(addr)] = body
+        from euclid_spark.functions.rlp import build_trie
+
+        state_root, state_nodes = build_trie(state_entries)
+        out = []
+        for r in acct_rows:
+            addr = account_address(r["user_id"])
+            out.append(
+                {
+                    "user_id": r["user_id"],
+                    "address": _hex0x(addr),
+                    "nonce": _hex0x(_int_be(r["nonce"])),
+                    "balance": _hex0x(_int_be(r["balance"])),
+                    "storageHash": _hex0x(bytes(r["storage_root"])),
+                    "accountProof": [
+                        _hex0x(n)
+                        for n in extract_proof(
+                            state_root, to_nibbles(keccak256(addr)), state_nodes
+                        )
+                    ],
+                    "storage_keys": r["storage_keys"],
+                    "storage_values": r["storage_values"],
+                    "storage_proofs": r["storage_proofs"],
+                    "stateRoot": _hex0x(state_root),
+                }
+            )
+        return spark.createDataFrame(out, _FIXTURE_SCHEMA)
+
+    return artifacts.serve_frame(spark, "eth_proof_fixture", fp, build)
+
+
+# ----------------------------------------------------------- verifier ---
+
+_VERIFY_SCHEMA = (
+    "address string, nonce long, balance long, n_storage int, "
+    "storage_sum long, account_ok boolean, storage_ok boolean, "
+    "valid boolean"
+)
+
+
+def _verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows: "dict[str, list]" = {
+            k: []
+            for k in (
+                "address", "nonce", "balance", "n_storage", "storage_sum",
+                "account_ok", "storage_ok", "valid",
+            )
+        }
+        for r in pdf.itertuples(index=False):
+            state_root = _unhex(r.stateRoot)
+            addr = _unhex(r.address)
+            proof = [_unhex(p) for p in r.accountProof]
+            ok, body = verify_proof(
+                state_root, to_nibbles(keccak256(addr)), proof
+            )
+            nonce = balance = 0
+            sroot = b""
+            account_ok = False
+            if ok:
+                try:
+                    fields = rlp_decode(body)
+                    nonce = int.from_bytes(fields[0], "big")
+                    balance = int.from_bytes(fields[1], "big")
+                    sroot = bytes(fields[2])
+                    account_ok = (
+                        bytes(fields[3]) == CODE_HASH
+                        and sroot == _unhex(r.storageHash)
+                        and nonce == int.from_bytes(_unhex(r.nonce), "big")
+                        and balance == int.from_bytes(_unhex(r.balance), "big")
+                    )
+                except Exception:  # noqa: BLE001 — malformed account body
+                    account_ok = False
+            n_storage = 0
+            storage_sum = 0
+            storage_ok = account_ok
+            for key_hex, val_hex, sproof in zip(
+                r.storage_keys, r.storage_values, r.storage_proofs
+            ):
+                sk, sv = verify_proof(
+                    sroot,
+                    to_nibbles(keccak256(_unhex(key_hex))),
+                    [_unhex(p) for p in sproof],
+                )
+                if not sk or sv != rlp_encode(_unhex(val_hex)):
+                    storage_ok = False
+                    continue
+                n_storage += 1
+                storage_sum += int.from_bytes(rlp_decode(sv), "big")
+            rows["address"].append(r.address)
+            rows["nonce"].append(nonce)
+            rows["balance"].append(balance)
+            rows["n_storage"].append(n_storage)
+            rows["storage_sum"].append(storage_sum)
+            rows["account_ok"].append(account_ok)
+            rows["storage_ok"].append(storage_ok)
+            rows["valid"].append(account_ok and storage_ok)
+        yield pd.DataFrame(rows)
+
+
+def eth_proof_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D30/A34 — VERIFY the captured eth_getProof snapshot: per account,
+    keccak-walk the account proof from the published state root, decode
+    the yellow-paper body, check claimed fields, then prove every
+    storage slot against the account's own storage root. Output values
+    come FROM THE PROOFS (decoded), never from the claims — the oracle
+    re-derives them relationally from raw events, so the gate binds the
+    whole trie-build → capture → verify chain."""
+    fixture = eth_proof_fixture(spark, sf_dir)
+    return fixture.mapInPandas(_verify_batches, _VERIFY_SCHEMA)
+
+
+def _oracle_eth_proof_verify(sf_dir: str) -> str:
+    """The relational expectation: per capture identity, nonce = its
+    distinct in-corpus mapping-key count, balance = storage_sum = the
+    sum of those keys; every verdict TRUE. The fixture artifact supplies
+    only the address↔identity manifest (the sidecar column)."""
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    path = _os.path.join(
+        artifacts.artifact_dir(),
+        f"eth_proof_fixture_{_fixture_fp(sf_dir)}.parquet",
+    )
+    tok = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT user_id, {tok} AS token_id
+            FROM events
+            WHERE event_type = 'purchase' AND {tok} IS NOT NULL
+        ),
+        per AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS nonce,
+                   CAST(SUM(token_id) AS BIGINT) AS balance,
+                   CAST(COUNT(*) AS INTEGER) AS n_storage,
+                   CAST(SUM(token_id) AS BIGINT) AS storage_sum
+            FROM d GROUP BY user_id
+        ),
+        fx AS (
+            SELECT user_id, address
+            FROM read_parquet('{path}/*.parquet')
+        )
+        SELECT fx.address, per.nonce, per.balance, per.n_storage,
+               per.storage_sum,
+               TRUE AS account_ok, TRUE AS storage_ok, TRUE AS valid
+        FROM per JOIN fx USING (user_id)
+    """
+
+
+QUERIES = {"euclid_eth_proof_verify": eth_proof_verify}
+ORACLES: "dict[str, str]" = {}
+DYNAMIC_ORACLES = {"euclid_eth_proof_verify": _oracle_eth_proof_verify}

@@ -1,0 +1,148 @@
+"""eth_getProof-shaped ingestion + verification (sources/eth_proof.py)
+— the mrp2-utils/src/eth.rs consumer path: real secure-trie storage
+proofs, yellow-paper account bodies, hash-chained node lists. Tests:
+spec constants, proof round-trips on random tries, the end-to-end face,
+and one tamper test per proof component."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from euclid_spark.functions.keccak import keccak256
+from euclid_spark.functions.rlp import (
+    build_trie,
+    rlp_decode,
+    rlp_encode,
+    to_nibbles,
+)
+from euclid_spark.sources.eth_proof import (
+    CODE_HASH,
+    _int_be,
+    _unhex,
+    _verify_batches,
+    account_address,
+    eth_proof_fixture,
+    eth_proof_verify,
+    extract_proof,
+    storage_location,
+    verify_proof,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_spec_constants():
+    """Well-known Ethereum constants (public spec vectors)."""
+    from euclid_spark.functions.rlp import EMPTY_ROOT
+
+    assert EMPTY_ROOT.hex() == (
+        "56e81f171bcc55a6ff8345e692c0f86e5b48e01b996cadc001622fb5e363b421"
+    )
+    assert CODE_HASH.hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+
+
+def test_proof_roundtrip_random_trie():
+    """extract_proof → verify_proof closes the loop on every key of a
+    random secure trie (incl. embedded <32-byte nodes)."""
+    entries = {
+        keccak256(storage_location(t)): rlp_encode(_int_be(t))
+        for t in range(1, 60)
+    }
+    root, nodes = build_trie(entries)
+    for t in range(1, 60):
+        path = to_nibbles(keccak256(storage_location(t)))
+        proof = extract_proof(root, path, nodes)
+        ok, val = verify_proof(root, path, proof)
+        assert ok, t
+        assert rlp_decode(val) == _int_be(t)
+
+
+def test_absent_key_does_not_verify():
+    entries = {
+        keccak256(storage_location(t)): rlp_encode(_int_be(t))
+        for t in (1, 2, 3)
+    }
+    root, nodes = build_trie(entries)
+    path = to_nibbles(keccak256(storage_location(999)))
+    proof = extract_proof(root, path, nodes)
+    ok, _ = verify_proof(root, path, proof)
+    assert not ok
+
+
+def test_wrong_root_rejected():
+    entries = {keccak256(storage_location(1)): rlp_encode(_int_be(1))}
+    root, nodes = build_trie(entries)
+    path = to_nibbles(keccak256(storage_location(1)))
+    proof = extract_proof(root, path, nodes)
+    bad_root = keccak256(root)
+    ok, _ = verify_proof(bad_root, path, proof)
+    assert not ok
+
+
+def test_face_all_valid_and_matches_corpus(spark):
+    out = eth_proof_verify(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(r["valid"] and r["account_ok"] and r["storage_ok"] for r in out)
+    # the proven balance is the proven storage sum (built that way; the
+    # verifier derives both independently — one from the account body,
+    # one from the storage leaves)
+    assert all(r["balance"] == r["storage_sum"] for r in out)
+    assert all(r["nonce"] == r["n_storage"] for r in out)
+
+
+@pytest.mark.parametrize(
+    "mutate,broken",
+    [
+        # account-proof node tampered → hash chain breaks
+        (
+            lambda r: r.update(
+                accountProof=["0xff" + r["accountProof"][0][4:]]
+                + r["accountProof"][1:]
+            ),
+            "account_ok",
+        ),
+        # claimed balance inflated → decoded-vs-claimed check flags it
+        (lambda r: r.update(balance="0xffffffff"), "account_ok"),
+        # storage proof node tampered → that slot fails
+        (
+            lambda r: r.update(
+                storage_proofs=[
+                    ["0xff" + p[0][4:]] + p[0:0] + p[1:]
+                    for p in r["storage_proofs"]
+                ]
+            ),
+            "storage_ok",
+        ),
+        # claimed storage value changed → value binding fails
+        (
+            lambda r: r.update(
+                storage_values=["0xff"] + r["storage_values"][1:]
+            ),
+            "storage_ok",
+        ),
+        # state root swapped → nothing verifies
+        (
+            lambda r: r.update(stateRoot="0x" + "ab" * 32),
+            "account_ok",
+        ),
+    ],
+)
+def test_tamper_flagged(spark, mutate, broken):
+    row = eth_proof_fixture(spark, SF_SMOKE).limit(1).collect()[0].asDict()
+    mutate(row)
+    out = list(_verify_batches(iter([pd.DataFrame([row])])))[0].iloc[0]
+    assert not out["valid"]
+    assert not out[broken]
+
+
+def test_fixture_is_rpc_shaped(spark):
+    """The capture carries the eth_getProof wire fields as 0x-hex."""
+    r = eth_proof_fixture(spark, SF_SMOKE).limit(1).collect()[0]
+    for f in ("address", "nonce", "balance", "storageHash", "stateRoot"):
+        assert r[f].startswith("0x")
+    assert len(_unhex(r["address"])) == 20
+    assert len(_unhex(r["stateRoot"])) == 32
+    assert all(p.startswith("0x") for p in r["accountProof"])
+    assert r["address"] == "0x" + account_address(r["user_id"]).hex()
