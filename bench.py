@@ -76,6 +76,8 @@ HEADLINE = [
     "euclid_verify_q2_range_response",
     "euclid_verify_erc20_range_response",
     "euclid_q2_range_tree_topL_alt_contract",
+    "euclid_verifiable_response_alt_contract",
+    "euclid_eth_proof_verify",
     "euclid_day_partitioned_range",
     "euclid_zorder_box_scan",
     "graph_doc_pagerank",
