@@ -186,3 +186,36 @@ def test_dynamic_oracles_reference_served_model_artifacts():
     a = registry.oracles("/root/testdata/sf0.001")["sim_ivf_topk"]
     b = registry.oracles("/root/testdata/sf0.01")["sim_ivf_topk"]
     assert a != b
+
+
+def test_publish_and_read_manifests(spark, tmp_path, monkeypatch):
+    """Manifests carry (family, params, fingerprint, path, source
+    identity) and read back; unreadable files are skipped."""
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    artifacts.publish_manifest("resp", "abc123", "q2", [src], {"contract": "purchase"})
+    (tmp_path / "junk_x.manifest.json").write_text("{not json")
+    ms = artifacts.read_manifests()
+    assert len(ms) == 1
+    m = ms[0]
+    assert m["family"] == "q2"
+    assert m["path"] == "resp_abc123.parquet"
+    assert m["params"] == {"contract": "purchase"}
+    st = os.stat(src)
+    assert m["sources"][src] == {
+        "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+    }
+
+
+def test_gc_keeps_current_manifest_drops_superseded(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    df = spark.range(2)
+    artifacts.save_frame(df, "resp", "old")
+    artifacts.publish_manifest("resp", "old", "q2", [src], {})
+    artifacts.save_frame(df, "resp", "new")
+    artifacts.publish_manifest("resp", "new", "q2", [src], {})
+
+    artifacts.gc({"resp": "new"})
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["resp_new.manifest.json", "resp_new.parquet"]
