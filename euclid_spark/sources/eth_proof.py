@@ -320,7 +320,13 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return spark.createDataFrame(out, _FIXTURE_SCHEMA)
 
-    return artifacts.serve_frame(spark, "eth_proof_fixture", fp, build)
+    out = artifacts.serve_frame(spark, "eth_proof_fixture", fp, build)
+    artifacts.publish_manifest(
+        "eth_proof_fixture", fp, "eth_state",
+        [f"{sf_dir}/events.parquet"],
+        {"slot": MAPPING_SLOT, "v": 1},
+    )
+    return out
 
 
 # ----------------------------------------------------------- verifier ---

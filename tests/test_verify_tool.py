@@ -35,7 +35,7 @@ def responses(spark):
     targets = [
         (p, k)
         for p, k in vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
-        if not k.endswith("_range")
+        if k in ("q2", "erc20")
     ]
     assert {k for _, k in targets} == {"q2", "erc20"}
     return dict((k, p) for p, k in targets)
@@ -229,7 +229,7 @@ def test_range_cli_discovery_includes_range_kinds(range_responses):
 # ---- manifest discovery: the cross-implementation guard -----------------
 
 
-def test_manifest_discovery_matches_prover_paths(responses, range_responses):
+def test_manifest_discovery_matches_prover_paths(spark, responses, range_responses):
     """Cross-implementation guard (the r10 drift class): the tool's
     discovery must return EXACTLY the artifact paths the prover served
     for ALL FOUR response families. Discovery reads the prover's
@@ -240,7 +240,9 @@ def test_manifest_discovery_matches_prover_paths(responses, range_responses):
     from euclid_spark import artifacts
     from euclid_spark.operators.merkle import _erc20_fp, _q2_fp
     from euclid_spark.operators.range_response import _fp
+    from euclid_spark.sources.eth_proof import _fixture_fp, eth_proof_fixture
 
+    eth_proof_fixture(spark, SF_SMOKE).count()
     expected = {
         "q2": artifacts._path("q2_response", _q2_fp(SF_SMOKE)),
         "erc20": artifacts._path("erc20_response", _erc20_fp(SF_SMOKE)),
@@ -249,6 +251,9 @@ def test_manifest_discovery_matches_prover_paths(responses, range_responses):
         ),
         "erc20_range": artifacts._path(
             "rr_erc20_response", _fp(SF_SMOKE, "erc20", None, None)
+        ),
+        "eth_state": artifacts._path(
+            "eth_proof_fixture", _fixture_fp(SF_SMOKE)
         ),
     }
     got = dict(
@@ -278,3 +283,77 @@ def test_discovery_skips_other_corpus_manifests(responses, tmp_path):
             with open(p, "w") as f:
                 json.dump(m, f)
     assert vr._discover(alt, SF_SMOKE) == []
+
+
+# ---- eth_getProof capture: the fifth family through the same tool -------
+
+
+@pytest.fixture(scope="module")
+def eth_fixture(spark):
+    from euclid_spark.sources.eth_proof import eth_proof_fixture
+
+    eth_proof_fixture(spark, SF_SMOKE).count()
+    targets = dict(
+        (k, p) for p, k in vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
+    )
+    assert "eth_state" in targets
+    return targets["eth_state"]
+
+
+def test_eth_capture_verifies(eth_fixture):
+    v = vr.verify_eth(eth_fixture)
+    assert v["verdict"] == "VALID", v
+    assert v["valid_rows"] == v["rows"] > 0
+
+
+def test_eth_tool_keccak_is_independent():
+    """The tool's restated keccak matches the public vectors WITHOUT
+    importing the prover's implementation."""
+    assert vr._keccak256(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert vr._keccak256(b"abc").hex() == (
+        "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+
+
+@pytest.mark.parametrize(
+    "set_expr,check",
+    [
+        # account-proof node tampered → hash chain breaks at the root
+        (
+            "list_transform(accountProof, "
+            "p -> '0xff' || substr(p, 5)) AS accountProof",
+            "account_proof",
+        ),
+        # claimed balance inflated → decoded-vs-claimed flags it
+        ("'0xffffffff' AS balance", "claimed_fields"),
+        # storage value changed → slot binding fails
+        (
+            "list_transform(storage_values, v -> '0xff') AS storage_values",
+            "storage_proof",
+        ),
+        # storage hash swapped → decoded root mismatch
+        (
+            "('0x' || repeat('ab', 32)) AS storageHash",
+            "storage_root",
+        ),
+    ],
+)
+def test_eth_tamper_flagged(eth_fixture, tmp_path, set_expr, check):
+    tampered = _tamper(eth_fixture, str(tmp_path), set_expr)
+    v = vr.verify_eth(tampered)
+    assert v["verdict"] == "INVALID", v
+    assert check in v["failed"], v
+
+
+def test_eth_cli_discovery_includes_eth_state(eth_fixture):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "verify_response.py"), SF_SMOKE],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    assert "eth_state" in {x["kind"] for x in lines}
+    assert all(x["verdict"] == "VALID" for x in lines)

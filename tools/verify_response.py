@@ -95,6 +95,7 @@ _ID_COL = {"q2": "token_id", "erc20": "event_id"}
 # ---- range-response spec (A30-A33 public parameters) -------------------
 TILE_SIZE = 256                 # blocks per level-0 commitment cell
 CONTRACT = "purchase"           # contract-address analog (event_type)
+MAPPING_SLOT = 1                # the demo mapping's storage slot
 # the mapping-key extraction the query was asked with
 _TOKEN_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
@@ -131,7 +132,9 @@ def _discover(artifacts_dir: str, sf_dir: str) -> list[tuple[str, str]]:
         except (OSError, json.JSONDecodeError):
             continue
         fam = m.get("family")
-        if fam not in ("q2", "erc20", "q2_range", "erc20_range"):
+        if fam not in (
+            "q2", "erc20", "q2_range", "erc20_range", "eth_state"
+        ):
             continue
         src = (m.get("sources") or {}).get(ev)
         if src != cur:
@@ -142,6 +145,8 @@ def _discover(artifacts_dir: str, sf_dir: str) -> list[tuple[str, str]]:
         if fam.startswith("erc20") and p.get("rate", REWARDS_RATE) != REWARDS_RATE:
             continue
         if fam.endswith("_range") and p.get("tile", TILE_SIZE) != TILE_SIZE:
+            continue
+        if fam == "eth_state" and p.get("slot", MAPPING_SLOT) != MAPPING_SLOT:
             continue
         path = os.path.join(artifacts_dir, m.get("path", ""))
         if os.path.isdir(path):
@@ -442,6 +447,234 @@ def verify_range(response_path: str, kind: str, events_path: str) -> dict:
     }
 
 
+
+# ------------------------------------------------- eth_getProof capture ---
+# The fifth published family: a corpus snapshot in the eth_getProof wire
+# shape (sources/eth_proof.py). Verification is PURE consumer logic —
+# keccak-256, RLP, hex-prefix paths and the MPT hash chain restated here
+# from the PUBLIC Ethereum spec (yellow paper / Keccak reference), never
+# imported from the prover: a consumer checking chain proofs brings
+# their own keccak.
+
+_KECCAK_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_KECCAK_ROT = [
+    [0, 36, 3, 41, 18], [1, 44, 10, 45, 2], [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56], [27, 20, 39, 8, 14],
+]
+_M64 = (1 << 64) - 1
+
+
+def _keccak256(data: bytes) -> bytes:
+    """Keccak-256 (pre-NIST padding 0x01), restated from the public
+    reference permutation; pinned by the well-known empty-input vector
+    c5d24601…"""
+    rate = 136
+    pad = rate - (len(data) % rate)
+    msg = data + b"\x01" + b"\x00" * (pad - 2) + b"\x80" if pad >= 2 else (
+        data + b"\x81"
+    )
+    a = [[0] * 5 for _ in range(5)]
+    for off in range(0, len(msg), rate):
+        block = msg[off : off + rate]
+        for i in range(rate // 8):
+            x, y = i % 5, i // 5
+            a[x][y] ^= int.from_bytes(block[8 * i : 8 * i + 8], "little")
+        for rc in _KECCAK_RC:
+            c = [a[x][0] ^ a[x][1] ^ a[x][2] ^ a[x][3] ^ a[x][4] for x in range(5)]
+            d = [
+                c[(x - 1) % 5]
+                ^ (((c[(x + 1) % 5] << 1) | (c[(x + 1) % 5] >> 63)) & _M64)
+                for x in range(5)
+            ]
+            for x in range(5):
+                for y in range(5):
+                    a[x][y] ^= d[x]
+            b = [[0] * 5 for _ in range(5)]
+            for x in range(5):
+                for y in range(5):
+                    r = _KECCAK_ROT[x][y]
+                    v = a[x][y]
+                    b[y][(2 * x + 3 * y) % 5] = ((v << r) | (v >> (64 - r))) & _M64
+            for x in range(5):
+                for y in range(5):
+                    a[x][y] = b[x][y] ^ ((~b[(x + 1) % 5][y] & _M64) & b[(x + 2) % 5][y])
+            a[0][0] ^= rc
+    out = b""
+    for i in range(4):  # 32 bytes from the rate lanes
+        x, y = i % 5, i // 5
+        out += a[x][y].to_bytes(8, "little")
+    return out
+
+
+def _rlp_decode(data: bytes, pos: int = 0):
+    b0 = data[pos]
+    if b0 < 0x80:
+        return data[pos : pos + 1], pos + 1
+    if b0 <= 0xB7:
+        n = b0 - 0x80
+        return data[pos + 1 : pos + 1 + n], pos + 1 + n
+    if b0 <= 0xBF:
+        ln = b0 - 0xB7
+        n = int.from_bytes(data[pos + 1 : pos + 1 + ln], "big")
+        st = pos + 1 + ln
+        return data[st : st + n], st + n
+    if b0 <= 0xF7:
+        n = b0 - 0xC0
+    else:
+        ln = b0 - 0xF7
+        n = int.from_bytes(data[pos + 1 : pos + 1 + ln], "big")
+        pos += ln
+    end = pos + 1 + n
+    items, q = [], pos + 1
+    while q < end:
+        it, q = _rlp_decode(data, q)
+        items.append(it)
+    return items, end
+
+
+def _rlp(data: bytes):
+    item, _ = _rlp_decode(data, 0)
+    return item
+
+
+def _hp_decode(b: bytes):
+    flag = b[0] >> 4
+    nibbles = []
+    if flag & 1:
+        nibbles.append(b[0] & 0x0F)
+    for byte in b[1:]:
+        nibbles += [byte >> 4, byte & 0x0F]
+    return nibbles, bool(flag & 2)
+
+
+def _nib(h: bytes):
+    out = []
+    for byte in h:
+        out += [byte >> 4, byte & 0x0F]
+    return out
+
+
+def _walk_mpt(root: bytes, path, proof):
+    """Hash-chain walk of an eth_getProof node list; (ok, value)."""
+    by_hash = {_keccak256(n): n for n in proof}
+
+    def walk(ref, pos):
+        if isinstance(ref, (bytes, bytearray)) and len(ref) == 32:
+            enc = by_hash.get(bytes(ref))
+            if enc is None:
+                return False, b""
+            item = _rlp(enc)
+        else:
+            item = ref
+        if not isinstance(item, list):
+            return False, b""
+        if len(item) == 17:
+            if pos == len(path):
+                return isinstance(item[16], bytes), item[16]
+            child = item[path[pos]]
+            if child == b"":
+                return False, b""
+            return walk(child, pos + 1)
+        if len(item) == 2:
+            nib, is_leaf = _hp_decode(item[0])
+            if path[pos : pos + len(nib)] != nib:
+                return False, b""
+            pos += len(nib)
+            if is_leaf:
+                return (pos == len(path) and isinstance(item[1], bytes)), item[1]
+            return walk(item[1], pos)
+        return False, b""
+
+    return walk(root, 0)
+
+
+def _uh(s: str) -> bytes:
+    return bytes.fromhex(s[2:] if s.startswith("0x") else s)
+
+
+def verify_eth(fixture_path: str) -> dict:
+    """Verify a published eth_getProof capture: per account, the account
+    proof keccak-chains from the snapshot's state root, the decoded
+    yellow-paper body matches the claimed fields, and every storage slot
+    proves against the account's own storage root. Proofs are
+    self-contained vs the root — no corpus table needed (the Spark-side
+    oracle gate is what binds the capture to the raw events)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT address, nonce, balance, storageHash, accountProof,
+               storage_keys, storage_values, storage_proofs, stateRoot
+        FROM read_parquet('{fixture_path}/*.parquet')
+        """
+    ).fetchall()
+    n_valid = 0
+    failed: dict[str, list[str]] = {}
+
+    def flag(check: str, addr: str) -> None:
+        failed.setdefault(check, []).append(addr)
+
+    roots = {r[8] for r in rows}
+    for (
+        addr_hex, nonce_hex, bal_hex, shash_hex, aproof,
+        skeys, svals, sproofs, sroot_hex,
+    ) in rows:
+        state_root = _uh(sroot_hex)
+        addr = _uh(addr_hex)
+        ok, body = _walk_mpt(
+            state_root, _nib(_keccak256(addr)), [_uh(p) for p in aproof]
+        )
+        row_ok = ok and len(roots) == 1
+        if ok:
+            fields = _rlp(body)
+            nonce = int.from_bytes(fields[0], "big")
+            balance = int.from_bytes(fields[1], "big")
+            sroot = bytes(fields[2])
+            if sroot != _uh(shash_hex):
+                row_ok = False
+                flag("storage_root", addr_hex)
+            if nonce != int.from_bytes(_uh(nonce_hex), "big") or (
+                balance != int.from_bytes(_uh(bal_hex), "big")
+            ):
+                row_ok = False
+                flag("claimed_fields", addr_hex)
+            for k_hex, v_hex, sp in zip(skeys, svals, sproofs):
+                sk, sv = _walk_mpt(
+                    sroot, _nib(_keccak256(_uh(k_hex))), [_uh(p) for p in sp]
+                )
+                want = _uh(v_hex)
+                enc = (
+                    want
+                    if len(want) == 1 and want[0] < 0x80
+                    else bytes([0x80 + len(want)]) + want
+                )
+                if not sk or sv != enc:
+                    row_ok = False
+                    flag("storage_proof", addr_hex)
+                    break
+        else:
+            flag("account_proof", addr_hex)
+        n_valid += int(row_ok)
+    return {
+        "response": fixture_path,
+        "kind": "eth_state",
+        "rows": len(rows),
+        "valid_rows": n_valid,
+        "failed": failed,
+        "verdict": "VALID"
+        if rows and n_valid == len(rows)
+        else ("EMPTY" if not rows else "INVALID"),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("sf_dir", help="corpus dir holding events.parquet")
@@ -454,7 +687,8 @@ def main() -> int:
     )
     ap.add_argument("--response", help="explicit response parquet dir")
     ap.add_argument(
-        "--kind", choices=["q2", "erc20", "q2_range", "erc20_range"]
+        "--kind",
+        choices=["q2", "erc20", "q2_range", "erc20_range", "eth_state"],
     )
     args = ap.parse_args()
     events = os.path.join(args.sf_dir, "events.parquet")
@@ -482,8 +716,11 @@ def main() -> int:
 
     ok = True
     for path, kind in targets:
-        fn = verify_range if kind.endswith("_range") else verify
-        v = fn(path, kind, events)
+        if kind == "eth_state":
+            v = verify_eth(path)
+        else:
+            fn = verify_range if kind.endswith("_range") else verify
+            v = fn(path, kind, events)
         print(json.dumps(v, separators=(",", ":")))
         ok = ok and v["verdict"] == "VALID"
     return 0 if ok else 1
