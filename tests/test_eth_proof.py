@@ -146,3 +146,56 @@ def test_fixture_is_rpc_shaped(spark):
     assert len(_unhex(r["stateRoot"])) == 32
     assert all(p.startswith("0x") for p in r["accountProof"])
     assert r["address"] == "0x" + account_address(r["user_id"]).hex()
+
+
+def test_proof_roundtrip_property():
+    """Property: for random key sets (random sizes, random 64-bit ids —
+    arbitrary trie shapes incl. deep branch/extension mixes), every
+    present key's extracted proof verifies with the right value, every
+    absent key fails, and the TOOL's restated walker agrees with the
+    engine's on both."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tools")
+    import verify_response as vr
+
+    rng = random.Random(0xE7A)
+    for _ in range(12):
+        toks = sorted(
+            rng.sample(range(1, 1 << 48), rng.randint(1, 120))
+        )
+        entries = {
+            keccak256(storage_location(t)): rlp_encode(_int_be(t))
+            for t in toks
+        }
+        root, nodes = build_trie(entries)
+        probe = rng.sample(toks, min(8, len(toks)))
+        for t in probe:
+            path = to_nibbles(keccak256(storage_location(t)))
+            proof = extract_proof(root, path, nodes)
+            ok, val = verify_proof(root, path, proof)
+            assert ok and rlp_decode(val) == _int_be(t)
+            ok2, val2 = vr._walk_mpt(root, path, proof)
+            assert ok2 and val2 == val
+        absent = rng.randrange(1 << 48, 1 << 49)
+        path = to_nibbles(keccak256(storage_location(absent)))
+        proof = extract_proof(root, path, nodes)
+        assert not verify_proof(root, path, proof)[0]
+        assert not vr._walk_mpt(root, path, proof)[0]
+
+
+def test_tool_keccak_agrees_with_engine_on_random_blobs():
+    """The tool's restated keccak ≡ the engine's on random inputs of
+    every padding-relevant length (…, rate-1, rate, rate+1)."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tools")
+    import verify_response as vr
+
+    rng = random.Random(7)
+    lens = [0, 1, 55, 56, 135, 136, 137, 271, 272, 300]
+    for n in lens:
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        assert vr._keccak256(blob) == keccak256(blob), n
