@@ -329,6 +329,49 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_STATE_SCHEMA = (
+    "address string, nonce long, balance long, storage_root string"
+)
+
+
+def account_state_rows(pairs: DataFrame) -> DataFrame:
+    """Per-owner account state + SECURE storage-trie root from a
+    distinct (user_id, token_id) frame — the commitment derivation the
+    batch capture and the streamed D30 face share. Owner-partitioned;
+    tries build level-batched across the owners of each partition
+    (one vectorized keccak pass per trie level)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        owners, dicts, toks = [], [], []
+        for uid, grp in pdf.groupby("user_id"):
+            ts = sorted(int(t) for t in grp["token_id"])
+            owners.append(int(uid))
+            toks.append(ts)
+            dicts.append(
+                {
+                    keccak256(storage_location(t)): rlp_encode(_int_be(t))
+                    for t in ts
+                }
+            )
+        rows: "dict[str, list]" = {
+            k: [] for k in ("address", "nonce", "balance", "storage_root")
+        }
+        for uid, ts, (root, _) in zip(owners, toks, build_tries_batch(dicts)):
+            rows["address"].append(_hex0x(account_address(uid)))
+            rows["nonce"].append(len(ts))
+            rows["balance"].append(sum(ts))
+            rows["storage_root"].append(_hex0x(root))
+        yield pd.DataFrame(rows)
+
+    return pairs.repartition("user_id").mapInPandas(build, _STATE_SCHEMA)
+
+
 # ----------------------------------------------------------- verifier ---
 
 _VERIFY_SCHEMA = (
