@@ -62,6 +62,7 @@ class ParitySpec:
     partial_fn: Callable[[DataFrame], DataFrame]
     merge_fn: Callable[[DataFrame, DataFrame], DataFrame]
     finalize: Callable[[pd.DataFrame], pd.DataFrame] | None = None
+    key_col: str = "day"  # the view's partition column
 
 
 @dataclass
@@ -120,6 +121,7 @@ def run_parity(
             state_path=os.path.join(ck, "ivm_state.json"),
             partial_fn=spec.partial_fn,
             merge_fn=spec.merge_fn,
+            key_col=spec.key_col,
         )
         q = (
             read_event_stream(spark, src)
@@ -778,9 +780,70 @@ def _ohlc_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+def _eth_pairs_partial(events: DataFrame) -> DataFrame:
+    """D30's maintained state: the distinct (owner, mapping-key) ledger
+    (idempotent set union), owner-bucket partitioned."""
+    tok = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), tok.alias("token_id"))
+        .filter(F.col("token_id").isNotNull())
+        .withColumn("pb", F.pmod(F.col("user_id"), F.lit(16)).cast("int"))
+        .select("pb", "user_id", "token_id")
+        .distinct()
+    )
+
+
+def _eth_pairs_merge(old: DataFrame, part: DataFrame) -> DataFrame:
+    return old.unionByName(part).distinct()
+
+
+def _eth_state_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fold each owner's maintained key set to its ACCOUNT STATE +
+    SECURE storage-trie root (pure-Python trie kernels) — so parity is
+    asserted on the COMMITMENTS at every quiescent point, not just the
+    ledger rows: the IVC property on the real-chain surface."""
+    from euclid_spark.functions.keccak import keccak256
+    from euclid_spark.functions.rlp import build_trie, rlp_encode
+    from euclid_spark.sources.eth_proof import (
+        _hex0x,
+        _int_be,
+        account_address,
+        storage_location,
+    )
+
+    rows = []
+    for uid, grp in pdf.groupby("user_id"):
+        ts = sorted(int(t) for t in grp["token_id"])
+        root, _ = build_trie(
+            {
+                keccak256(storage_location(t)): rlp_encode(_int_be(t))
+                for t in ts
+            }
+        )
+        rows.append(
+            {
+                "address": _hex0x(account_address(int(uid))),
+                "nonce": len(ts),
+                "balance": sum(ts),
+                "storage_root": _hex0x(root),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["address", "nonce", "balance", "storage_root"]
+    )
+
+
 SPECS = {
     "ivm_count_sum_digest": ParitySpec(
         "ivm_count_sum_digest", _partial, _merge
+    ),
+    "eth_account_state": ParitySpec(
+        "eth_account_state",
+        _eth_pairs_partial,
+        _eth_pairs_merge,
+        _eth_state_finalize,
+        key_col="pb",
     ),
     "state_rollup_a7": ParitySpec(
         "state_rollup_a7", _rollup_partial, _rollup_merge
