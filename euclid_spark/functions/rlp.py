@@ -252,6 +252,118 @@ def build_trie(entries: "dict[bytes, bytes]") -> "tuple[bytes, dict[bytes, bytes
     return build_tries_batch([entries])[0]
 
 
+def graft_subtries(
+    groups: "list[tuple[list[int], bytes]]",
+) -> "tuple[bytes, dict[tuple, tuple[list[bytes], bytes | None]]]":
+    """Canonically merge PREFIX-PARTITIONED sub-tries into one MPT — the
+    bounded driver-side fold of a distributed trie build: executors
+    build one sub-trie per key prefix with build_tries_batch (over the
+    keys with the prefix STRIPPED), the driver merges only the
+    O(|prefixes|) roots, so driver work never grows with the entry
+    count (the capture's state trie over 10⁸ accounts folds 256 roots).
+
+    groups: (prefix_nibbles, sub_root_enc) per NON-EMPTY prefix;
+    sub_root_enc is the sub-trie root node's encoding (build_tries_batch
+    stores roots by hash). Every sub_root_enc must be ≥ 32 bytes — true
+    whenever leaf values alone exceed 32 bytes (account bodies carry a
+    32-byte storage root + 32-byte code hash); an embedded sub-root
+    would have to be re-encoded into its parent, which this fold
+    refuses rather than silently mis-hashing.
+
+    Returns (root_ref, per_prefix) with per_prefix[tuple(prefix)] =
+    (chain, replacement): `chain` is the hash-referenced node encodings
+    ABOVE the sub-trie on that prefix's walk (root first), and
+    `replacement` is a re-encoded sub-root — a leaf/extension whose
+    hex-prefix path absorbed prefix nibbles no branch above consumed
+    (the rule that keeps the graft canonical: _build never stacks an
+    extension over another extension/leaf, it concatenates paths) — or
+    None when the executor's encoding is reused byte-identical. A
+    grafted proof is chain + (replacement or sub_proof[0]) +
+    sub_proof[1:].
+
+    Canonical equivalence with build_trie over the union key set
+    (root bytes AND per-key proofs) is property-tested in
+    tests/test_eth_proof.py."""
+    if not groups:
+        return EMPTY_ROOT, {}
+    per_prefix: "dict[tuple, tuple[list[bytes], bytes | None]]" = {}
+
+    def _hashed(enc: bytes, what: str) -> bytes:
+        if len(enc) < 32:
+            raise ValueError(f"graft_subtries: {what} would embed (<32 B)")
+        return keccak256(enc)
+
+    def build(items: "list[tuple[list[int], tuple, bytes]]") -> dict:
+        """items: (remaining_prefix_nibbles, full_prefix, sub_root_enc).
+        Returns {"ref", "enc"?, "kids"?, graft fields}."""
+        if len(items) == 1:
+            nibs, pref, enc = items[0]
+            item = rlp_decode(enc)
+            if nibs and isinstance(item, list) and len(item) == 2:
+                # leaf/ext sub-root below unconsumed nibbles: absorb them
+                # into its own hex-prefix path (canonical path merge)
+                path, is_leaf = hp_decode(item[0])
+                new_enc = rlp_encode(
+                    [hp_encode(list(nibs) + list(path), is_leaf), item[1]]
+                )
+                return {
+                    "ref": _hashed(new_enc, "re-pathed sub-root"),
+                    "pref": pref, "extra": [], "repl": new_enc,
+                }
+            if nibs:  # branch sub-root: one extension above, reused below
+                ext_enc = rlp_encode(
+                    [hp_encode(list(nibs), False), _hashed(enc, "sub-root")]
+                )
+                return {
+                    "ref": _hashed(ext_enc, "graft extension"),
+                    "pref": pref, "extra": [ext_enc], "repl": None,
+                }
+            return {
+                "ref": _hashed(enc, "sub-root"),
+                "pref": pref, "extra": [], "repl": None,
+            }
+        first = items[0][0]
+        plen = 0
+        while plen < len(first) and all(
+            len(n) > plen and n[plen] == first[plen] for n, _, _ in items
+        ):
+            plen += 1
+        if plen:
+            # >1 item shares this prefix, so after stripping it the first
+            # nibbles differ: the child is always a branch (no ext-ext)
+            child = build([(n[plen:], p, e) for n, p, e in items])
+            enc = rlp_encode([hp_encode(first[:plen], False), child["ref"]])
+            return {
+                "ref": _hashed(enc, "top extension"),
+                "enc": enc, "kids": [child],
+            }
+        by: "dict[int, list]" = {}
+        for n, p, e in items:
+            if not n:
+                raise ValueError("graft_subtries: prefix is a strict "
+                                 "prefix of another prefix")
+            by.setdefault(n[0], []).append((n[1:], p, e))
+        kids = [build(g) for _, g in sorted(by.items())]
+        slots: "list[bytes | list]" = [b""] * 17
+        for (d, _), k in zip(sorted(by.items()), kids):
+            slots[d] = k["ref"]
+        enc = rlp_encode(slots)
+        return {"ref": _hashed(enc, "top branch"), "enc": enc, "kids": kids}
+
+    root = build([(list(p), tuple(p), enc) for p, enc in groups])
+
+    def walk(node: dict, chain: "list[bytes]") -> None:
+        if "pref" in node:
+            per_prefix[node["pref"]] = (chain + node["extra"], node["repl"])
+            return
+        below = chain + [node["enc"]]
+        for kid in node["kids"]:
+            walk(kid, below)
+
+    walk(root, [])
+    return root["ref"], per_prefix
+
+
 def decode_node(node_rlp: bytes) -> dict:
     """Decode one trie node into a typed record.
 

@@ -32,10 +32,15 @@ that consumer path for the engine, built entirely from the public spec:
 
 Scale shape: storage tries build distributed (owner-partitioned
 mapInPandas, level-batched keccak across owners — the
-synthesize_owner_tries pattern); the state-trie stage folds ONE bounded
-row per account (the collect is |accounts|, not |events| — at true
-scale this top fold tree-parallelizes exactly like build_tries_batch's
-level batching, per partition then across). Verification is
+synthesize_owner_tries pattern). The STATE trie over account bodies is
+ALSO distributed (r12): accounts repartition by their address-byte
+prefix (keccak(address)[0], 256 groups), each group builds a sub-trie
+over the 31-byte key suffixes with the same level-batched kernel and
+extracts each account's sub-proof locally; the driver folds ONLY the
+O(≤256) sub-trie roots (`graft_subtries`, a canonical merge
+property-tested byte-exact vs the single build) and broadcasts the
+≤256 per-prefix top chains back for proof assembly — NO
+|accounts|-sized collect anywhere in the capture path. Verification is
 embarrassingly parallel: one account row per task batch, no shuffle.
 """
 
@@ -50,6 +55,7 @@ from pyspark.sql import functions as F
 from euclid_spark.functions.keccak import keccak256
 from euclid_spark.functions.rlp import (
     build_tries_batch,
+    graft_subtries,
     hp_decode,
     rlp_decode,
     rlp_encode,
@@ -156,7 +162,12 @@ def verify_proof(
             return False, b""
         if len(item) == 17:
             if pos == len(path):
-                return isinstance(item[16], bytes), item[16]
+                # an empty 17th slot is ABSENCE, not an empty value —
+                # without this check an exclusion proof would read as
+                # inclusion-with-empty-value at the kernel level
+                return (
+                    isinstance(item[16], bytes) and item[16] != b""
+                ), item[16]
             child = item[path[pos]]
             if child == b"":
                 return False, b""
@@ -170,7 +181,11 @@ def verify_proof(
                 return False, b""
             pos += len(nib)
             if is_leaf:
-                return (pos == len(path) and isinstance(item[1], bytes)), item[1]
+                return (
+                    pos == len(path)
+                    and isinstance(item[1], bytes)
+                    and item[1] != b""  # tries never store empty values
+                ), item[1]
             return walk(item[1], pos)
         return False, b""
 
@@ -187,7 +202,14 @@ _FIXTURE_SCHEMA = (
 )
 
 _STAGE1_SCHEMA = (
-    "user_id long, nonce long, balance long, storage_root binary, "
+    "user_id long, prefix int, nonce long, balance long, "
+    "storage_root binary, storage_keys array<string>, "
+    "storage_values array<string>, storage_proofs array<array<string>>"
+)
+
+_STAGE2_SCHEMA = (
+    "prefix int, user_id long, address string, nonce string, "
+    "balance string, storageHash string, sub_proof array<string>, "
     "storage_keys array<string>, storage_values array<string>, "
     "storage_proofs array<array<string>>"
 )
@@ -198,7 +220,7 @@ def _fixture_fp(sf_dir: str) -> str:
 
     return artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"], op="eth_proof_fixture",
-        slot=MAPPING_SLOT, v=1,
+        slot=MAPPING_SLOT, v=2,
     )
 
 
@@ -211,6 +233,7 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark import artifacts
 
     fp = _fixture_fp(sf_dir)
+    pinned: "list[DataFrame]" = []  # build-scoped persist, released below
 
     def build() -> DataFrame:
         from euclid_spark.catalog import load_events
@@ -246,7 +269,7 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows: "dict[str, list]" = {
                 k: []
                 for k in (
-                    "user_id", "nonce", "balance", "storage_root",
+                    "user_id", "prefix", "nonce", "balance", "storage_root",
                     "storage_keys", "storage_values", "storage_proofs",
                 )
             }
@@ -254,6 +277,9 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 owners, toks, build_tries_batch(dicts)
             ):
                 rows["user_id"].append(uid)
+                rows["prefix"].append(
+                    keccak256(account_address(uid))[0]
+                )
                 rows["nonce"].append(len(ts))
                 rows["balance"].append(sum(ts))
                 rows["storage_root"].append(root)
@@ -277,54 +303,136 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
         accounts = ev.mapInPandas(stage1, _STAGE1_SCHEMA)
-        # state-trie stage: ONE bounded row per account (|accounts|,
-        # never |events|); at true scale this fold tree-parallelizes
-        # like build_tries_batch's level batching
-        acct_rows = accounts.collect()
-        state_entries = {}
-        for r in acct_rows:
-            addr = account_address(r["user_id"])
-            body = rlp_encode(
-                [
-                    _int_be(r["nonce"]),
-                    _int_be(r["balance"]),
-                    bytes(r["storage_root"]),
-                    CODE_HASH,
-                ]
-            )
-            state_entries[keccak256(addr)] = body
-        from euclid_spark.functions.rlp import build_trie
 
-        state_root, state_nodes = build_trie(state_entries)
-        out = []
-        for r in acct_rows:
-            addr = account_address(r["user_id"])
-            out.append(
-                {
-                    "user_id": r["user_id"],
-                    "address": _hex0x(addr),
-                    "nonce": _hex0x(_int_be(r["nonce"])),
-                    "balance": _hex0x(_int_be(r["balance"])),
-                    "storageHash": _hex0x(bytes(r["storage_root"])),
-                    "accountProof": [
-                        _hex0x(n)
-                        for n in extract_proof(
-                            state_root, to_nibbles(keccak256(addr)), state_nodes
-                        )
-                    ],
-                    "storage_keys": r["storage_keys"],
-                    "storage_values": r["storage_values"],
-                    "storage_proofs": r["storage_proofs"],
-                    "stateRoot": _hex0x(state_root),
+        # state-trie stage, DISTRIBUTED (r12, closing the r11 `weak`):
+        # accounts shuffle once on their address-byte prefix; each of the
+        # ≤256 groups builds a sub-trie over the 31-byte key suffixes
+        # (one level-batched build_tries_batch call per partition, across
+        # its groups) and extracts every member's sub-proof locally.
+        def stage2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            if pdf.empty:
+                return
+            metas, dicts = [], []
+            for pref, grp in pdf.groupby("prefix"):
+                hs = [
+                    keccak256(account_address(int(u))) for u in grp["user_id"]
+                ]
+                entries = {
+                    h[1:]: rlp_encode(
+                        [
+                            _int_be(int(row.nonce)),
+                            _int_be(int(row.balance)),
+                            bytes(row.storage_root),
+                            CODE_HASH,
+                        ]
+                    )
+                    for h, row in zip(hs, grp.itertuples(index=False))
                 }
+                metas.append((int(pref), grp, hs))
+                dicts.append(entries)
+            rows: "dict[str, list]" = {
+                k: []
+                for k in (
+                    "prefix", "user_id", "address", "nonce", "balance",
+                    "storageHash", "sub_proof", "storage_keys",
+                    "storage_values", "storage_proofs",
+                )
+            }
+            for (pref, grp, hs), (root, nodes) in zip(
+                metas, build_tries_batch(dicts)
+            ):
+                for h, row in zip(hs, grp.itertuples(index=False)):
+                    rows["prefix"].append(pref)
+                    rows["user_id"].append(int(row.user_id))
+                    rows["address"].append(
+                        _hex0x(account_address(int(row.user_id)))
+                    )
+                    rows["nonce"].append(_hex0x(_int_be(int(row.nonce))))
+                    rows["balance"].append(_hex0x(_int_be(int(row.balance))))
+                    rows["storageHash"].append(_hex0x(bytes(row.storage_root)))
+                    rows["sub_proof"].append(
+                        [
+                            _hex0x(n)
+                            for n in extract_proof(
+                                root, to_nibbles(h[1:]), nodes
+                            )
+                        ]
+                    )
+                    rows["storage_keys"].append(list(row.storage_keys))
+                    rows["storage_values"].append(list(row.storage_values))
+                    rows["storage_proofs"].append(
+                        [list(p) for p in row.storage_proofs]
+                    )
+            yield pd.DataFrame(rows)
+
+        acc2 = (
+            accounts.repartition("prefix")
+            .mapInPandas(stage2, _STAGE2_SCHEMA)
+            .persist()
+        )
+        pinned.append(acc2)
+        # BOUNDED driver fold: one row per non-empty prefix (≤256,
+        # independent of |accounts|) — every group's sub-root encoding
+        # is sub_proof[0] of each of its members (roots are stored by
+        # hash, so extraction always emits the root first)
+        pref_rows = (
+            acc2.groupBy("prefix")
+            .agg(F.first(F.element_at("sub_proof", 1)).alias("sub_root"))
+            .collect()
+        )
+        state_root, per_prefix = graft_subtries(
+            [
+                (to_nibbles(bytes([r["prefix"]])), _unhex(r["sub_root"]))
+                for r in pref_rows
+            ]
+        )
+        chain_df = spark.createDataFrame(
+            [
+                (p[0] * 16 + p[1], [_hex0x(c) for c in chain],
+                 _hex0x(repl) if repl is not None else None)
+                for p, (chain, repl) in per_prefix.items()
+            ],
+            "prefix int, chain array<string>, repl string",
+        )
+        # assembled proof = top chain + (re-pathed sub-root | reused
+        # executor encoding) + the rest of the local sub-proof
+        return (
+            acc2.join(F.broadcast(chain_df), "prefix")
+            .withColumn(
+                "accountProof",
+                F.concat(
+                    F.col("chain"),
+                    F.when(F.col("repl").isNull(), F.col("sub_proof"))
+                    .otherwise(
+                        F.concat(
+                            F.array("repl"),
+                            F.expr(
+                                "slice(sub_proof, 2, "
+                                "greatest(size(sub_proof) - 1, 0))"
+                            ),
+                        )
+                    ),
+                ),
             )
-        return spark.createDataFrame(out, _FIXTURE_SCHEMA)
+            .select(
+                "user_id", "address", "nonce", "balance", "storageHash",
+                "accountProof", "storage_keys", "storage_values",
+                "storage_proofs",
+                F.lit(_hex0x(state_root)).alias("stateRoot"),
+            )
+        )
 
     out = artifacts.serve_frame(spark, "eth_proof_fixture", fp, build)
+    for df in pinned:  # serve_frame has written the artifact by now
+        df.unpersist()
     artifacts.publish_manifest(
         "eth_proof_fixture", fp, "eth_state",
         [f"{sf_dir}/events.parquet"],
-        {"slot": MAPPING_SLOT, "v": 1},
+        {"slot": MAPPING_SLOT, "v": 2},
     )
     return out
 

@@ -804,7 +804,7 @@ def _eth_state_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
     asserted on the COMMITMENTS at every quiescent point, not just the
     ledger rows: the IVC property on the real-chain surface."""
     from euclid_spark.functions.keccak import keccak256
-    from euclid_spark.functions.rlp import build_trie, rlp_encode
+    from euclid_spark.functions.rlp import build_tries_batch, rlp_encode
     from euclid_spark.sources.eth_proof import (
         _hex0x,
         _int_be,
@@ -812,23 +812,28 @@ def _eth_state_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         storage_location,
     )
 
-    rows = []
+    owners, toks, dicts = [], [], []
     for uid, grp in pdf.groupby("user_id"):
         ts = sorted(int(t) for t in grp["token_id"])
-        root, _ = build_trie(
+        owners.append(int(uid))
+        toks.append(ts)
+        dicts.append(
             {
                 keccak256(storage_location(t)): rlp_encode(_int_be(t))
                 for t in ts
             }
         )
-        rows.append(
-            {
-                "address": _hex0x(account_address(int(uid))),
-                "nonce": len(ts),
-                "balance": sum(ts),
-                "storage_root": _hex0x(root),
-            }
-        )
+    # ONE level-batched build across the group's owners (d keccak
+    # passes total, not per-owner — the build_tries_batch story)
+    rows = [
+        {
+            "address": _hex0x(account_address(uid)),
+            "nonce": len(ts),
+            "balance": sum(ts),
+            "storage_root": _hex0x(root),
+        }
+        for uid, ts, (root, _) in zip(owners, toks, build_tries_batch(dicts))
+    ]
     return pd.DataFrame(
         rows, columns=["address", "nonce", "balance", "storage_root"]
     )

@@ -199,3 +199,79 @@ def test_tool_keccak_agrees_with_engine_on_random_blobs():
     for n in lens:
         blob = bytes(rng.randrange(256) for _ in range(n))
         assert vr._keccak256(blob) == keccak256(blob), n
+
+
+def test_graft_subtries_matches_single_build():
+    """The distributed state-trie fold is CANONICAL: for corpora of
+    1..400 accounts, prefix-partitioned sub-tries merged by
+    graft_subtries produce byte-identical roots AND byte-identical
+    per-key proofs vs the single-process build_trie — covering every
+    graft shape (re-pathed leaf for singleton prefixes, extension over
+    a branch sub-root, plain reuse under a full top branch)."""
+    from euclid_spark.functions.rlp import build_tries_batch, graft_subtries
+
+    def body(i: int) -> bytes:
+        return rlp_encode(
+            [bytes([i % 250 + 1]), b"\x02", keccak256(b"sr%d" % i), CODE_HASH]
+        )
+
+    shapes = set()
+    for n in (1, 2, 3, 5, 17, 60, 400):
+        entries = {
+            keccak256(b"k%d" % i): body(i) for i in range(n)
+        }
+        full_root, full_nodes = build_trie(entries)
+        by_pref: "dict[int, dict]" = {}
+        for k, v in entries.items():
+            by_pref.setdefault(k[0], {})[k[1:]] = v
+        prefs = sorted(by_pref)
+        subs = build_tries_batch([by_pref[p] for p in prefs])
+        root_ref, per_prefix = graft_subtries(
+            [
+                (to_nibbles(bytes([p])), sub[1][sub[0]])
+                for p, sub in zip(prefs, subs)
+            ]
+        )
+        assert root_ref == full_root, n
+        for p, (sroot, snodes) in zip(prefs, subs):
+            chain, repl = per_prefix[tuple(to_nibbles(bytes([p])))]
+            shapes.add(
+                ("repl" if repl is not None else "reuse", len(chain))
+            )
+            for k in by_pref[p]:
+                sub_proof = extract_proof(sroot, to_nibbles(k), snodes)
+                grafted = (
+                    chain
+                    + [repl if repl is not None else sub_proof[0]]
+                    + sub_proof[1:]
+                )
+                assert grafted == extract_proof(
+                    full_root, to_nibbles(bytes([p]) + k), full_nodes
+                ), (n, p)
+    # the test corpus must have exercised both graft kinds
+    assert any(s[0] == "repl" for s in shapes)
+    assert any(s[0] == "reuse" for s in shapes)
+
+
+def test_graft_subtries_empty_and_guards():
+    from euclid_spark.functions.rlp import EMPTY_ROOT, graft_subtries
+
+    root, chains = graft_subtries([])
+    assert root == EMPTY_ROOT and chains == {}
+    with pytest.raises(ValueError):  # embedded sub-root refused
+        graft_subtries([([0, 1], rlp_encode([b"\x20", b"\x01"]))])
+
+
+def test_capture_path_has_no_unbounded_collect():
+    """The r11 `weak`: the capture built the state trie from
+    accounts.collect() on the driver. The only collect left in the
+    capture path is the per-prefix sub-root fold — bounded by the 256
+    possible address-byte prefixes regardless of |accounts|."""
+    import inspect
+
+    from euclid_spark.sources import eth_proof as mod
+
+    src = inspect.getsource(mod.eth_proof_fixture)
+    assert "accounts.collect" not in src
+    assert src.count(".collect()") == 1
+    assert 'acc2.groupBy("prefix")' in src  # the bounded per-prefix fold

@@ -579,7 +579,10 @@ def _walk_mpt(root: bytes, path, proof):
             return False, b""
         if len(item) == 17:
             if pos == len(path):
-                return isinstance(item[16], bytes), item[16]
+                # empty 17th slot = absence, never inclusion-of-empty
+                return (
+                    isinstance(item[16], bytes) and item[16] != b""
+                ), item[16]
             child = item[path[pos]]
             if child == b"":
                 return False, b""
@@ -590,7 +593,11 @@ def _walk_mpt(root: bytes, path, proof):
                 return False, b""
             pos += len(nib)
             if is_leaf:
-                return (pos == len(path) and isinstance(item[1], bytes)), item[1]
+                return (
+                    pos == len(path)
+                    and isinstance(item[1], bytes)
+                    and item[1] != b""
+                ), item[1]
             return walk(item[1], pos)
         return False, b""
 
@@ -623,10 +630,11 @@ def verify_eth(fixture_path: str) -> dict:
         failed.setdefault(check, []).append(addr)
 
     roots = {r[8] for r in rows}
-    for (
+
+    def check_row(
         addr_hex, nonce_hex, bal_hex, shash_hex, aproof,
         skeys, svals, sproofs, sroot_hex,
-    ) in rows:
+    ) -> bool:
         state_root = _uh(sroot_hex)
         addr = _uh(addr_hex)
         ok, body = _walk_mpt(
@@ -662,6 +670,17 @@ def verify_eth(fixture_path: str) -> dict:
                     break
         else:
             flag("account_proof", addr_hex)
+        return row_ok
+
+    for row in rows:
+        # published bytes are UNTRUSTED: a malformed response (corrupt
+        # RLP/hex-prefix, truncated hex) must flag the ROW as invalid
+        # and keep verifying, never crash the tool mid-run
+        try:
+            row_ok = check_row(*row)
+        except Exception:  # noqa: BLE001 — malformed published bytes
+            row_ok = False
+            flag("malformed", row[0])
         n_valid += int(row_ok)
     return {
         "response": fixture_path,
