@@ -182,8 +182,11 @@ def publish_manifest(
         "name": name,
         "fingerprint": fp,
         "path": f"{name}_{fp}.parquet",
+        # keyed by realpath so a consumer invoked with a relative path,
+        # trailing slash, or symlinked mount still matches (discovery
+        # normalizes its side the same way)
         "sources": {
-            p: {
+            os.path.realpath(p): {
                 "size": os.stat(p).st_size,
                 "mtime_ns": os.stat(p).st_mtime_ns,
             }
@@ -216,18 +219,25 @@ def read_manifests(root: "str | None" = None) -> "list[dict]":
     return out
 
 
-def gc(keep: "dict[str, str]") -> "list[str]":
+def gc(keep: "dict[str, str | set[str] | list[str]]") -> "list[str]":
     """Garbage-collect the artifact root: for every name in `keep`
-    (name → current fingerprint), delete that name's OTHER fingerprints
-    — superseded corpus versions with no readers — plus any orphaned
-    `.tmp.*` build directories (a builder that died mid-write).
-    Names not in `keep` are untouched (another deployment may own
-    them). Returns the removed paths. Safe to run anytime: the current
-    fingerprint and foreign names are never deleted, and losing a
-    just-superseded artifact only costs its one-time rebuild."""
+    (name → current fingerprint, or a set/list of them when an
+    artifact family is parameter-keyed — e.g. q2_response and
+    owner_token_tree carry one live fingerprint PER CONTRACT under one
+    name prefix), delete that name's OTHER fingerprints — superseded
+    corpus versions with no readers — plus any orphaned `.tmp.*` build
+    directories (a builder that died mid-write). Names not in `keep`
+    are untouched (another deployment may own them). Returns the
+    removed paths. Safe to run anytime: the kept fingerprints and
+    foreign names are never deleted, and losing a just-superseded
+    artifact only costs its one-time rebuild."""
     root = artifact_dir()
     if not os.path.isdir(root):
         return []
+    keep_sets = {
+        name: {fps} if isinstance(fps, str) else set(fps)
+        for name, fps in keep.items()
+    }
     removed: "list[str]" = []
     for entry in os.listdir(root):
         path = os.path.join(root, entry)
@@ -235,11 +245,11 @@ def gc(keep: "dict[str, str]") -> "list[str]":
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
             continue
-        for name, fp in keep.items():
-            if entry.startswith(f"{name}_") and entry not in (
-                f"{name}_{fp}.parquet",
-                f"{name}_{fp}.manifest.json",
-            ):
+        for name, fps in keep_sets.items():
+            live = {f"{name}_{fp}.parquet" for fp in fps} | {
+                f"{name}_{fp}.manifest.json" for fp in fps
+            }
+            if entry.startswith(f"{name}_") and entry not in live:
                 if os.path.isdir(path):
                     shutil.rmtree(path, ignore_errors=True)
                 else:  # a superseded artifact's manifest

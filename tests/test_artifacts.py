@@ -219,3 +219,26 @@ def test_gc_keeps_current_manifest_drops_superseded(spark, tmp_path, monkeypatch
     artifacts.gc({"resp": "new"})
     names = sorted(os.listdir(tmp_path))
     assert names == ["resp_new.manifest.json", "resp_new.parquet"]
+
+
+def test_gc_keeps_every_fingerprint_of_a_parameterized_name(
+    spark, tmp_path, monkeypatch
+):
+    """Contract-keyed artifact families (q2_response, owner_token_tree)
+    hold MULTIPLE live fingerprints under one name prefix — gc with a
+    set keeps them all; the r11 trap was gc(default-contract fp)
+    deleting the alt contract's current artifact."""
+    import os
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path))
+    df = spark.range(2)
+    artifacts.save_frame(df, "resp", "contract_a")
+    artifacts.save_frame(df, "resp", "contract_b")
+    artifacts.save_frame(df, "resp", "superseded")
+
+    removed = artifacts.gc({"resp": {"contract_a", "contract_b"}})
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["resp_contract_a.parquet", "resp_contract_b.parquet"]
+    assert [os.path.basename(p) for p in removed] == [
+        "resp_superseded.parquet"
+    ]

@@ -357,3 +357,21 @@ def test_eth_cli_discovery_includes_eth_state(eth_fixture):
     lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
     assert "eth_state" in {x["kind"] for x in lines}
     assert all(x["verdict"] == "VALID" for x in lines)
+
+
+def test_discovery_is_path_shape_insensitive(responses):
+    """Discovery must match the corpus by FILE IDENTITY, not by the
+    literal path string the prover happened to use: a trailing slash or
+    a relative invocation of the same directory yields the same
+    targets (manifests record realpath keys; discovery realpaths its
+    side too)."""
+    import os
+
+    canonical = vr._discover(str(REPO / ".artifacts"), SF_SMOKE)
+    assert canonical  # the fixtures published at least one family
+    slashed = vr._discover(str(REPO / ".artifacts"), SF_SMOKE + "/")
+    rel = vr._discover(
+        str(REPO / ".artifacts"), os.path.relpath(SF_SMOKE)
+    )
+    assert slashed == canonical
+    assert rel == canonical

@@ -121,7 +121,11 @@ def _discover(artifacts_dir: str, sf_dir: str) -> list[tuple[str, str]]:
         this verifier was asked to check (contract, rate, tile) —
         responses for other parameterizations are someone else's.
     """
-    ev = f"{sf_dir}/events.parquet"
+    # realpath on BOTH sides (publish_manifest records realpath keys):
+    # a relative sf_dir, trailing slash, or symlinked mount must not
+    # yield zero targets just because the path STRING differs from the
+    # one the prover used
+    ev = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
     st = os.stat(ev)
     cur = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
     out: list[tuple[str, str]] = []
@@ -136,7 +140,14 @@ def _discover(artifacts_dir: str, sf_dir: str) -> list[tuple[str, str]]:
             "q2", "erc20", "q2_range", "erc20_range", "eth_state"
         ):
             continue
-        src = (m.get("sources") or {}).get(ev)
+        src = next(
+            (
+                v
+                for k, v in (m.get("sources") or {}).items()
+                if os.path.realpath(k) == ev
+            ),
+            None,
+        )
         if src != cur:
             continue  # published from another corpus version
         p = m.get("params") or {}
