@@ -5,13 +5,16 @@ Prints ONE compact JSON line:
    "warm_total": <sec>, "build_total": <sec>, "sf": <sf>,
    "detail": "BENCH_DETAIL.json"}
 
-Three passes: INGEST (every one-time corpus artifact served; total
-reported as build_total — the analog of the reference's preprocessing
-stage), then COLD (per-query first timed run: planning + codegen +
-execution, artifacts already on disk), then WARM ×2 (min per query —
-the marginal cost that scales with data). Separating ingest keeps the
-cold total comparable across rounds whether or not the checkout
-already has .artifacts/ (VERDICT r10 #3).
+Three passes: INGEST — run in a SUBPROCESS with its own JVM (every
+one-time corpus artifact served; total reported as build_total — the
+analog of the reference's preprocessing stage), then COLD (per-query
+FIRST in-JVM run: planning + codegen + execution, artifacts on disk),
+then WARM ×2 (min per query — the marginal cost that scales with
+data). Separating ingest keeps the cold total comparable across rounds
+whether or not the checkout already has .artifacts/ (VERDICT r10 #3);
+isolating it in a child process keeps cold honest — an in-process
+ingest pass left cold measuring a second execution with codegen JIT'd
+and caches warm (VERDICT r11 #2).
 
 The printed line keeps the per-query COLD timings (rounded to 10 ms)
 but moves the warm per-query detail to BENCH_DETAIL.json next to this
@@ -145,33 +148,57 @@ def _run(qs, name: str, sf_dir: str) -> float:
     return round(dt, 3)
 
 
+def _ingest_pass(sf_dir: str) -> None:
+    """INGEST in a CHILD PROCESS (own JVM, exits before the timed
+    passes): run every headline query once so each one-time corpus
+    artifact (tile trees, pinned responses, IVF centroids, MinHash
+    ledgers, BPE merges…) is on disk BEFORE the timed passes. On a
+    fresh checkout .artifacts/ is empty, so without this the r10
+    driver's "cold" total silently paid ~110 s of one-time corpus
+    builds and read as a 2.5× regression vs the steady state (VERDICT
+    r10 #3). Running it in-process re-introduced the opposite bias
+    (VERDICT r11 #2): "cold" was a SECOND in-JVM execution — codegen
+    JIT'd, broadcasts and page cache warm — so cold/warm converged
+    (60.8/52.3). The subprocess keeps cold = first execution of each
+    plan in a fresh JVM with artifacts served, the r10-comparable
+    steady-state protocol."""
+    spark = get_session("euclid_spark_bench_ingest")
+    _run.spark = spark
+    qs = registry.queries()
+    for name in HEADLINE:
+        _run(qs, name, sf_dir)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if os.environ.get("_BENCH_INGEST_ONLY") == "1":
+        _ingest_pass(sf_dir)
+        return
+
+    import subprocess
+
+    t0 = time.perf_counter()
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env={**os.environ, "_BENCH_INGEST_ONLY": "1"},
+        check=True,
+    )
+    build_total = round(time.perf_counter() - t0, 3)
+
     spark = get_session("euclid_spark_bench")
     _run.spark = spark
 
     qs = registry.queries()
     # JVM/session warmup on the smallest SF so measurements exclude
     # startup; the second query also spins up the Python/Arrow workers
-    # (pandas-UDF paths otherwise pay ~9 s once in their first timing)
+    # (pandas-UDF paths otherwise pay ~9 s once in their first timing).
+    # These touch ONLY the sf0.001 corpus — no sf_dir plan executes
+    # before its cold timing.
     qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
     qs["euclid_erc20_weighted_sum_u256"](spark, "/root/testdata/sf0.001").count()
-
-    # INGEST pass (timed as build_total, reported separately): run every
-    # headline query once so each one-time corpus artifact (tile trees,
-    # pinned responses, IVF centroids, MinHash ledgers, BPE merges…)
-    # is served BEFORE the timed query passes. On a fresh checkout
-    # .artifacts/ is empty, so without this the r10 driver's "cold"
-    # total silently paid ~110 s of one-time corpus builds and read as
-    # a 2.5× regression vs the steady state (VERDICT r10 #3). This is
-    # the reference's own shape — preprocessing/ingest commits the
-    # corpus once, queries answer from the committed store — so the
-    # ingest cost is a real, separately-reported number, not noise.
-    t0 = time.perf_counter()
-    for name in HEADLINE:
-        _run(qs, name, sf_dir)
-    build_total = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -200,6 +227,11 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "build_total": build_total,
         "sf": sf_val,
+        # r9: steady-state in-JVM; r10: fresh-checkout cold incl. builds;
+        # r11: in-process ingest + cold + warm-min2; r12+: subprocess
+        # ingest, cold = first in-JVM execution. Self-describing so
+        # cross-round tables don't mix protocols silently.
+        "protocol": "subprocess-ingest+cold+warm-min2",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -218,6 +250,7 @@ def main() -> None:
         "warm_total": detail["warm_total"],
         "build_total": build_total,
         "sf": sf_val,
+        "protocol": "subprocess-ingest+cold+warm-min2",
         "detail": "BENCH_DETAIL.json",
     }
     if detail["warm_total"] > detail["value"]:
