@@ -192,6 +192,70 @@ def verify_proof(
     return walk(root, 0)
 
 
+def verify_absence(
+    root: bytes,
+    path: "list[int]",
+    proof: "list[bytes]",
+    digests: "dict[bytes, bytes] | None" = None,
+) -> bool:
+    """True iff `proof` hash-chains from `root` and shows `path`
+    ABSENT. This is the real eth_getProof semantic for value 0x0: zero
+    is never stored in a trie, so the RPC answers a zero/absent slot
+    with an EXCLUSION proof — the node list down to the point where the
+    walk either hits an empty branch child or diverges from a
+    leaf/extension path. A truncated chain (a referenced node missing
+    from the list) is NOT absence: you cannot claim exclusion without
+    showing the node that excludes."""
+    from euclid_spark.functions.rlp import EMPTY_ROOT
+
+    if root == EMPTY_ROOT:
+        return True  # the empty trie excludes every key
+    if digests is None:
+        by_hash = {keccak256(n): bytes(n) for n in proof}
+    else:
+        by_hash = {digests[bytes(n)]: bytes(n) for n in proof}
+
+    def walk(ref: "bytes | list", pos: int) -> bool:
+        if isinstance(ref, (bytes, bytearray)) and len(ref) == 32:
+            enc = by_hash.get(bytes(ref))
+            if enc is None:
+                return False  # broken/withheld chain, not absence
+            item = rlp_decode(enc)
+        else:
+            item = ref
+        if not isinstance(item, list):
+            return False
+        if len(item) == 17:
+            if pos == len(path):
+                return not (
+                    isinstance(item[16], bytes) and item[16] != b""
+                )
+            child = item[path[pos]]
+            if child == b"":
+                return True  # empty branch slot: key provably absent
+            return walk(child, pos + 1)
+        if len(item) == 2:
+            try:
+                nib, is_leaf = hp_decode(item[0])
+            except Exception:  # noqa: BLE001 — malformed path byte
+                return False
+            if path[pos : pos + len(nib)] != nib:
+                return True  # path diverges here: key provably absent
+            pos += len(nib)
+            if is_leaf:
+                # exact leaf reached: present unless the slot is empty
+                return pos != len(path) or not (
+                    isinstance(item[1], bytes) and item[1] != b""
+                )
+            return walk(item[1], pos)
+        return False
+
+    try:
+        return walk(root, 0)
+    except Exception:  # noqa: BLE001 — malformed untrusted bytes
+        return False
+
+
 # ---------------------------------------------------- fixture (capture) ---
 
 _FIXTURE_SCHEMA = (
@@ -437,6 +501,72 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_int(s: str) -> int:
+    """Parse an RPC QUANTITY ("0x0", "0x1b3" — minimal hex, possibly
+    odd-length; never left-padded)."""
+    return int(s, 16)
+
+
+def _q_hex(s: str) -> str:
+    """QUANTITY → this capture's canonical minimal-bytes hex ("0x" for
+    zero, even-length otherwise)."""
+    return _hex0x(_int_be(_q_int(s)))
+
+
+def eth_proof_from_json(spark: SparkSession, json_path: str) -> DataFrame:
+    """Load a RECORDED eth_getProof ingestion — the two RPC calls a
+    real ingester makes, saved as wire JSON — into the capture schema.
+
+    Expected document shape (exactly what the public JSON-RPC API
+    returns; mrp2-test-utils/src/eth.rs is the reference's own
+    recorded-fixture pattern):
+
+      {"block":  <eth_getBlockByNumber result> — supplies "stateRoot"
+                 (eth_getProof itself does not carry it),
+       "proofs": [<eth_getProof envelope or bare result>, ...]}
+
+    Wire quirks normalized here so NOTHING downstream changes (the
+    batch verifier and the standalone tool consume the result as-is):
+    EIP-55 mixed-case addresses → lowercase; QUANTITY fields (nonce,
+    balance, storage values: "0x0", odd-length minimal hex) → the
+    capture's even-length minimal-bytes hex; storage keys echoed
+    unpadded by the node ("0x1") → the 32-byte left-padded slot key
+    whose keccak is the trie path. `user_id` is the capture-manifest
+    sidecar; a real recording carries no test identity, so it is the
+    record's position in the file."""
+    import json as _json
+
+    with open(json_path) as f:
+        doc = _json.load(f)
+    state_root = doc["block"]["stateRoot"].lower()
+    out = []
+    for i, env in enumerate(doc["proofs"]):
+        r = env.get("result", env)
+        out.append(
+            {
+                "user_id": i,
+                "address": r["address"].lower(),
+                "nonce": _q_hex(r["nonce"]),
+                "balance": _q_hex(r["balance"]),
+                "storageHash": r["storageHash"].lower(),
+                "accountProof": [p.lower() for p in r["accountProof"]],
+                "storage_keys": [
+                    _hex0x(_q_int(sp["key"]).to_bytes(32, "big"))
+                    for sp in r.get("storageProof", [])
+                ],
+                "storage_values": [
+                    _q_hex(sp["value"]) for sp in r.get("storageProof", [])
+                ],
+                "storage_proofs": [
+                    [p.lower() for p in sp["proof"]]
+                    for sp in r.get("storageProof", [])
+                ],
+                "stateRoot": state_root,
+            }
+        )
+    return spark.createDataFrame(out, _FIXTURE_SCHEMA)
+
+
 _STATE_SCHEMA = (
     "address string, nonce long, balance long, storage_root string"
 )
@@ -545,17 +675,22 @@ def _verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for key_hex, val_hex, sproof in zip(
                 r.storage_keys, r.storage_values, r.storage_proofs
             ):
-                sk, sv = verify_proof(
-                    sroot,
-                    to_nibbles(digests[_unhex(key_hex)]),
-                    [_unhex(p) for p in sproof],
-                    digests,
-                )
-                if not sk or sv != rlp_encode(_unhex(val_hex)):
-                    storage_ok = False
+                want = _unhex(val_hex)
+                path = to_nibbles(digests[_unhex(key_hex)])
+                nodes = [_unhex(p) for p in sproof]
+                sk, sv = verify_proof(sroot, path, nodes, digests)
+                if sk and sv == rlp_encode(want):
+                    n_storage += 1
+                    storage_sum += int.from_bytes(rlp_decode(sv), "big")
                     continue
-                n_storage += 1
-                storage_sum += int.from_bytes(rlp_decode(sv), "big")
+                # real RPC semantics for value 0x0: zero is never stored,
+                # the proof is an EXCLUSION proof (geth answers absent
+                # and zero-valued slots identically)
+                if want == b"" and verify_absence(
+                    sroot, path, nodes, digests
+                ):
+                    continue
+                storage_ok = False
             rows["address"].append(r.address)
             rows["nonce"].append(nonce)
             rows["balance"].append(balance)

@@ -275,3 +275,73 @@ def test_capture_path_has_no_unbounded_collect():
     assert "accounts.collect" not in src
     assert src.count(".collect()") == 1
     assert 'acc2.groupBy("prefix")' in src  # the bounded per-prefix fold
+
+
+# ------------------------------------------- recorded wire-JSON fixture ---
+
+
+@pytest.fixture(scope="module")
+def wire_df(spark):
+    from euclid_spark.sources.eth_proof import eth_proof_from_json
+    from tests.conftest import REPO
+
+    return eth_proof_from_json(
+        spark, str(REPO / "tests" / "fixtures" / "eth_getproof_recorded.json")
+    ).toPandas()
+
+
+def test_wire_json_normalization(wire_df):
+    """The reader absorbs the RPC quirks: EIP-55 mixed case →
+    lowercase, QUANTITY hex ("0x0", odd-length "0x1b3") → even-length
+    minimal bytes, unpadded echoed keys ("0x1") → the 32-byte slot key."""
+    pdf = wire_df
+    assert all(a == a.lower() for a in pdf["address"])
+    assert set(pdf["nonce"]) == {"0x02", "0x"}
+    assert "0x01b3" in set(pdf["balance"])
+    keys = [k for ks in pdf["storage_keys"] for k in ks]
+    assert all(len(k) == 66 for k in keys)  # 32-byte padded
+    assert "0x" + "1".zfill(64) in keys
+
+
+def test_wire_json_verifies_end_to_end(wire_df):
+    """The recorded capture verifies with ZERO downstream change —
+    the swap-builder-for-RPC claim: account proofs chain from the
+    header's state root, storage inclusion proofs check, and the
+    value-0x0 entries (absent key on a populated trie; any key on an
+    empty trie) verify as EXCLUSION proofs, the real RPC semantic."""
+    out = pd.concat(_verify_batches(iter([wire_df])), ignore_index=True)
+    assert len(out) == 3
+    assert out["valid"].all() and out["account_ok"].all()
+    # zero-value slots are proven absent, not counted as storage
+    assert sorted(out["n_storage"]) == [0, 1, 2]
+    assert set(out["storage_sum"]) == {0, 0x64 + 0x1, 0x2540BE400}
+    assert sorted(out["nonce"]) == [0, 0, 2]
+    assert set(out["balance"]) == {0, 0x1B3, 0x29A2241AF62C0000}
+
+
+def test_wire_json_verifies_in_standalone_tool(spark, wire_df, tmp_path):
+    """The no-Spark consumer validates the recorded capture too."""
+    import sys as _sys
+
+    from tests.conftest import REPO
+
+    _sys.path.insert(0, str(REPO / "tools"))
+    import verify_response as vr
+
+    p = str(tmp_path / "wire_capture.parquet")
+    spark.createDataFrame(wire_df).write.parquet(p)
+    v = vr.verify_eth(p)
+    assert v["verdict"] == "VALID" and v["valid_rows"] == 3, v
+
+
+def test_wire_json_tampered_zero_value_rejected(wire_df):
+    """An exclusion claim for a key that IS present must fail: claiming
+    value 0x0 for alice's populated slot 0x1 is a lie the absence path
+    must not accept."""
+    pdf = wire_df.copy(deep=True)
+    row = pdf.index[pdf["storage_values"].map(len) == 3][0]  # alice
+    vals = list(pdf.at[row, "storage_values"])
+    vals[0] = "0x"  # claim zero for the populated slot
+    pdf.at[row, "storage_values"] = vals
+    out = pd.concat(_verify_batches(iter([pdf])), ignore_index=True)
+    assert not out["valid"].all()

@@ -615,6 +615,56 @@ def _walk_mpt(root: bytes, path, proof):
     return walk(root, 0)
 
 
+_EMPTY_ROOT = bytes.fromhex(
+    "56e81f171bcc55a6ff8345e692c0f86e5b48e01b996cadc001622fb5e363b421"
+)  # keccak(rlp("")) — well-known empty-trie root
+
+
+def _mpt_absent(root: bytes, path, proof) -> bool:
+    """True iff the node list hash-chains from root and shows `path`
+    ABSENT — the real eth_getProof semantic for value 0x0 (zero is
+    never stored; the RPC answers zero/absent slots with an exclusion
+    proof: the walk ends at an empty branch child or diverges from a
+    leaf/extension path). A withheld node is NOT absence."""
+    if root == _EMPTY_ROOT:
+        return True
+    by_hash = {_keccak256(n): n for n in proof}
+
+    def walk(ref, pos):
+        if isinstance(ref, (bytes, bytearray)) and len(ref) == 32:
+            enc = by_hash.get(bytes(ref))
+            if enc is None:
+                return False
+            item = _rlp(enc)
+        else:
+            item = ref
+        if not isinstance(item, list):
+            return False
+        if len(item) == 17:
+            if pos == len(path):
+                return not (isinstance(item[16], bytes) and item[16] != b"")
+            child = item[path[pos]]
+            if child == b"":
+                return True
+            return walk(child, pos + 1)
+        if len(item) == 2:
+            nib, is_leaf = _hp_decode(item[0])
+            if path[pos : pos + len(nib)] != nib:
+                return True
+            pos += len(nib)
+            if is_leaf:
+                return pos != len(path) or not (
+                    isinstance(item[1], bytes) and item[1] != b""
+                )
+            return walk(item[1], pos)
+        return False
+
+    try:
+        return walk(root, 0)
+    except Exception:  # noqa: BLE001 — malformed untrusted bytes
+        return False
+
+
 def _uh(s: str) -> bytes:
     return bytes.fromhex(s[2:] if s.startswith("0x") else s)
 
@@ -666,19 +716,23 @@ def verify_eth(fixture_path: str) -> dict:
                 row_ok = False
                 flag("claimed_fields", addr_hex)
             for k_hex, v_hex, sp in zip(skeys, svals, sproofs):
-                sk, sv = _walk_mpt(
-                    sroot, _nib(_keccak256(_uh(k_hex))), [_uh(p) for p in sp]
-                )
+                spath = _nib(_keccak256(_uh(k_hex)))
+                snodes = [_uh(p) for p in sp]
+                sk, sv = _walk_mpt(sroot, spath, snodes)
                 want = _uh(v_hex)
                 enc = (
                     want
                     if len(want) == 1 and want[0] < 0x80
                     else bytes([0x80 + len(want)]) + want
                 )
-                if not sk or sv != enc:
-                    row_ok = False
-                    flag("storage_proof", addr_hex)
-                    break
+                if sk and sv == enc:
+                    continue
+                # value 0x0 proves by EXCLUSION (zero is never stored)
+                if want == b"" and _mpt_absent(sroot, spath, snodes):
+                    continue
+                row_ok = False
+                flag("storage_proof", addr_hex)
+                break
         else:
             flag("account_proof", addr_hex)
         return row_ok
