@@ -8,6 +8,13 @@ less on 32 cores absorbing parallel slack) and no skew-cap blowup. A
 quadratic shape announces itself unmistakably (100× pair volume).
 
 Usage: python tools/scale_probe.py [op ...]   (default: the linear set)
+  --events        also replicate events (offset event_ids; block axis)
+  --accounts      replicate events with offset USER ids too — the
+                  account axis: |accounts| grows ×replicas while
+                  per-account storage stays constant. This is the
+                  dimension the eth_getProof capture's state trie
+                  folds over (events-only scaling leaves it constant).
+  --replicas N    replication factor (default 10)
 Writes one JSON line; temp corpus lives under /tmp and is removed.
 """
 
@@ -38,10 +45,20 @@ DEFAULT_OPS = [
     "dedup_minhash_lsh",
     "graph_doc_pagerank",
 ]
+# --accounts default set: the faces whose cost scales with |accounts|.
+# Cold = capture (trie build → artifact) + verify; warm = verify only.
+ACCOUNT_OPS = [
+    "euclid_eth_proof_verify",
+    "stream_eth_account_state",
+]
 
 
 def build_10x(
-    spark, out_dir: str, scale_events: bool = False, replicas: int = REPLICAS
+    spark,
+    out_dir: str,
+    scale_events: bool = False,
+    scale_accounts: bool = False,
+    replicas: int = REPLICAS,
 ) -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -54,16 +71,24 @@ def build_10x(
     shared = (
         "region nation customer supplier part orders lineitem embeddings"
     ).split()
-    if scale_events:
-        # --events: replicate the block dimension too (offset event_ids)
-        # — the probe for block-range structures: the range-tree query
-        # must stay FLAT (cost ∝ log(range)) while the corpus grows 10×
+    if scale_events or scale_accounts:
+        # --events: replicate the block dimension (offset event_ids) —
+        # the probe for block-range structures: the range-tree query
+        # must stay FLAT (cost ∝ log(range)) while the corpus grows 10×.
+        # --accounts: ALSO offset user_ids, so the replicas are new
+        # accounts instead of extra history on the same accounts — the
+        # axis the eth_getProof capture's state-trie fold scales with.
         ev = spark.read.parquet(f"{SF}/events.parquet")
         m = ev.agg(F.max("event_id")).collect()[0][0] + 1
-        bige = ev.join(reps).select(
-            (F.col("event_id") + F.col("rep") * m).alias("event_id"),
-            *[c for c in ev.columns if c != "event_id"],
-        )
+        cols = [(F.col("event_id") + F.col("rep") * m).alias("event_id")]
+        rest = [c for c in ev.columns if c != "event_id"]
+        if scale_accounts:
+            u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+            cols.append(
+                (F.col("user_id") + F.col("rep") * u).alias("user_id")
+            )
+            rest = [c for c in rest if c != "user_id"]
+        bige = ev.join(reps).select(*cols, *rest)
         bige.write.mode("overwrite").parquet(
             os.path.join(out_dir, "events.parquet")
         )
@@ -86,13 +111,14 @@ def _time(qs, name: str, sf_dir: str) -> float:
 def main() -> None:
     args = sys.argv[1:]
     scale_events = "--events" in args
-    args = [a for a in args if a != "--events"]
+    scale_accounts = "--accounts" in args
+    args = [a for a in args if a not in ("--events", "--accounts")]
     replicas = REPLICAS
     if "--replicas" in args:
         i = args.index("--replicas")
         replicas = int(args[i + 1])
         args = args[:i] + args[i + 2 :]
-    ops = args or DEFAULT_OPS
+    ops = args or (ACCOUNT_OPS if scale_accounts else DEFAULT_OPS)
     spark = get_session("scale_probe")
     _time.spark = spark
     qs = registry.queries()
@@ -102,8 +128,17 @@ def main() -> None:
     # corpus and would be one-shot garbage there
     os.environ["EUCLID_SPARK_ARTIFACTS"] = os.path.join(tmp, "_arts")
     try:
-        build_10x(spark, tmp, scale_events=scale_events, replicas=replicas)
-        out = {"sf": "0.1", "replicas": replicas, "ops": {}}
+        build_10x(
+            spark,
+            tmp,
+            scale_events=scale_events,
+            scale_accounts=scale_accounts,
+            replicas=replicas,
+        )
+        axis = "accounts" if scale_accounts else (
+            "events" if scale_events else "documents"
+        )
+        out = {"sf": "0.1", "replicas": replicas, "axis": axis, "ops": {}}
         for name in ops:
             one_cold = _time(qs, name, SF)
             one_warm = _time(qs, name, SF)
