@@ -60,29 +60,35 @@ def test_modes_agree_on_row_local_stats(spark):
             assert auto[c]["distinct_est"] is not None
 
 
-def test_auto_plan_has_no_highcard_distinct_shuffle(spark):
-    """The swapped branch's contract: no hash aggregate anywhere in the
-    auto plan keyed on the sketched column (raw or casted) — its only
-    aggregation is the fixed-size word bitmap."""
+def test_auto_plan_four_branches_no_highcard_distinct_shuffle(spark):
+    """The fused plan's contract (r12): FOUR pruned parquet scans (one
+    per agg class — row stats, exact count-distincts, sketch-bit
+    count-distincts, string min/max) instead of one pass per column; no
+    KEYED SortAggregate anywhere (string buffers only appear in the
+    keyless fold, so every keyed aggregate hash-aggregates under
+    codegen); and no aggregate keyed on a sketched column's RAW value —
+    a sketched value only ever reaches a grouping key through its
+    bounded LC bit expression (≤ m distinct keys at any row count)."""
     plan = (
         table_profile(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
+    assert plan.count("Scan parquet") == 4, plan.count("Scan parquet")
+    # keyless SortAggregate (the string fold: empty key = no sort) is
+    # fine; a KEYED one would mean a keyed aggregate lost hashing
+    assert not re.search(r"SortAggregate\(key=\[[^\]]", plan)
     keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
-    offenders = [k for k in keys if "l_extendedprice" in k]
+    # bare sketched-column references as grouping keys = per-raw-value
+    # aggregation; inside the pmod/FLOOR bit expression is the design
+    offenders = [
+        k for k in keys
+        if re.search(r"(^|,\s*)l_extendedprice#\d+L?\s*(,|$)", k)
+    ]
     assert not offenders, offenders
-    # and the word bitmap IS there
-    assert any("word_idx" in k for k in keys)
-    # exact mode, by contrast, does aggregate on the column (via stack)
-    plan_exact = (
-        table_profile(spark, SF_SMOKE, "exact")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "word_idx" not in plan_exact
+    # and the sketched column's bit expression IS a key somewhere
+    assert any("l_extendedprice" in k and "pmod" in k for k in keys)
 
 
 def test_bad_mode_rejected(spark):
@@ -130,6 +136,13 @@ def test_events_profile_auto_plan_shuffle_clean(spark):
     )
     keys = _re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
     for bad in ("event_id", "user_id", "props", "value", "ts"):
-        offenders = [k for k in keys if bad in k]
+        # a BARE reference as a grouping key = per-raw-value
+        # aggregation; the column's appearance inside its pmod/md5 bit
+        # expression is the bounded sketch path (r12 plan shape)
+        offenders = [
+            k for k in keys
+            if _re.search(rf"(^|,\s*){bad}#\d+L?\s*(,|$)", k)
+        ]
         assert not offenders, (bad, offenders)
-    assert any("word_idx" in k for k in keys)
+    # the sketched keys' bit expressions are present
+    assert any("pmod" in k or "md5" in k for k in keys), keys
