@@ -153,6 +153,26 @@ def main() -> None:
             }
             print(f"# {name}: 1x {one_cold}/{one_warm}s "
                   f"{replicas}x {ten_cold}/{ten_warm}s", file=sys.stderr)
+        # peak DRIVER memory across the whole probe — the number that
+        # catches an |accounts|-sized driver fold the wall-clock ratios
+        # might forgive. Python side via ru_maxrss (KiB on linux); the
+        # JVM driver is a child process, so read its VmHWM from /proc.
+        import resource
+
+        out["driver_py_peak_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        )
+        try:
+            jvm_pid = spark.sparkContext._gateway.proc.pid
+            with open(f"/proc/{jvm_pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmHWM:"):
+                        out["driver_jvm_peak_rss_mb"] = round(
+                            int(line.split()[1]) / 1024, 1
+                        )
+                        break
+        except Exception:
+            pass
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
