@@ -409,3 +409,69 @@ def _oracle_provenance() -> str:
 
 QUERIES["dedup_provenance_report"] = dedup_provenance_report
 ORACLES["dedup_provenance_report"] = _oracle_provenance()
+
+
+def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54 — SOFT dedup: a per-document TRAINING WEIGHT instead of a
+    keep/drop verdict. Every member of a near-dup cluster is kept but
+    down-weighted to 1/|cluster|, so each cluster contributes exactly
+    one document's worth of sampling mass and singletons weigh 1.0 —
+    the reweight-don't-remove alternative to the C16 keep-list
+    (duplicate-frequency down-weighting per SoftDedup, He et al. 2024;
+    the practice behind dedup-aware sampling in large-corpus training
+    mixes). Emitting BOTH cluster_size and the rounded weight keeps the
+    gate exact: weight = ROUND(1/size, 9) is the same double in both
+    engines (1/n is correctly rounded IEEE; the only 10-digit half-way
+    cases are n = 2^a·5^b, where the double is exact and both engines
+    round half-up).
+
+    Scale shape: one doc_id left join against the SERVED component-
+    labels artifact (index-sized, built once per corpus version) + one
+    count over it — no pair pipeline re-run, no shuffle wider than the
+    labels. The weight column is what a training loader joins on at
+    sample time, so serving it per corpus version is the entire cost."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = components.component_labels(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    assigned = (
+        docs.join(comp, "doc_id", "left")
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        .join(F.broadcast(sizes), "component", "left")
+        .withColumn(
+            "cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1))
+        )
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
+    )
+
+
+def _oracle_soft_weights() -> str:
+    return f"""
+        WITH RECURSIVE
+        {components._COMP_CTES},
+        csize AS (
+            SELECT component, COUNT(*) AS cluster_size
+            FROM comp GROUP BY component
+        ),
+        assign AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT a.doc_id, a.component,
+               CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+               ROUND(1.0 / COALESCE(s.cluster_size, 1), 9) AS weight
+        FROM assign a LEFT JOIN csize s ON a.component = s.component
+    """
+
+
+QUERIES["curation_soft_dedup_weights"] = curation_soft_dedup_weights
+ORACLES["curation_soft_dedup_weights"] = _oracle_soft_weights()

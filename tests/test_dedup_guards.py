@@ -240,3 +240,35 @@ def test_leakage_safe_split_property(spark, tmp_path, monkeypatch):
         for r in curation_leakage_safe_split(spark, str(tmp_path)).collect()
     }
     assert again == split
+
+
+def test_soft_dedup_weights_mass_property(spark, tmp_path, monkeypatch):
+    """C54: (a) each near-dup cluster's weights sum to exactly one
+    document's worth of sampling mass (within the 1e-9 rounding of the
+    pinned weight column); (b) singletons weigh exactly 1.0; (c) every
+    document appears exactly once; (d) weight · cluster_size
+    reconstructs 1 — the invariant a training loader relies on."""
+    from euclid_spark.operators.curation import curation_soft_dedup_weights
+
+    monkeypatch.setenv("EUCLID_SPARK_ARTIFACTS", str(tmp_path / "_arts"))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " lambda mu"),
+        (2, base + " lambda nu"),
+        (3, base + " xi nu"),
+        (4, "unrelated text about compilers and register allocation"),
+        (5, "another singleton on queueing theory and little law"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = curation_soft_dedup_weights(spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3, 4, 5]
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in got:
+        mass[r["component"]] += r["weight"]
+        assert abs(r["weight"] * r["cluster_size"] - 1.0) < 1e-8
+        if r["cluster_size"] == 1:
+            assert r["weight"] == 1.0
+    for c, m in mass.items():
+        assert abs(m - 1.0) < 1e-6, (c, m)
