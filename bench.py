@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "dedup_containment",
     "curation_leakage_safe_split",
+    "curation_soft_dedup_weights",
     "dedup_source_overlap",
     "mm_image_dhash",
     "dedup_provenance_report",
