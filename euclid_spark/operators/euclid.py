@@ -250,17 +250,20 @@ def state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL semantics pinned EXPLICITLY (the null-injected crosscheck
     caught the divergence): last_value = the value of the latest event
     whose value is NON-NULL — a NULL write does not overwrite state.
-    Spark's max_by would return the (possibly NULL) value at the max
-    key while DuckDB's max_by skips NULL values; the filtered-struct
-    max spells the skip-NULLs rule engine-independently."""
+    A bare max_by(value, event_id) would return the (possibly NULL)
+    value at the max key while DuckDB's max_by skips NULL values; the
+    skip rule is spelled by NULLing the ORDERING for NULL values —
+    max_by skips NULL orderings in both engines. r12: max_by replaces
+    the equivalent filtered-struct max because a STRUCT agg buffer is
+    immutable and forced this row-scaling aggregate into a sorting
+    SortAggregate; max_by's (double, long) buffer hash-aggregates
+    under whole-stage codegen."""
     ev = _events(spark, sf_dir)
-    last_nn = F.max(
-        F.when(
-            F.col("value").isNotNull(), F.struct("event_id", "value")
-        )
+    last_nn = F.max_by(
+        "value", F.when(F.col("value").isNotNull(), F.col("event_id"))
     )
     return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        last_nn.getField("value").alias("last_value"),
+        last_nn.alias("last_value"),
         F.max("event_id").alias("last_event_id"),
         F.count("*").alias("n_events"),
     )
@@ -669,16 +672,16 @@ def state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition is a change in both engines instead of silently dropping
     out of the oracle (NULL <> x is NULL in SQL). The per-height state
     read is A7's skip-NULLs rule (a NULL write does not overwrite
-    state) spelled as a filtered-struct max: Spark's max_by returns the
-    possibly-NULL value at the max key while DuckDB's skips NULLs."""
+    state) spelled as max_by over a NULLed-out ordering (the A7 r12
+    form: primitive agg buffers keep the aggregate hash-based)."""
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
     bounds = ev.agg(
         F.floor(F.max("event_id") / 3).cast("long").alias("h1"),
         F.floor(F.max("event_id") * 2 / 3).cast("long").alias("h2"),
     )
-    last_nn = F.max(
-        F.when(F.col("value").isNotNull(), F.struct("event_id", "value"))
-    ).getField("value")
+    last_nn = F.max_by(
+        "value", F.when(F.col("value").isNotNull(), F.col("event_id"))
+    )
     evb = ev.join(F.broadcast(bounds))
     s1 = (
         evb.filter(F.col("event_id") <= F.col("h1"))

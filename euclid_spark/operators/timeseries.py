@@ -32,16 +32,20 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # skip-NULL-writes rule (the A7 pin, caught by the null-injected
-    # crosscheck): the day's observation is the latest NON-NULL value —
-    # Spark's max_by would return the value at the max key even when
-    # NULL, DuckDB's skips NULLs; the filtered-struct max spells it out
-    last_nn = F.max(
-        F.when(F.col("value").isNotNull(), F.struct("event_id", "value"))
+    # crosscheck): the day's observation is the latest NON-NULL value.
+    # Spelled as max_by over a NULLed-out ordering (rows with a NULL
+    # value contribute a NULL ordering, which max_by skips — matching
+    # DuckDB's skip-NULLs max_by). r12: this replaces the equivalent
+    # filtered-struct max because a STRUCT agg buffer is immutable and
+    # forced the whole keyed aggregate into a sorting SortAggregate;
+    # max_by's (double, long) buffer hash-aggregates under codegen.
+    last_nn = F.max_by(
+        "value", F.when(F.col("value").isNotNull(), F.col("event_id"))
     )
     obs = (
         ev.withColumn("day", F.to_date("ts"))
         .groupBy("user_id", "day")
-        .agg(last_nn.getField("value").alias("obs_value"))
+        .agg(last_nn.alias("obs_value"))
     )
     span = obs.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

@@ -231,16 +231,17 @@ def _rollup_partial(events: DataFrame) -> DataFrame:
     state): the argmax runs over NON-NULL values only, so the state
     carries the non-null selection's OWN key (`last_nn_id`) beside the
     overall max block — merging on last_event_id would resurrect the
-    skipped NULL rows."""
-    nn = F.max(
-        F.when(F.col("value").isNotNull(), F.struct("event_id", "value"))
-    )
+    skipped NULL rows. Spelled as two max_by over one NULLed-out
+    ordering (the A7 r12 form: both aggregates select the same row —
+    the max non-null ordering — and primitive agg buffers keep the
+    aggregate hash-based instead of a struct-buffer SortAggregate)."""
+    ordr = F.when(F.col("value").isNotNull(), F.col("event_id"))
     return (
         events.withColumn("day", F.to_date("ts"))
         .groupBy(*VIEW_KEYS)
         .agg(
-            nn.getField("value").alias("last_value"),
-            nn.getField("event_id").alias("last_nn_id"),
+            F.max_by("value", ordr).alias("last_value"),
+            F.max_by("event_id", ordr).alias("last_nn_id"),
             F.max("event_id").alias("last_event_id"),
             F.count("*").alias("n_events"),
         )
@@ -248,21 +249,13 @@ def _rollup_partial(events: DataFrame) -> DataFrame:
 
 
 def _rollup_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
-    nn = F.max(
-        F.when(
-            F.col("last_value").isNotNull(),
-            F.struct(
-                F.col("last_nn_id").alias("event_id"),
-                F.col("last_value").alias("value"),
-            ),
-        )
-    )
+    ordr = F.when(F.col("last_value").isNotNull(), F.col("last_nn_id"))
     return (
         old.unionByName(partial)
         .groupBy(*VIEW_KEYS)
         .agg(
-            nn.getField("value").alias("last_value"),
-            nn.getField("event_id").alias("last_nn_id"),
+            F.max_by("last_value", ordr).alias("last_value"),
+            F.max_by("last_nn_id", ordr).alias("last_nn_id"),
             F.max("last_event_id").alias("last_event_id"),
             F.sum("n_events").alias("n_events"),
         )
