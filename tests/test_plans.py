@@ -410,3 +410,25 @@ def test_triangle_count_serves_ledger_no_cartesian(spark, tmp_path, monkeypatch)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "posexplode" not in plan.lower().replace("explode(array", "")
+
+
+def test_no_keyed_sort_aggregate_in_events_rollups(spark):
+    """r12: a KEYED SortAggregate means an aggregation buffer went
+    immutable (struct / string) and Spark silently swapped the hash
+    aggregate for a full sort of the shuffled rows — the regression
+    class the max_by(value, NULLed-ordering) rewrite removed from the
+    row-scaling events rollups. Keyless SortAggregate (a plain fold,
+    e.g. string min/max in the profiler) is fine."""
+    import re
+
+    from euclid_spark.operators import timeseries
+
+    for fn in (
+        euclid.state_rollup,
+        euclid.state_diff,
+        timeseries.gap_fill_locf,
+        relational.table_profile,
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        m = re.search(r"SortAggregate\(key=\[[^\]]", plan)
+        assert not m, f"{fn.__name__} plans a keyed SortAggregate"
