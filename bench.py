@@ -171,6 +171,34 @@ def _ingest_pass(sf_dir: str) -> None:
     spark.stop()
 
 
+def _calibrate(spark) -> "dict[str, float]":
+    """Fixed-work host-speed probes, reported on the JSON line so
+    cross-round wall-clock comparisons can be normalized: this box's
+    Spark timings drift ±30-40% across hours with no repo change
+    (SURVEY §6 r12 — invisible co-tenancy on the VM). `py_ms` is a
+    single-core 200k-chained-md5 wall; `spark_ms` is a fixed 50M-row
+    JVM range-sum wall (captures JIT/scheduler health, not just the
+    CPU). Divide a round's cold/warm by (its calib / the other
+    round's calib) before calling anything a regression."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x" * 64
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    py_ms = round((time.perf_counter() - t0) * 1000, 1)
+    # untimed warmup + min-of-2 so the probe's own codegen/JIT and a
+    # transient stall don't pollute the measurement (the probe exists
+    # to measure the HOST, not the session's first-job costs)
+    spark.range(5_000_000).selectExpr("sum(id)").collect()
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        reps.append((time.perf_counter() - t0) * 1000)
+    return {"py_ms": py_ms, "spark_ms": round(min(reps), 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -201,6 +229,8 @@ def main() -> None:
     qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
     qs["euclid_erc20_weighted_sum_u256"](spark, "/root/testdata/sf0.001").count()
 
+    calib_pre = _calibrate(spark)
+
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
@@ -216,6 +246,8 @@ def main() -> None:
         warm_reps.append(rep)
     for name in HEADLINE:
         warm[name] = min(rep[name] for rep in warm_reps)
+
+    calib_post = _calibrate(spark)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -233,6 +265,8 @@ def main() -> None:
         # ingest, cold = first in-JVM execution. Self-describing so
         # cross-round tables don't mix protocols silently.
         "protocol": "subprocess-ingest+cold+warm-min2",
+        "calib_pre": calib_pre,
+        "calib_post": calib_post,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -252,6 +286,10 @@ def main() -> None:
         "build_total": build_total,
         "sf": sf_val,
         "protocol": "subprocess-ingest+cold+warm-min2",
+        # fixed-work host-speed probes (see _calibrate): normalize
+        # cross-round wall-clock by the spark_ms ratio before reading
+        # any delta as a regression
+        "calib_spark_ms": [calib_pre["spark_ms"], calib_post["spark_ms"]],
         "detail": "BENCH_DETAIL.json",
     }
     if detail["warm_total"] > detail["value"]:
