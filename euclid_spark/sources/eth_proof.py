@@ -313,21 +313,45 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from euclid_spark.functions.keccak import keccak256_batch
+
             parts = list(batches)
             if not parts:
                 return
             pdf = pd.concat(parts, ignore_index=True)
             if pdf.empty:
                 return
-            owners, dicts, toks = [], [], []
+            owners, toks = [], []
             for uid, grp in pdf.groupby("user_id"):
-                ts = sorted(int(t) for t in grp["token_id"])
                 owners.append(int(uid))
-                toks.append(ts)
+                toks.append(sorted(int(t) for t in grp["token_id"]))
+            # ALL keccaks for the partition in three vectorized batch
+            # calls (r12: the single-call sponge is ~1.1 ms/hash in
+            # Python vs ~20 µs batched — per-token singles dominated
+            # the capture wall): location = keccak(key32 ‖ slot32),
+            # path = keccak(location), prefix = keccak(address)[0]
+            slot32 = MAPPING_SLOT.to_bytes(32, "big")
+            flat = [t for ts in toks for t in ts]
+            locs_flat = keccak256_batch(
+                [t.to_bytes(32, "big") + slot32 for t in flat]
+            )
+            paths_flat = keccak256_batch(locs_flat)
+            addr_hashes = keccak256_batch(
+                [b"addr:" + u.to_bytes(8, "big") for u in owners]
+            )
+            prefixes = keccak256_batch([h[-20:] for h in addr_hashes])
+            dicts, locs_per, paths_per = [], [], []
+            i = 0
+            for ts in toks:
+                locs = locs_flat[i : i + len(ts)]
+                paths = paths_flat[i : i + len(ts)]
+                i += len(ts)
+                locs_per.append(locs)
+                paths_per.append(paths)
                 dicts.append(
                     {
-                        keccak256(storage_location(t)): rlp_encode(_int_be(t))
-                        for t in ts
+                        p: rlp_encode(_int_be(t))
+                        for p, t in zip(paths, ts)
                     }
                 )
             rows: "dict[str, list]" = {
@@ -337,31 +361,26 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "storage_keys", "storage_values", "storage_proofs",
                 )
             }
-            for uid, ts, (root, nodes) in zip(
-                owners, toks, build_tries_batch(dicts)
+            for uid, ts, pref, locs, paths, (root, nodes) in zip(
+                owners, toks, prefixes, locs_per, paths_per,
+                build_tries_batch(dicts),
             ):
                 rows["user_id"].append(uid)
-                rows["prefix"].append(
-                    keccak256(account_address(uid))[0]
-                )
+                rows["prefix"].append(pref[0])
                 rows["nonce"].append(len(ts))
                 rows["balance"].append(sum(ts))
                 rows["storage_root"].append(root)
-                rows["storage_keys"].append(
-                    [_hex0x(storage_location(t)) for t in ts]
-                )
+                rows["storage_keys"].append([_hex0x(l) for l in locs])
                 rows["storage_values"].append([_hex0x(_int_be(t)) for t in ts])
                 rows["storage_proofs"].append(
                     [
                         [
                             _hex0x(n)
                             for n in extract_proof(
-                                root,
-                                to_nibbles(keccak256(storage_location(t))),
-                                nodes,
+                                root, to_nibbles(p), nodes
                             )
                         ]
-                        for t in ts
+                        for p in paths
                     ]
                 )
             yield pd.DataFrame(rows)
@@ -380,11 +399,20 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf = pd.concat(parts, ignore_index=True)
             if pdf.empty:
                 return
+            from euclid_spark.functions.keccak import keccak256_batch
+
+            # address path hashes for the whole partition in two batch
+            # calls (r12, same reason as stage1)
+            all_uids = [int(u) for u in pdf["user_id"]]
+            addr_flat = keccak256_batch(
+                [b"addr:" + u.to_bytes(8, "big") for u in all_uids]
+            )
+            h_flat = keccak256_batch([a[-20:] for a in addr_flat])
+            h_by_uid = dict(zip(all_uids, h_flat))
+            addr_by_uid = dict(zip(all_uids, addr_flat))
             metas, dicts = [], []
             for pref, grp in pdf.groupby("prefix"):
-                hs = [
-                    keccak256(account_address(int(u))) for u in grp["user_id"]
-                ]
+                hs = [h_by_uid[int(u)] for u in grp["user_id"]]
                 entries = {
                     h[1:]: rlp_encode(
                         [
@@ -413,7 +441,7 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["prefix"].append(pref)
                     rows["user_id"].append(int(row.user_id))
                     rows["address"].append(
-                        _hex0x(account_address(int(row.user_id)))
+                        _hex0x(addr_by_uid[int(row.user_id)][-20:])
                     )
                     rows["nonce"].append(_hex0x(_int_be(int(row.nonce))))
                     rows["balance"].append(_hex0x(_int_be(int(row.balance))))
@@ -586,22 +614,38 @@ def account_state_rows(pairs: DataFrame) -> DataFrame:
         pdf = pd.concat(parts, ignore_index=True)
         if pdf.empty:
             return
-        owners, dicts, toks = [], [], []
+        from euclid_spark.functions.keccak import keccak256_batch
+
+        owners, toks = [], []
         for uid, grp in pdf.groupby("user_id"):
-            ts = sorted(int(t) for t in grp["token_id"])
             owners.append(int(uid))
-            toks.append(ts)
+            toks.append(sorted(int(t) for t in grp["token_id"]))
+        # batched keccaks (r12, the stage1 rationale): storage paths
+        # and account addresses in three vectorized calls
+        slot32 = MAPPING_SLOT.to_bytes(32, "big")
+        flat = [t for ts in toks for t in ts]
+        paths_flat = keccak256_batch(
+            keccak256_batch([t.to_bytes(32, "big") + slot32 for t in flat])
+        )
+        addrs = keccak256_batch(
+            [b"addr:" + u.to_bytes(8, "big") for u in owners]
+        )
+        dicts, i = [], 0
+        for ts in toks:
             dicts.append(
                 {
-                    keccak256(storage_location(t)): rlp_encode(_int_be(t))
-                    for t in ts
+                    p: rlp_encode(_int_be(t))
+                    for p, t in zip(paths_flat[i : i + len(ts)], ts)
                 }
             )
+            i += len(ts)
         rows: "dict[str, list]" = {
             k: [] for k in ("address", "nonce", "balance", "storage_root")
         }
-        for uid, ts, (root, _) in zip(owners, toks, build_tries_batch(dicts)):
-            rows["address"].append(_hex0x(account_address(uid)))
+        for addr, ts, (root, _) in zip(
+            addrs, toks, build_tries_batch(dicts)
+        ):
+            rows["address"].append(_hex0x(addr[-20:]))
             rows["nonce"].append(len(ts))
             rows["balance"].append(sum(ts))
             rows["storage_root"].append(_hex0x(root))
