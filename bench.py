@@ -264,7 +264,7 @@ def main() -> None:
         # r11: in-process ingest + cold + warm-min2; r12+: subprocess
         # ingest, cold = first in-JVM execution. Self-describing so
         # cross-round tables don't mix protocols silently.
-        "protocol": "subprocess-ingest+cold+warm-min2",
+        "protocol": "subprocess-ingest+calib+cold+warm-min2",
         "calib_pre": calib_pre,
         "calib_post": calib_post,
     }
@@ -285,7 +285,7 @@ def main() -> None:
         "warm_total": detail["warm_total"],
         "build_total": build_total,
         "sf": sf_val,
-        "protocol": "subprocess-ingest+cold+warm-min2",
+        "protocol": "subprocess-ingest+calib+cold+warm-min2",
         # fixed-work host-speed probes (see _calibrate): normalize
         # cross-round wall-clock by the spark_ms ratio before reading
         # any delta as a regression

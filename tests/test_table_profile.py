@@ -61,21 +61,33 @@ def test_modes_agree_on_row_local_stats(spark):
 
 
 def test_auto_plan_four_branches_no_highcard_distinct_shuffle(spark):
-    """The fused plan's contract (r12): FOUR pruned parquet scans (one
-    per agg class — row stats, exact count-distincts, sketch-bit
-    count-distincts, string min/max) instead of one pass per column; no
-    KEYED SortAggregate anywhere (string buffers only appear in the
-    keyless fold, so every keyed aggregate hash-aggregates under
-    codegen); and no aggregate keyed on a sketched column's RAW value —
-    a sketched value only ever reaches a grouping key through its
-    bounded LC bit expression (≤ m distinct keys at any row count)."""
+    """The fused plan's contract (r12): one pruned parquet scan PER
+    NON-EMPTY agg class — row stats (always), exact count-distincts,
+    sketch-bit count-distincts, string min/max — instead of one pass
+    per column; no KEYED SortAggregate anywhere (string buffers only
+    appear in the keyless fold, so every keyed aggregate
+    hash-aggregates under codegen); and no aggregate keyed on a
+    sketched column's RAW value — a sketched value only ever reaches a
+    grouping key through its bounded LC bit expression (≤ m distinct
+    keys at any row count)."""
     plan = (
         table_profile(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") == 4, plan.count("Scan parquet")
+    # expected branch count derived from the fixture's spec, not a
+    # hardcoded 4 (ADVICE r12): a schema without e.g. string columns
+    # correctly plans fewer branches.
+    expected_scans = (
+        1  # row stats, always present
+        + any(m == "exact" for _, _, m in _LINEITEM_SPEC)
+        + any(m == "sketch" for _, _, m in _LINEITEM_SPEC)
+        + any(k == "str" for _, k, _ in _LINEITEM_SPEC)
+    )
+    assert plan.count("Scan parquet") == expected_scans, (
+        plan.count("Scan parquet"), expected_scans
+    )
     # keyless SortAggregate (the string fold: empty key = no sort) is
     # fine; a KEYED one would mean a keyed aggregate lost hashing
     assert not re.search(r"SortAggregate\(key=\[[^\]]", plan)
