@@ -24,7 +24,7 @@ subqueries (DuckDB evaluates the identical semantics end-to-end).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from euclid_spark.operators import components, textops
@@ -475,3 +475,116 @@ def _oracle_soft_weights() -> str:
 
 QUERIES["curation_soft_dedup_weights"] = curation_soft_dedup_weights
 ORACLES["curation_soft_dedup_weights"] = _oracle_soft_weights()
+
+
+# ---------------------------------------------------------------------------
+# C55 — deterministic epoch shuffle + token-budget shard manifest (r13)
+
+EPOCH_SEED = "epoch0"  # one seed string per epoch: 'epoch1', ... reshuffles
+SHARD_TOKENS = 4096  # shard budget in tokens (a dataloader's file quantum)
+_SHARD_BUCKET_HEX = 3  # md5-prefix buckets for the two-level prefix sum
+
+
+def curation_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55 — EPOCH SHUFFLE + SHARDING: the reproducible global shuffle a
+    training dataloader needs — order the corpus by a seeded hash
+    (md5(seed:doc_id): a new seed string is a fresh epoch-order, no
+    stored permutation), then cut the hash-ordered token stream into
+    fixed-budget shards and emit the PER-SHARD MANIFEST (doc count,
+    token mass, key range, order-free checksum) that a loader uses to
+    open/validate exactly the shards it owns. Deterministic by
+    construction (hash order + integer token counts), so the whole
+    manifest — checksums included — is hash-checked against the oracle.
+
+    Scale shape: the shard cut needs a GLOBAL prefix sum over the
+    hash order; a bare Window.orderBy(key) would funnel the corpus
+    through one reducer (the A9 hazard), so it runs TWO-LEVEL like
+    text_pack_sequences but keyed on the hash itself: bucket = the
+    first 3 hex chars of the key (≤4096 buckets, uniform by md5;
+    bucket order ≡ key order because the bucket IS the key's prefix),
+    within-bucket cumulative window under the partitioned bucket key,
+    bucket offsets from a triangular join over ≤4096 per-bucket totals
+    (broadcast). The per-shard checksum is a SUM of per-doc hash
+    prefixes — commutative, so no ordered fold anywhere. Grow
+    _SHARD_BUCKET_HEX with the corpus to keep per-bucket sorts bounded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit(f"{EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+            ).alias("key"),
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit(textops.TOKEN_RE), 0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bucket",
+            F.conv(F.substring("key", 1, _SHARD_BUCKET_HEX), 16, 10).cast("long"),
+        )
+    )
+    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    b1, b2 = btot.alias("b1"), btot.alias("b2")
+    offsets = (
+        b1.join(b2, F.col("b2.bucket") < F.col("b1.bucket"), "left")
+        .groupBy(F.col("b1.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b2.btot"), F.lit(0)).alias("offset"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.col("offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("start_tok", start)
+        .withColumn(
+            "shard_id", F.expr(f"start_tok div {SHARD_TOKENS}").cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+            F.sum(
+                F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
+            ).alias("checksum"),
+        )
+    )
+
+
+def _oracle_epoch_shards() -> str:
+    return f"""
+        WITH t0 AS (
+            SELECT doc_id,
+                   md5('{EPOCH_SEED}:' || doc_id::VARCHAR) AS key,
+                   CAST(len(regexp_extract_all(lower(text), '{textops.TOKEN_RE}'))
+                        AS BIGINT) AS n_tokens
+            FROM documents WHERE doc_id IS NOT NULL
+        ),
+        t AS (SELECT * FROM t0 WHERE n_tokens > 0),
+        o AS (
+            SELECT *,
+                   SUM(n_tokens) OVER (ORDER BY key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_tok
+            FROM t
+        )
+        SELECT CAST(start_tok // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(key) AS min_key, MAX(key) AS max_key,
+               CAST(SUM(CAST('0x' || substr(key, 1, 8) AS BIGINT)) AS BIGINT)
+                   AS checksum
+        FROM o GROUP BY 1
+    """
+
+
+QUERIES["curation_epoch_shards"] = curation_epoch_shards
+ORACLES["curation_epoch_shards"] = _oracle_epoch_shards()

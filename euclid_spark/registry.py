@@ -10,11 +10,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from euclid_spark.sources import bucketing, eth_proof, partitioned, zorder
+from euclid_spark.sources import bucketing, eth_proof, jsonl, partitioned, zorder
 from euclid_spark.streaming import faces
 from euclid_spark.operators import (
     cdc,
     cms_range,
+    drift,
     components,
     contract_param,
     skew,
@@ -61,6 +62,8 @@ _MODULES = [
     contract_param,   # } last: keep the driver's first-50 key prefix stable
     range_response,   # }
     eth_proof,        # }
+    drift,            # }
+    jsonl,            # }
 ]
 
 def _with_session_confs(

@@ -1,0 +1,202 @@
+"""B59 data-drift PSI + C55 epoch shards + D31 JSONL quarantine (r13):
+math/mass properties each face's correctness rests on, plan-shape
+guards for their 100 TB hazards, and the quarantine net that proves
+damaged lines are counted rather than dropped."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from euclid_spark.operators.curation import (
+    SHARD_TOKENS,
+    curation_epoch_shards,
+)
+from euclid_spark.operators.drift import PSI_BINS, data_drift_psi
+from euclid_spark.operators import textops
+from euclid_spark.sources.jsonl import (
+    CORRUPT_MOD,
+    jsonl_fixture_path,
+    src_jsonl_quarantine,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- B59 PSI -----------------------------------------------------------
+
+
+def test_psi_nonnegative_and_deterministic(spark):
+    """Every PSI term (p_cur − p_ref)·ln(p_cur/p_ref) has matching
+    signs, so PSI ≥ 0 always — a negative value means the formula
+    broke. And two runs must emit identical rows (no random())."""
+    a = {r["event_type"]: r.asDict() for r in data_drift_psi(spark, SF_SMOKE).collect()}
+    b = {r["event_type"]: r.asDict() for r in data_drift_psi(spark, SF_SMOKE).collect()}
+    assert a == b
+    assert a, "no event types"
+    for t, r in a.items():
+        assert r["psi"] >= 0.0, (t, r)
+        assert r["n_ref"] > 0, "types without a reference window are skipped"
+        assert r["drifted"] == (r["psi"] > 0.1)
+
+
+def test_psi_window_split_covers_all_rows(spark):
+    """n_ref + n_cur across types == the non-null event rows of the
+    types that have a reference window (no row silently dropped by the
+    binning/clamping)."""
+    out = data_drift_psi(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    per_type = {r["event_type"]: r["count"] for r in ev}
+    for r in out:
+        assert r["n_ref"] + r["n_cur"] == per_type[r["event_type"]]
+
+
+def test_psi_plan_two_scans_no_single_partition(spark):
+    """The 100 TB contract: exactly TWO data scans (ref bounds +
+    binning; the split day is footer metadata), no SinglePartition
+    exchange, and the only window runs PARTITIONED on the type key
+    over the bounded (type, bin) aggregate — never the raw rows."""
+    plan = _plan(data_drift_psi(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "Exchange SinglePartition" not in plan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        pass  # presence is fine; partitioning is asserted below
+    # every Window node must carry a non-empty partition spec
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).strip().startswith("event_type"), m.group(0)
+
+
+# --- C55 epoch shards --------------------------------------------------
+
+
+def test_epoch_shards_mass_and_contiguity(spark):
+    """Σ shard token mass == Σ per-doc tokens (nothing lost at shard
+    cuts), shard ids are contiguous from 0, and every shard's doc count
+    is positive. Docs are assigned by START offset, so every shard
+    except possibly the last holds ≥ SHARD_TOKENS worth of starts."""
+    man = curation_epoch_shards(spark, SF_SMOKE).orderBy("shard_id").collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(textops.TOKEN_RE), 0
+                )
+            ).alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()[0]
+    )
+    assert sum(r["total_tokens"] for r in man) == docs["s"]
+    assert sum(r["n_docs"] for r in man) == docs["c"]
+    assert [r["shard_id"] for r in man] == list(range(len(man)))
+    assert all(r["n_docs"] > 0 for r in man)
+    # key ranges are disjoint and ordered: the shuffle order is global
+    for prev, cur in zip(man, man[1:]):
+        assert prev["max_key"] < cur["min_key"]
+
+
+def test_epoch_shards_reshuffle_under_new_seed(spark):
+    """The point of the seed: a different epoch seed string produces a
+    different document order (manifest key ranges move), while the
+    total token mass is invariant."""
+    import euclid_spark.operators.curation as cur
+
+    base = curation_epoch_shards(spark, SF_SMOKE).collect()
+    old = cur.EPOCH_SEED
+    cur.EPOCH_SEED = "epoch1"
+    try:
+        other = curation_epoch_shards(spark, SF_SMOKE).collect()
+    finally:
+        cur.EPOCH_SEED = old
+    assert sum(r["total_tokens"] for r in base) == sum(
+        r["total_tokens"] for r in other
+    )
+    assert {r["min_key"] for r in base} != {r["min_key"] for r in other}
+
+
+def test_epoch_shards_plan_two_level_prefix_sum(spark):
+    """The global prefix sum must run under the PARTITIONED bucket key
+    — a SinglePartition exchange would funnel the corpus through one
+    reducer at 100 TB."""
+    plan = _plan(curation_epoch_shards(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in plan
+
+
+# --- D31 JSONL quarantine ---------------------------------------------
+
+
+def test_jsonl_quarantine_counts_damaged_lines(spark):
+    out = src_jsonl_quarantine(spark, SF_SMOKE).collect()
+    bad = [r for r in out if r["quarantined"]]
+    good_rows = sum(r["n_rows"] for r in out if not r["quarantined"])
+    expect_bad = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % CORRUPT_MOD == 0))
+        .count()
+    )
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(bad) == 1 and bad[0]["source"] is None
+    assert bad[0]["n_rows"] == expect_bad
+    assert good_rows == total - expect_bad  # nothing dropped
+
+
+def test_jsonl_damaged_lines_are_never_valid_json(spark):
+    """A prefix of minimal JSON is never valid JSON — check it on the
+    actual fixture bytes, not by trusting the parser."""
+    path = jsonl_fixture_path(spark, SF_SMOKE)
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    n_bad = 0
+    for ln in lines:
+        try:
+            json.loads(ln)
+        except json.JSONDecodeError:
+            n_bad += 1
+    expect_bad = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % CORRUPT_MOD == 0))
+        .count()
+    )
+    assert n_bad == expect_bad
+
+
+def test_jsonl_good_rows_round_trip_doc_ids(spark):
+    """Every undamaged document arrives with its doc_id intact: the
+    parsed good set equals the source set minus the damaged ids."""
+    from euclid_spark.sources.jsonl import _DOC_SCHEMA
+
+    path = jsonl_fixture_path(spark, SF_SMOKE)
+    parsed = (
+        spark.read.schema(_DOC_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    got = {
+        r["doc_id"]
+        for r in parsed.filter(F.col("_corrupt").isNull()).select("doc_id").collect()
+    }
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = {
+        r["doc_id"]
+        for r in src.filter(
+            F.col("doc_id").isNull() | (F.col("doc_id") % CORRUPT_MOD != 0)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect

@@ -85,6 +85,10 @@ EMPTY_OK = {
     "euclid_verify_erc20_response": 0,
     "sim_range_search": 0,
     "euclid_erc20_range_tree_reward": 0,
+    # r13 faces
+    "rel_data_drift_psi": 0,
+    "curation_epoch_shards": 0,
+    "src_jsonl_quarantine": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
