@@ -41,21 +41,29 @@ SUB_BITS = 4  # 16 linear sub-buckets per octave
 QS = (50, 90, 99)  # report p50/p90/p99
 
 
-def hdr_sketch(df: DataFrame, grp: str, v: str) -> DataFrame:
+def hdr_sketch(df: DataFrame, grp: "str | list[str]", v: str) -> DataFrame:
     """(grp, nbits, sub, cnt): the mergeable sketch rows. `v` must be a
     positive BIGINT column (scale fixed-point values first). Values
     < 2^(SUB_BITS+1) get exact singleton buckets (nbits pinned to
     SUB_BITS+1, sub = v); larger values bucket by (bit length, the
-    SUB_BITS bits after the leading 1)."""
+    SUB_BITS bits after the leading 1).
+
+    `grp` may be a single column name (aliased to `grp`, the original
+    contract) or a list of names kept verbatim — the r13 drift tiles
+    sketch per (event_type, day)."""
     lo = 1 << (SUB_BITS + 1)  # below this, buckets are exact
+    if isinstance(grp, str):
+        gcols, galias = [F.col(grp).alias("grp")], ["grp"]
+    else:
+        gcols, galias = [F.col(g) for g in grp], list(grp)
     staged = df.select(
-        F.col(grp).alias("grp"),
+        *gcols,
         F.col(v).alias("v"),
         F.length(F.conv(F.col(v).cast("string"), 10, 2)).alias("nbits0"),
     )
     return (
         staged.select(
-            "grp",
+            *galias,
             F.when(F.col("v") < lo, F.lit(SUB_BITS + 1))
             .otherwise(F.col("nbits0"))
             .cast("int")
@@ -70,7 +78,7 @@ def hdr_sketch(df: DataFrame, grp: str, v: str) -> DataFrame:
             .cast("long")
             .alias("sub"),
         )
-        .groupBy("grp", "nbits", "sub")
+        .groupBy(*galias, "nbits", "sub")
         .agg(F.count("*").alias("cnt"))
     )
 

@@ -1110,6 +1110,185 @@ def stream_lc_distinct_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _psi_from_tiles(spark: SparkSession, tiles: DataFrame) -> DataFrame:
+    """The drift READ: PSI per event_type off the maintained tile
+    store. Split day = the tile store's own day span midpoint (one
+    bounded fold over index-sized tiles — never the raw events);
+    smoothing runs over the per-type OBSERVED bucket support (HDR's
+    bucket universe is open-ended, so there is no fixed B to close
+    over — supp is part of the output so the reader sees the support
+    the statistic was computed on)."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+
+    from euclid_spark.operators.drift import PSI_ALERT
+
+    row = tiles.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).collect()[0]
+    empty = spark.createDataFrame(
+        [],
+        "event_type string, n_ref bigint, n_cur bigint,"
+        " n_buckets bigint, psi double, drifted boolean",
+    )
+    if row["d0"] is None:
+        return empty
+    split = row["d0"] + _dt.timedelta(days=(row["d1"] - row["d0"]).days // 2)
+    split_lit = F.to_date(F.lit(split.isoformat()))
+    perb = tiles.groupBy("event_type", "nbits", "sub").agg(
+        F.sum(
+            F.when(F.col("day") < split_lit, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("cnt_ref"),
+        F.sum(
+            F.when(F.col("day") < split_lit, F.lit(0)).otherwise(F.col("cnt"))
+        ).alias("cnt_cur"),
+    )
+    w = Window.partitionBy("event_type")
+    wt = perb.select(
+        "*",
+        F.sum("cnt_ref").over(w).alias("n_ref"),
+        F.sum("cnt_cur").over(w).alias("n_cur"),
+        F.count(F.lit(1)).over(w).alias("supp"),
+    )
+    pr = (F.col("cnt_ref") + F.lit(0.5)) / (F.col("n_ref") + F.col("supp") / F.lit(2.0))
+    pc = (F.col("cnt_cur") + F.lit(0.5)) / (F.col("n_cur") + F.col("supp") / F.lit(2.0))
+    term = F.round((pc - pr) * F.log(pc / pr), 9).cast("decimal(38,9)")
+    return (
+        wt.select("event_type", "n_ref", "n_cur", "supp", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.first("supp").alias("n_buckets"),
+            F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        )
+        .filter(F.col("n_ref") > 0)
+        .select(
+            "event_type", "n_ref", "n_cur", "n_buckets", "psi",
+            (F.col("psi") > F.lit(PSI_ALERT)).alias("drifted"),
+        )
+    )
+
+
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D32 — the drift monitor SERVED FROM MAINTAINED STATE (r13): the
+    B59 idea re-based on the D19 sink so a 100 TB deployment never
+    rescans history to re-check drift — per-(event_type, day) HDR
+    integer log-bucket tiles advance per micro-batch (additive count
+    monoid, 18th D20 spec `drift_tiles`; bins are split-invariant by
+    construction, unlike B59's reference-window-fitted bins, which is
+    what makes the statistic maintainable), and the face READS the
+    two-half-window PSI off the tile store: bounded per-type folds,
+    cost ∝ tiles, not events. Gate = the identical derivation from raw
+    events in DuckDB — binding partial → merge → read end to end."""
+    from euclid_spark.streaming.block_db import read_event_stream
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+    from euclid_spark.streaming.parity import _drift_merge, _drift_partial
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/events.parquet"], op="stream_drift_psi", n=N_SPLITS, v=1
+    )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+        )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_drift_partial,
+            merge_fn=_drift_merge,
+        )
+        q = (
+            read_event_stream(spark, feed)
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_ref bigint, n_cur bigint,"
+                " n_buckets bigint, psi double, drifted boolean",
+            )
+        tiles = sink.view(spark).select(
+            "event_type", "day", "nbits", "sub", "cnt"
+        )
+        return _psi_from_tiles(spark, tiles)
+
+    return _serve_streamed(spark, "stream_drift_psi", fp, build)
+
+
+def _drift_psi_sql() -> str:
+    from euclid_spark.operators.drift import PSI_ALERT
+    from euclid_spark.operators.quantile_sketch import SUB_BITS
+
+    lo, mask = 1 << (SUB_BITS + 1), (1 << SUB_BITS) - 1
+    return f"""
+        WITH vals AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE ts IS NOT NULL
+              AND CAST(FLOOR(value * 100) AS BIGINT) >= 1
+        ),
+        sp AS (
+            SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)
+                   AS split_day
+            FROM vals
+        ),
+        keyed AS (
+            SELECT event_type, day,
+                   CASE WHEN v < {lo} THEN {SUB_BITS + 1}
+                        ELSE LENGTH(printf('%b', v)) END AS nbits,
+                   CASE WHEN v < {lo} THEN v
+                        ELSE (v >> (LENGTH(printf('%b', v)) - {SUB_BITS + 1}))
+                             & {mask} END AS sub
+            FROM vals
+        ),
+        perb AS (
+            SELECT k.event_type, k.nbits, k.sub,
+                   SUM(CASE WHEN k.day < sp.split_day THEN 1 ELSE 0 END)
+                       AS cnt_ref,
+                   SUM(CASE WHEN k.day < sp.split_day THEN 0 ELSE 1 END)
+                       AS cnt_cur
+            FROM keyed k, sp GROUP BY 1, 2, 3
+        ),
+        wt AS (
+            SELECT *,
+                   SUM(cnt_ref) OVER (PARTITION BY event_type) AS n_ref,
+                   SUM(cnt_cur) OVER (PARTITION BY event_type) AS n_cur,
+                   COUNT(*) OVER (PARTITION BY event_type) AS supp
+            FROM perb
+        ),
+        terms AS (
+            SELECT event_type, n_ref, n_cur, supp,
+                   CAST(ROUND(
+                       ((cnt_cur + 0.5) / (n_cur + supp / 2.0)
+                        - (cnt_ref + 0.5) / (n_ref + supp / 2.0))
+                       * ln(((cnt_cur + 0.5) / (n_cur + supp / 2.0))
+                            / ((cnt_ref + 0.5) / (n_ref + supp / 2.0))),
+                       9) AS DECIMAL(38,9)) AS term
+            FROM wt
+        ),
+        agg AS (
+            SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+                   MIN(supp) AS n_buckets,
+                   ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+            FROM terms GROUP BY 1
+        )
+        SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(n_buckets AS BIGINT) AS n_buckets, psi,
+               psi > {PSI_ALERT} AS drifted
+        FROM agg WHERE n_ref > 0
+    """
+
+
 def stream_erc20_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D19 face with the ERC-20 u256 REWARD monoid (r7): A13's query
     maintained incrementally — the reference's IVC story applied to
@@ -1799,6 +1978,7 @@ QUERIES = {
     "stream_ivf_assign": stream_ivf_assign,
     "stream_leakage_splits": stream_leakage_splits,
     "stream_ohlc_bars": stream_ohlc_bars,
+    "stream_drift_psi": stream_drift_psi,
 }
 
 ORACLES = {
@@ -1812,6 +1992,7 @@ ORACLES = {
     "stream_ivf_assign": _ivf_assign_sql(),
     "stream_leakage_splits": _leakage_splits_sql(),
     "stream_ohlc_bars": _ohlc_bars_sql(),
+    "stream_drift_psi": _drift_psi_sql(),
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,

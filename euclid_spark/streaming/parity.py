@@ -366,6 +366,33 @@ def _hdr_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+def _drift_partial(events: DataFrame) -> DataFrame:
+    """r13 drift tiles: the B47 sketch keyed per (event_type, day) —
+    the maintained state the streamed PSI face reads its two windows
+    from. Same additive-count monoid as the HDR tiles; NULL ts / NULL
+    value rows are excluded up front (they belong to no window)."""
+    from euclid_spark.operators.quantile_sketch import hdr_sketch
+
+    vals = (
+        events.filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .filter(F.col("v") >= 1)
+    )
+    return hdr_sketch(vals, ["event_type", "day"], "v")
+
+
+def _drift_merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        old.unionByName(partial)
+        .groupBy("event_type", "day", "nbits", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 # --- A13's ERC-20 u256 reward view as a maintained aggregate -----------------
 
 def _erc20_partial(events: DataFrame) -> DataFrame:
@@ -882,6 +909,9 @@ SPECS = {
     ),
     "hdr_quantile_tiles": ParitySpec(
         "hdr_quantile_tiles", _hdr_partial, _hdr_merge
+    ),
+    "drift_tiles": ParitySpec(
+        "drift_tiles", _drift_partial, _drift_merge
     ),
     "lc_distinct_tiles": ParitySpec(
         "lc_distinct_tiles", _lc_partial, _lc_merge
