@@ -1163,6 +1163,75 @@ def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stream(toks)
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56 — TOKENIZER FERTILITY AUDIT (r13): per language, BPE tokens
+    per whitespace word (fertility — the standard multilingual
+    tokenizer-quality metric: a language whose fertility is far above
+    the corpus mean pays more sequence length per word, cf. the
+    tokenizer analyses of multilingual LMs) and characters per BPE
+    token, off the SERVED exact token-count artifact (C43). The BPE
+    counts themselves are rows-only (a merge loop is not SQL — pinned
+    by tests/test_bpe.py); THIS consumer face is hash-checked via
+    artifact-as-oracle-input (the C31/C48/A14 precedent), so the
+    artifact's values are bound into a DuckDB-verified result anyway.
+
+    Scale shape: index-sized artifact scan ⋈ documents on doc_id, one
+    bounded (lang) aggregate; ratios as ROUND(double/double, 6) with
+    the identical operation sequence in both engines (the B57 rule)."""
+    counts = _bpe_counts(spark, sf_dir).filter(F.col("n_ws_tokens") > 0)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return (
+        counts.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("ws_tokens"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens").cast("double")
+                / F.sum("n_ws_tokens").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _fertility_oracle(sf_dir: str) -> str:
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="bpe_token_counts",
+        n=BPE_N_MERGES,
+        v=BPE_VOCAB_TOP,
+    )
+    path = _os.path.join(
+        artifacts.artifact_dir(), f"bpe_token_counts_{fp}.parquet"
+    )
+    return f"""
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c.n_ws_tokens) AS BIGINT) AS ws_tokens,
+               CAST(SUM(c.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+               ROUND(CAST(SUM(c.n_bpe_tokens) AS DOUBLE)
+                     / CAST(SUM(c.n_ws_tokens) AS DOUBLE), 6) AS fertility,
+               ROUND(CAST(SUM(d.n_chars) AS DOUBLE)
+                     / CAST(SUM(c.n_bpe_tokens) AS DOUBLE), 6)
+                   AS chars_per_token
+        FROM read_parquet('{path}/*.parquet') c
+        JOIN documents d ON d.doc_id = c.doc_id
+        WHERE c.n_ws_tokens > 0
+        GROUP BY d.lang
+    """
+
+
 QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_bm25_topk": text_bm25_topk,
@@ -1187,6 +1256,7 @@ QUERIES = {
     # against a pure-Python reference, the keccak/A14 precedent
     "text_bpe_token_count": text_bpe_token_count,
     "text_pack_sequences_bpe": text_pack_sequences_bpe,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
 }
 
 _WS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> '')"
@@ -1644,3 +1714,6 @@ ORACLES["text_lang_confusion"] = f"""
                  4) AS frac_of_true
     FROM cells
 """
+
+
+DYNAMIC_ORACLES = {"text_tokenizer_fertility": _fertility_oracle}
