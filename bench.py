@@ -136,6 +136,12 @@ HEADLINE = [
     "text_bpe_token_count",
     "text_importance_resample",
     "curation_training_mix",
+    # r13 faces
+    "rel_data_drift_psi",
+    "curation_epoch_shards",
+    "src_jsonl_quarantine",
+    "stream_drift_psi",
+    "text_tokenizer_fertility",
 ]
 
 

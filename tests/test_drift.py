@@ -200,3 +200,31 @@ def test_jsonl_good_rows_round_trip_doc_ids(spark):
         .collect()
     }
     assert got == expect
+
+
+# --- D32 streamed drift -----------------------------------------------
+
+
+def test_stream_drift_psi_served_and_stable(spark):
+    """The streamed face serves a deterministic PSI table: repeat call
+    == first call (artifact-served), schema pinned, and every row
+    satisfies the same invariants as the batch monitor."""
+    from euclid_spark.streaming.faces import stream_drift_psi
+
+    a = sorted(
+        (tuple(r) for r in stream_drift_psi(spark, SF_SMOKE).collect()),
+        key=str,
+    )
+    b = sorted(
+        (tuple(r) for r in stream_drift_psi(spark, SF_SMOKE).collect()),
+        key=str,
+    )
+    assert a == b and a
+    cols = stream_drift_psi(spark, SF_SMOKE).columns
+    assert cols == [
+        "event_type", "n_ref", "n_cur", "n_buckets", "psi", "drifted"
+    ]
+    for r in a:
+        et, n_ref, n_cur, n_buckets, psi, drifted = r
+        assert n_ref > 0 and n_buckets > 0 and psi >= 0.0
+        assert drifted == (psi > 0.1)
