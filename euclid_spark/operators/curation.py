@@ -546,15 +546,35 @@ def curation_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "shard_id", F.expr(f"start_tok div {SHARD_TOKENS}").cast("long")
         )
+        .withColumn(
+            # the key's first 15 hex chars as a LONG: min/max over it
+            # keep the keyed aggregate's buffers MUTABLE (hash agg under
+            # codegen). min/max over the STRING key itself planned a
+            # KEYED SortAggregate over the doc-level rows — the exact
+            # r12 immutable-buffer regression class, caught in PLANS.md
+            # on first generation. 60 bits of md5 prefix order the
+            # shard boundaries identically (and both engines truncate
+            # identically, so this is a definition, not an estimate).
+            "key_pre",
+            F.conv(F.substring("key", 1, 15), 16, 10).cast("long"),
+        )
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.min("key").alias("min_key"),
-            F.max("key").alias("max_key"),
+            F.min("key_pre").alias("min_pre"),
+            F.max("key_pre").alias("max_pre"),
             F.sum(
                 F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
             ).alias("checksum"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "total_tokens",
+            F.lower(F.lpad(F.hex("min_pre"), 15, "0")).alias("min_key"),
+            F.lower(F.lpad(F.hex("max_pre"), 15, "0")).alias("max_key"),
+            "checksum",
         )
     )
 
@@ -579,7 +599,12 @@ def _oracle_epoch_shards() -> str:
         SELECT CAST(start_tok // {SHARD_TOKENS} AS BIGINT) AS shard_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               MIN(key) AS min_key, MAX(key) AS max_key,
+               printf('%015x',
+                   MIN(CAST('0x' || substr(key, 1, 15) AS BIGINT)))
+                   AS min_key,
+               printf('%015x',
+                   MAX(CAST('0x' || substr(key, 1, 15) AS BIGINT)))
+                   AS max_key,
                CAST(SUM(CAST('0x' || substr(key, 1, 8) AS BIGINT)) AS BIGINT)
                    AS checksum
         FROM o GROUP BY 1

@@ -132,9 +132,15 @@ def test_epoch_shards_reshuffle_under_new_seed(spark):
 def test_epoch_shards_plan_two_level_prefix_sum(spark):
     """The global prefix sum must run under the PARTITIONED bucket key
     — a SinglePartition exchange would funnel the corpus through one
-    reducer at 100 TB."""
+    reducer at 100 TB — and the manifest aggregate must stay a HASH
+    aggregate: min/max over the string key planned a keyed
+    SortAggregate (the r12 immutable-buffer class), which is why the
+    key range is aggregated as a 60-bit numeric prefix."""
+    import re
+
     plan = _plan(curation_epoch_shards(spark, SF_SMOKE))
     assert "Exchange SinglePartition" not in plan
+    assert not re.search(r"SortAggregate\(key=\[[^\]]", plan)
 
 
 # --- D31 JSONL quarantine ---------------------------------------------
