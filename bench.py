@@ -142,6 +142,7 @@ HEADLINE = [
     "src_jsonl_quarantine",
     "stream_drift_psi",
     "text_tokenizer_fertility",
+    "mm_feature_census",
 ]
 
 

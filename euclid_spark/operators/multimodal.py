@@ -272,11 +272,105 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)
 
 
+def _mm_features_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C11 extractor output as a fingerprint-keyed artifact —
+    extract once per corpus version, serve every consumer (the BPE /
+    doc_signals discipline applied to the multimodal features)."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="mm_features", v=1
+    )
+    return artifacts.serve_frame(
+        spark, "mm_features", fp, lambda: mm_binary_pipeline(spark, sf_dir)
+    )
+
+
+def mm_feature_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57 — MULTIMODAL FEATURE CENSUS (r13): per modality, corpus
+    counts, byte mass, distinct-payload count and the decimal-
+    accumulated means of every extracted feature, off the SERVED C11
+    extractor output. The extractor itself stays rows-only (its output
+    IS the extraction — an oracle restating it would be vacuous), but
+    this CONSUMER face is hash-checked via artifact-as-oracle-input
+    (the C56/BPE precedent), so the extracted feature values are bound
+    into a DuckDB-verified result: corrupt one f_mean and the hash
+    flips.
+
+    Scale shape: two pruned scans of the index-sized served artifact —
+    the stat aggregate (decimal sums keep the float means order-
+    independent, the B57 rule) and a two-level distinct on
+    (modality, payload_md5); keeping the distinct out of the stat
+    aggregate avoids the r12 multi-distinct Expand trap."""
+    f = _mm_features_served(spark, sf_dir)
+
+    def _avg(c: str) -> F.Column:
+        return F.round(
+            F.sum(F.col(c).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"avg_{c}")
+
+    base = f.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        _avg("f_mean"),
+        _avg("f_head"),
+        _avg("f_tail"),
+        _avg("f_spread"),
+    )
+    dist = (
+        f.select("modality", "payload_md5")
+        .distinct()
+        .groupBy("modality")
+        .agg(F.count(F.lit(1)).alias("n_distinct_payloads"))
+    )
+    return base.join(dist, "modality").select(
+        "modality", "n_docs", "total_bytes", "n_distinct_payloads",
+        "avg_f_mean", "avg_f_head", "avg_f_tail", "avg_f_spread",
+    )
+
+
+def _oracle_mm_feature_census(sf_dir: str) -> str:
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="mm_features", v=1
+    )
+    path = _os.path.join(artifacts.artifact_dir(), f"mm_features_{fp}.parquet")
+
+    def avg(c):
+        return (f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,9))) AS DOUBLE)"
+                f" / COUNT(*), 6) AS avg_{c}")
+
+    return f"""
+        WITH f AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+        base AS (
+            SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   {avg('f_mean')}, {avg('f_head')},
+                   {avg('f_tail')}, {avg('f_spread')}
+            FROM f GROUP BY 1
+        ),
+        dist AS (
+            SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads
+            FROM (SELECT DISTINCT modality, payload_md5 FROM f)
+            GROUP BY 1
+        )
+        SELECT b.modality, b.n_docs, b.total_bytes, d.n_distinct_payloads,
+               b.avg_f_mean, b.avg_f_head, b.avg_f_tail, b.avg_f_spread
+        FROM base b JOIN dist d USING (modality)
+    """
+
+
 QUERIES = {
     "mm_binary_pipeline": mm_binary_pipeline,
     "mm_chunk_fingerprints": mm_chunk_fingerprints,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_energy": mm_audio_energy,
+    "mm_feature_census": mm_feature_census,
 }
 
 # mm_binary_pipeline is rows-only: the extractor is engine-side by
@@ -561,4 +655,7 @@ def _oracle_mm_image_dhash(sf_dir: str) -> str:
     """
 
 
-DYNAMIC_ORACLES = {"mm_image_dhash": _oracle_mm_image_dhash}
+DYNAMIC_ORACLES = {
+    "mm_image_dhash": _oracle_mm_image_dhash,
+    "mm_feature_census": _oracle_mm_feature_census,
+}
