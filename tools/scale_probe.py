@@ -15,6 +15,12 @@ Usage: python tools/scale_probe.py [op ...]   (default: the linear set)
                   dimension the eth_getProof capture's state trie
                   folds over (events-only scaling leaves it constant).
   --replicas N    replication factor (default 10)
+  --mutate        make document replicas DISTINCT texts (append a
+                  per-replica tag) instead of exact copies: exact
+                  copies keep per-word caches hot (BPE) and dedup
+                  indexes degenerate, so --mutate is the axis for
+                  tokenizer/linguistic per-doc cost, plain replication
+                  for worst-case duplicate load.
 Writes one JSON line; temp corpus lives under /tmp and is removed.
 """
 
@@ -59,13 +65,23 @@ def build_10x(
     scale_events: bool = False,
     scale_accounts: bool = False,
     replicas: int = REPLICAS,
+    mutate_docs: bool = False,
 ) -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    text_col = (
+        F.concat(F.col("text"), F.lit(" zrep"), F.col("rep").cast("string"))
+        if mutate_docs
+        else F.col("text")
+    )
     big = docs.join(reps).select(
         (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
-        *[c for c in docs.columns if c != "doc_id"],
+        *[
+            text_col.alias("text") if c == "text" else F.col(c)
+            for c in docs.columns
+            if c != "doc_id"
+        ],
     )
     big.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     shared = (
@@ -112,7 +128,8 @@ def main() -> None:
     args = sys.argv[1:]
     scale_events = "--events" in args
     scale_accounts = "--accounts" in args
-    args = [a for a in args if a not in ("--events", "--accounts")]
+    mutate_docs = "--mutate" in args
+    args = [a for a in args if a not in ("--events", "--accounts", "--mutate")]
     replicas = REPLICAS
     if "--replicas" in args:
         i = args.index("--replicas")
@@ -134,11 +151,13 @@ def main() -> None:
             scale_events=scale_events,
             scale_accounts=scale_accounts,
             replicas=replicas,
+            mutate_docs=mutate_docs,
         )
         axis = "accounts" if scale_accounts else (
             "events" if scale_events else "documents"
         )
-        out = {"sf": "0.1", "replicas": replicas, "axis": axis, "ops": {}}
+        out = {"sf": "0.1", "replicas": replicas, "axis": axis,
+               "mutate": mutate_docs, "ops": {}}
         for name in ops:
             one_cold = _time(qs, name, SF)
             one_warm = _time(qs, name, SF)
