@@ -485,7 +485,12 @@ SHARD_TOKENS = 4096  # shard budget in tokens (a dataloader's file quantum)
 _SHARD_BUCKET_HEX = 3  # md5-prefix buckets for the two-level prefix sum
 
 
-def curation_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_epoch_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = EPOCH_SEED,
+    shard_tokens: int = SHARD_TOKENS,
+) -> DataFrame:
     """C55 — EPOCH SHUFFLE + SHARDING: the reproducible global shuffle a
     training dataloader needs — order the corpus by a seeded hash
     (md5(seed:doc_id): a new seed string is a fresh epoch-order, no
@@ -513,7 +518,7 @@ def curation_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.md5(
-                F.concat(F.lit(f"{EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+                F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
             ).alias("key"),
             F.size(
                 F.regexp_extract_all(F.lower("text"), F.lit(textops.TOKEN_RE), 0)
@@ -544,7 +549,7 @@ def curation_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(offsets), "bucket")
         .withColumn("start_tok", start)
         .withColumn(
-            "shard_id", F.expr(f"start_tok div {SHARD_TOKENS}").cast("long")
+            "shard_id", F.expr(f"start_tok div {shard_tokens}").cast("long")
         )
         .withColumn(
             # the key's first 15 hex chars as a LONG: min/max over it

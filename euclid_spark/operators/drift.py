@@ -98,15 +98,34 @@ def _event_day_span(spark: SparkSession, sf_dir: str):
     return lo, hi
 
 
-def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def data_drift_psi(
+    spark: SparkSession,
+    sf_dir: str,
+    split_day: "str | _dt.date | None" = None,
+    bins: int = PSI_BINS,
+    alert: float = PSI_ALERT,
+) -> DataFrame:
     """B59 — per-event_type PSI between the corpus's two half-windows.
     Emits (event_type, n_ref, n_cur, psi, drifted); types with no
-    reference-window rows are skipped (PSI needs a baseline)."""
-    d0, d1 = _event_day_span(spark, sf_dir)
-    if d0 is None:  # empty corpus: no types, stable schema
-        split = _dt.date(1970, 1, 1)
+    reference-window rows are skipped (PSI needs a baseline).
+
+    Parameterized (the §4 discipline — the gate face is the pinned
+    default instantiation, property-tested equal in tests/test_drift.py):
+    `split_day` sets the reference/current boundary explicitly (ISO
+    string or date; default = the corpus day-span midpoint from footer
+    stats), `bins` the bin count, `alert` the drifted threshold."""
+    if split_day is None:
+        d0, d1 = _event_day_span(spark, sf_dir)
+        if d0 is None:  # empty corpus: no types, stable schema
+            split = _dt.date(1970, 1, 1)
+        else:
+            split = d0 + _dt.timedelta(days=(d1 - d0).days // 2)
     else:
-        split = d0 + _dt.timedelta(days=(d1 - d0).days // 2)
+        split = (
+            _dt.date.fromisoformat(split_day)
+            if isinstance(split_day, str)
+            else split_day
+        )
     split_lit = F.to_date(F.lit(split.isoformat()))
 
     # scan 1: per-type reference bounds — the ts < split predicate is
@@ -121,7 +140,7 @@ def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width",
             F.when(
                 F.col("vmax") > F.col("vmin"),
-                (F.col("vmax") - F.col("vmin")) / F.lit(float(PSI_BINS)),
+                (F.col("vmax") - F.col("vmin")) / F.lit(float(bins)),
             ).otherwise(F.lit(1.0)),
         )
     )
@@ -135,7 +154,7 @@ def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("ts").alias("day"), "event_type", "value")
     )
     bin_col = F.least(
-        F.lit(PSI_BINS - 1).cast("long"),
+        F.lit(bins - 1).cast("long"),
         F.greatest(
             F.lit(0).cast("long"),
             F.floor((F.col("value") - F.col("vmin")) / F.col("width")),
@@ -155,7 +174,7 @@ def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals via a window PARTITIONED on the type key, over the bounded
     # (type, bin) aggregate — never the raw rows
     w = Window.partitionBy("event_type")
-    half_b = float(PSI_BINS) / 2.0
+    half_b = float(bins) / 2.0
     with_tot = perbin.select(
         "*",
         F.sum("cnt_ref").over(w).alias("n_ref"),
@@ -179,7 +198,7 @@ def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bare bigint would overflow precision 38 and silently DROP SCALE
     # (Spark's allowPrecisionLoss) — a real 1e-6 drift caught by the
     # oracle on first run
-    absent = (F.lit(PSI_BINS) - F.count(F.lit(1))).cast("decimal(4,0)")
+    absent = (F.lit(bins) - F.count(F.lit(1))).cast("decimal(4,0)")
     psi = F.round(
         (
             F.sum("term")
@@ -200,7 +219,7 @@ def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ref",
             "n_cur",
             "psi",
-            (F.col("psi") > F.lit(PSI_ALERT)).alias("drifted"),
+            (F.col("psi") > F.lit(alert)).alias("drifted"),
         )
     )
 

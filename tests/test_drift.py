@@ -111,22 +111,30 @@ def test_epoch_shards_mass_and_contiguity(spark):
 
 
 def test_epoch_shards_reshuffle_under_new_seed(spark):
-    """The point of the seed: a different epoch seed string produces a
-    different document order (manifest key ranges move), while the
-    total token mass is invariant."""
-    import euclid_spark.operators.curation as cur
-
+    """The point of the seed parameter: a different epoch seed produces
+    a different document order (manifest key ranges move), while the
+    total token mass is invariant; and the pinned default equals the
+    registry face (the §4 parameterized-API rule)."""
     base = curation_epoch_shards(spark, SF_SMOKE).collect()
-    old = cur.EPOCH_SEED
-    cur.EPOCH_SEED = "epoch1"
-    try:
-        other = curation_epoch_shards(spark, SF_SMOKE).collect()
-    finally:
-        cur.EPOCH_SEED = old
+    pinned = curation_epoch_shards(
+        spark, SF_SMOKE, seed="epoch0", shard_tokens=SHARD_TOKENS
+    ).collect()
+    assert sorted(map(tuple, base), key=str) == sorted(
+        map(tuple, pinned), key=str
+    )
+    other = curation_epoch_shards(spark, SF_SMOKE, seed="epoch1").collect()
     assert sum(r["total_tokens"] for r in base) == sum(
         r["total_tokens"] for r in other
     )
     assert {r["min_key"] for r in base} != {r["min_key"] for r in other}
+    # a smaller budget makes at least as many shards, same mass
+    fine = curation_epoch_shards(
+        spark, SF_SMOKE, shard_tokens=SHARD_TOKENS // 4
+    ).collect()
+    assert len(fine) >= len(base)
+    assert sum(r["total_tokens"] for r in fine) == sum(
+        r["total_tokens"] for r in base
+    )
 
 
 def test_epoch_shards_plan_two_level_prefix_sum(spark):
@@ -234,3 +242,33 @@ def test_stream_drift_psi_served_and_stable(spark):
         et, n_ref, n_cur, n_buckets, psi, drifted = r
         assert n_ref > 0 and n_buckets > 0 and psi >= 0.0
         assert drifted == (psi > 0.1)
+
+
+def test_psi_parameterized_pinned_equals_face(spark):
+    """§4 rule: the face is the pinned instantiation. Explicitly passing
+    the derived split day / default bins / default alert reproduces the
+    face bit-for-bit; a split past the day span empties the reference
+    side (no baseline → no rows); fewer bins still satisfies PSI ≥ 0."""
+    import datetime as dt
+
+    from euclid_spark.operators.drift import PSI_ALERT, _event_day_span
+
+    d0, d1 = _event_day_span(spark, SF_SMOKE)
+    split = d0 + dt.timedelta(days=(d1 - d0).days // 2)
+    face = sorted(map(tuple, data_drift_psi(spark, SF_SMOKE).collect()), key=str)
+    pinned = sorted(
+        map(
+            tuple,
+            data_drift_psi(
+                spark, SF_SMOKE, split_day=split, bins=PSI_BINS, alert=PSI_ALERT
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert face == pinned
+    none_ref = data_drift_psi(
+        spark, SF_SMOKE, split_day=d0 - dt.timedelta(days=1)
+    ).collect()
+    assert none_ref == []
+    coarse = data_drift_psi(spark, SF_SMOKE, bins=4).collect()
+    assert coarse and all(r["psi"] >= 0.0 for r in coarse)
