@@ -1289,6 +1289,109 @@ def _drift_psi_sql() -> str:
     """
 
 
+def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D33 — D31's STREAMING TWIN (r13): the damaged-JSONL feed arrives
+    as a file stream (the tail of a crawl dump), each micro-batch is
+    parsed PERMISSIVE with the same corrupt-record contract as the
+    batch reader (from_json carries columnNameOfCorruptRecord), and the
+    per-(quarantined, source) ingest ledger advances through the D19
+    maintained-aggregate sink (additive count/char-mass monoid,
+    partition key = the quarantine flag — a batch only rewrites the
+    buckets it touches). The maintained ledger must equal the BATCH
+    D31 summary over everything ingested — same oracle, so the gate
+    binds stream parse → quarantine → merge against the parquet ground
+    truth end to end."""
+    from euclid_spark.sources.jsonl import _DOC_SCHEMA, jsonl_fixture_path
+    from euclid_spark.streaming.ivm import MaintainedAggregate
+
+    fixture = jsonl_fixture_path(spark, sf_dir)
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="stream_jsonl_ingest",
+        n=N_SPLITS, v=1,
+    )
+
+    def _partial(lines: DataFrame) -> DataFrame:
+        d = F.from_json(
+            "value",
+            _DOC_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        )
+        parsed = lines.select(d.alias("d"))
+        return (
+            parsed.select(
+                F.col("d._corrupt").isNotNull().alias("quarantined"),
+                F.col("d.source").alias("source"),
+                F.col("d.n_chars").alias("n_chars"),
+            )
+            .groupBy("quarantined", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+
+    def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(partial)
+            .groupBy("quarantined", "source")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("sum_chars").alias("sum_chars"),
+            )
+        )
+
+    def build(tmp: str) -> DataFrame:
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed, exist_ok=True)
+        lines = spark.read.text(fixture)
+        n_feeds = N_SPLITS
+        for i in range(n_feeds):
+            lines.filter(
+                F.pmod(
+                    F.conv(F.substring(F.md5("value"), 1, 8), 16, 10)
+                    .cast("long"),
+                    F.lit(n_feeds),
+                )
+                == i
+            ).coalesce(1).write.mode("overwrite").text(
+                os.path.join(feed, f"split_{i}")
+            )
+        view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
+        os.makedirs(ck, exist_ok=True)
+        sink = MaintainedAggregate(
+            view_path=view,
+            state_path=os.path.join(ck, "ivm_state.json"),
+            partial_fn=_partial,
+            merge_fn=_merge,
+            key_col="quarantined",
+        )
+        q = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .text(os.path.join(feed, "split_*"))
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(q, sink, n_feeds)
+        if not os.path.exists(view):
+            return spark.createDataFrame(
+                [],
+                "quarantined boolean, source string,"
+                " n_rows bigint, sum_chars bigint",
+            )
+        return sink.view(spark).select(
+            # the Hive-style partition directory round-trips the flag
+            # through partition-value inference — pin it back to boolean
+            F.col("quarantined").cast("boolean").alias("quarantined"),
+            "source",
+            "n_rows",
+            "sum_chars",
+        )
+
+    return _serve_streamed(spark, "stream_jsonl_ingest", fp, build)
+
+
 def stream_erc20_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D19 face with the ERC-20 u256 REWARD monoid (r7): A13's query
     maintained incrementally — the reference's IVC story applied to
@@ -1979,6 +2082,7 @@ QUERIES = {
     "stream_leakage_splits": stream_leakage_splits,
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_drift_psi": stream_drift_psi,
+    "stream_jsonl_ingest": stream_jsonl_ingest,
 }
 
 ORACLES = {
@@ -1993,6 +2097,9 @@ ORACLES = {
     "stream_leakage_splits": _leakage_splits_sql(),
     "stream_ohlc_bars": _ohlc_bars_sql(),
     "stream_drift_psi": _drift_psi_sql(),
+    "stream_jsonl_ingest": __import__(
+        "euclid_spark.sources.jsonl", fromlist=["ORACLES"]
+    ).ORACLES["src_jsonl_quarantine"],
     "stream_ivm_view": _IVM_SQL,
     "stream_state_rollup": _ROLLUP_SQL,
     "stream_block_db_chain": _CHAIN_SQL,
