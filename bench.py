@@ -143,6 +143,7 @@ HEADLINE = [
     "stream_drift_psi",
     "text_tokenizer_fertility",
     "mm_feature_census",
+    "mm_audio_triage",
 ]
 
 

@@ -223,7 +223,9 @@ def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = bytes(payload)
+            # NULL payload (e.g. NULL text upstream): an empty clip row,
+            # not a crash — production feeds carry NULLs
+            buf = bytes(payload) if payload is not None else b""
             buf = buf[: len(buf) // 2 * 2]  # PCM16: drop a trailing odd byte
             x = np.frombuffer(buf, dtype="<i2").astype(np.float64)
             n = len(x)
@@ -270,6 +272,85 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     binary = with_binary_payload(docs).select("doc_id", "payload")
     return binary.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)
+
+
+def _mm_audio_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C40 audio-energy output as a fingerprint-keyed artifact —
+    the mm_features discipline applied to the audio triage signals."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="mm_audio", v=1
+    )
+    return artifacts.serve_frame(
+        spark, "mm_audio", fp, lambda: mm_audio_energy(spark, sf_dir)
+    )
+
+
+SILENT_FRAC = 0.5  # a clip mostly under the silence floor is "quiet"
+
+
+def mm_audio_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C58 — AUDIO TRIAGE REPORT (r13): the corpus-level VAD summary an
+    audio pipeline acts on — clip counts, sample mass, and the
+    loud/quiet split (silence_frac > SILENT_FRAC) with decimal-
+    accumulated level means, off the SERVED C40 energy signals. The
+    extractor stays rows-only; this consumer face is hash-checked via
+    artifact-as-oracle-input (the C56/C57 pattern — the third rows-only
+    family bound into a DuckDB-verified hash this round): corrupt one
+    served rms and the hash flips.
+
+    Scale shape: one pruned scan of the index-sized served artifact,
+    one bounded (bool) aggregate, B57 decimal-sum rule for the float
+    means."""
+    a = _mm_audio_served(spark, sf_dir).filter(F.col("n_windows") > 0)
+
+    def _avg(c: str) -> F.Column:
+        return F.round(
+            F.sum(F.col(c).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"avg_{c}")
+
+    return (
+        a.groupBy(
+            (F.col("silence_frac") > F.lit(SILENT_FRAC)).alias("quiet")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("n_windows").alias("total_windows"),
+            _avg("rms_mean"),
+            _avg("rms_max"),
+            _avg("silence_frac"),
+        )
+    )
+
+
+def _oracle_mm_audio_triage(sf_dir: str) -> str:
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"], op="mm_audio", v=1
+    )
+    path = _os.path.join(artifacts.artifact_dir(), f"mm_audio_{fp}.parquet")
+
+    def avg(c):
+        return (f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,9))) AS DOUBLE)"
+                f" / COUNT(*), 6) AS avg_{c}")
+
+    return f"""
+        SELECT silence_frac > {SILENT_FRAC} AS quiet,
+               CAST(COUNT(*) AS BIGINT) AS n_clips,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+               {avg('rms_mean')}, {avg('rms_max')}, {avg('silence_frac')}
+        FROM read_parquet('{path}/*.parquet')
+        WHERE n_windows > 0
+        GROUP BY 1
+    """
 
 
 def _mm_features_served(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,6 +452,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_energy": mm_audio_energy,
     "mm_feature_census": mm_feature_census,
+    "mm_audio_triage": mm_audio_triage,
 }
 
 # mm_binary_pipeline is rows-only: the extractor is engine-side by
@@ -658,4 +740,5 @@ def _oracle_mm_image_dhash(sf_dir: str) -> str:
 DYNAMIC_ORACLES = {
     "mm_image_dhash": _oracle_mm_image_dhash,
     "mm_feature_census": _oracle_mm_feature_census,
+    "mm_audio_triage": _oracle_mm_audio_triage,
 }
