@@ -36,6 +36,9 @@ CASES = [
     "rel_table_profile",           # stacked distincts + LC bitmap branch (r8)
     "sim_range_search",            # rounded-cosine threshold set (r8)
     "euclid_erc20_range_tree_reward",  # u256 limb tiles + carry at read (r8)
+    "rel_data_drift_psi",          # rounded-ln decimal term sums (r13)
+    "curation_epoch_shards",       # two-level prefix sum + checksums (r13)
+    "mm_feature_census",           # decimal feature means off artifact (r13)
 ]
 
 
