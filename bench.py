@@ -144,6 +144,7 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "mm_feature_census",
     "mm_audio_triage",
+    "sim_ann_recall_report",
 ]
 
 

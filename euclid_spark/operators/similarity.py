@@ -901,4 +901,118 @@ def _oracle_ivf_topk(sf_dir: str) -> str:
     """
 
 
-DYNAMIC_ORACLES = {"sim_ivf_topk": _oracle_ivf_topk}
+# C59 — the methods the recall report measures, against the exact C5
+# baseline. Every entry is itself an oracle-checked registry face, so
+# the report composes DuckDB-verified result sets on both sides.
+RECALL_METHODS = (
+    ("lsh", "sim_ann_lsh"),
+    ("ivf", "sim_ivf_topk"),
+    ("ivf_pinned", "sim_ivf_pinned_topk"),
+    ("int8", "sim_quantized_topk"),
+    ("prefix_rerank", "sim_prefix_rerank"),
+)
+
+
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59 — ANN RECALL REPORT (r13): per retrieval method, recall@k
+    against the exact cosine top-k — the quality dashboard an ANN
+    serving stack publishes next to its latency numbers (what the
+    recall FLOOR tests assert, promoted to a queryable product
+    surface). mean_recall is the micro-average Σhits/Σk (integer sums,
+    one double division — deterministic), min_recall the worst query.
+
+    Scale shape: each method's result is its own face (artifact-served
+    sketches; the exact baseline broadcasts the query set) — the
+    report adds only index-sized (query_id, neighbor_id) joins and
+    one-row folds per method. The exact set is persisted once and read
+    by every method's join."""
+    from functools import reduce
+
+    from euclid_spark.cache import persist_tracked
+
+    exact = persist_tracked(
+        sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    qn = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_exact"))
+    rows = []
+    for name, key in RECALL_METHODS:
+        m = QUERIES[key](spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(m, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        per_q = qn.join(hits, "query_id", "left").fillna(0, ["hits"])
+        rows.append(
+            per_q.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(
+                    F.sum("hits").cast("double")
+                    / F.sum("k_exact").cast("double"),
+                    6,
+                ).alias("mean_recall"),
+                F.round(
+                    F.min(
+                        F.col("hits").cast("double")
+                        / F.col("k_exact").cast("double")
+                    ),
+                    6,
+                ).alias("min_recall"),
+            ).select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "mean_recall",
+                "min_recall",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def _oracle_recall_report(sf_dir: str) -> str:
+    """Compose each method's own oracle SQL (the C25/C51 composition
+    precedent): exact ∩ method per query, integer hit sums, one double
+    division — byte-identical arithmetic to the Spark side."""
+    method_sql = {
+        "lsh": ORACLES["sim_ann_lsh"],
+        "ivf": _oracle_ivf_topk(sf_dir),
+        "ivf_pinned": ORACLES["sim_ivf_pinned_topk"],
+        "int8": ORACLES["sim_quantized_topk"],
+        "prefix_rerank": ORACLES["sim_prefix_rerank"],
+    }
+    blocks, selects = [], []
+    for name, sql in method_sql.items():
+        blocks.append(f"""
+        h_{name} AS (
+            SELECT e.query_id, COUNT(*) AS hits
+            FROM exact e
+            JOIN (SELECT query_id, neighbor_id FROM ({sql})) m
+              ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        ),
+        r_{name} AS (
+            SELECT '{name}' AS method,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   ROUND(CAST(SUM(COALESCE(h.hits, 0)) AS DOUBLE)
+                         / CAST(SUM(q.k_exact) AS DOUBLE), 6) AS mean_recall,
+                   ROUND(MIN(CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                         / CAST(q.k_exact AS DOUBLE)), 6) AS min_recall
+            FROM qn q LEFT JOIN h_{name} h ON h.query_id = q.query_id
+        )""")
+        selects.append(f"SELECT * FROM r_{name}")
+    return f"""
+        WITH exact AS (
+            SELECT query_id, neighbor_id FROM ({ORACLES["sim_topk_cosine"]})
+        ),
+        qn AS (
+            SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY 1
+        ),{",".join(blocks)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
+QUERIES["sim_ann_recall_report"] = sim_ann_recall_report
+
+DYNAMIC_ORACLES = {
+    "sim_ivf_topk": _oracle_ivf_topk,
+    "sim_ann_recall_report": _oracle_recall_report,
+}
