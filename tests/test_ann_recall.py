@@ -143,3 +143,26 @@ def test_ivf_centroid_artifact_survives_process_restart(spark, tmp_path, monkeyp
     monkeypatch.setattr(sim, "kmeans_centroids", _no_fit)
     again = sim.ivf_centroids(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
+def test_recall_report_matches_independent_computation(spark):
+    """C59's micro-average must equal the recall computed by this
+    file's own independent set arithmetic (the floors' machinery)."""
+    from euclid_spark.operators.similarity import (
+        sim_ann_lsh,
+        sim_ann_recall_report,
+    )
+
+    rep = {
+        r["method"]: r.asDict()
+        for r in sim_ann_recall_report(spark, SF_ORACLE).collect()
+    }
+    assert set(rep) == {"lsh", "ivf", "ivf_pinned", "int8", "prefix_rerank"}
+    exact = _topk_sets(sim_topk_cosine(spark, SF_ORACLE))
+    lsh = _topk_sets(sim_ann_lsh(spark, SF_ORACLE))
+    micro = sum(
+        len(lsh.get(q, set()) & nbrs) for q, nbrs in exact.items()
+    ) / sum(len(nbrs) for nbrs in exact.values())
+    assert abs(rep["lsh"]["mean_recall"] - micro) < 1e-6
+    for r in rep.values():
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
