@@ -913,59 +913,111 @@ RECALL_METHODS = (
 )
 
 
-def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C59 — ANN RECALL REPORT (r13): per retrieval method, recall@k
-    against the exact cosine top-k — the quality dashboard an ANN
-    serving stack publishes next to its latency numbers (what the
-    recall FLOOR tests assert, promoted to a queryable product
-    surface). mean_recall is the micro-average Σhits/Σk (integer sums,
-    one double division — deterministic), min_recall the worst query.
+def _recall_fp(sf_dir: str, op: str) -> str:
+    """One fingerprint scheme for every served retrieval RESULT SET
+    (the exact baseline and each method's (query_id, neighbor_id)
+    table). Every parameter that changes any method's answer is keyed
+    so a tuning change re-derives under a new key; the corpus identity
+    comes from the shared stat-based scheme (artifacts.py)."""
+    from euclid_spark import artifacts
 
-    Scale shape: each method's result is its own face (artifact-served
-    sketches; the exact baseline broadcasts the query set) — the
-    report adds only index-sized (query_id, neighbor_id) joins and
-    one-row folds per method. The exact set is persisted once and read
-    by every method's join."""
+    return artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"],
+        op=op, q=N_QUERIES, k=TOP_K, tables=N_TABLES, bits=BITS_PER_TABLE,
+        planes=N_PLANES, pfx=PREFIX_DIMS, pool=RERANK_POOL,
+        cent=N_CENTROIDS, probe=N_PROBE, seed_k=SEED_K, seed=42,
+    )
+
+
+def ann_method_results(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """A retrieval method's (query_id, neighbor_id) result set, SERVED:
+    the first call per corpus version runs the method's pipeline and
+    publishes the result as a fingerprint-keyed artifact; every later
+    call — the recall report, a dashboard refresh, a regression gate —
+    is an index-sized parquet scan. The reference has the same
+    discipline: query results are published verifiable artifacts, not
+    per-call recomputes (query2/revelation/circuit.rs binds served
+    commitments). Methods are deterministic (each is itself an
+    oracle-checked face), so serving loses nothing."""
+    from euclid_spark import artifacts
+
+    return artifacts.serve_frame(
+        spark,
+        f"ann_result_{name}",
+        _recall_fp(sf_dir, op=f"ann_result_{name}"),
+        lambda: QUERIES[key](spark, sf_dir).select("query_id", "neighbor_id"),
+    )
+
+
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59 — ANN RECALL REPORT (r13; r14 artifact-served): per
+    retrieval method, recall@k against the exact cosine top-k — the
+    quality dashboard an ANN serving stack publishes next to its
+    latency numbers (what the recall FLOOR tests assert, promoted to a
+    queryable product surface). mean_recall is the micro-average
+    Σhits/Σk (integer sums, one double division — deterministic),
+    min_recall the worst query.
+
+    Scale shape (r14, closing the r13 `weak`): every retrieval
+    pipeline — the exact baseline AND each method — runs ONCE per
+    corpus version and is served as a fingerprint-keyed artifact
+    (`ann_result_*`); this face joins six index-sized
+    (N_QUERIES × TOP_K-row) parquet scans and folds one row per
+    method. Nothing here re-scans the corpus; the corpus-scan cost
+    lives in the one-time artifact builds, exactly like the tile
+    trees and MinHash ledgers."""
     from functools import reduce
 
-    from euclid_spark.cache import persist_tracked
+    from euclid_spark import artifacts
 
-    exact = persist_tracked(
-        sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = artifacts.serve_frame(
+        spark,
+        "ann_result_exact",
+        _recall_fp(sf_dir, op="ann_result_exact"),
+        lambda: sim_topk_cosine(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
     )
     qn = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_exact"))
-    rows = []
-    for name, key in RECALL_METHODS:
-        m = QUERIES[key](spark, sf_dir).select("query_id", "neighbor_id")
-        hits = (
-            exact.join(m, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        per_q = qn.join(hits, "query_id", "left").fillna(0, ["hits"])
-        rows.append(
-            per_q.agg(
-                F.count(F.lit(1)).alias("n_queries"),
-                F.round(
-                    F.sum("hits").cast("double")
-                    / F.sum("k_exact").cast("double"),
-                    6,
-                ).alias("mean_recall"),
-                F.round(
-                    F.min(
-                        F.col("hits").cast("double")
-                        / F.col("k_exact").cast("double")
-                    ),
-                    6,
-                ).alias("min_recall"),
-            ).select(
-                F.lit(name).alias("method"),
-                "n_queries",
-                "mean_recall",
-                "min_recall",
+    # one TAGGED union instead of five independent join+agg branches:
+    # the r13 shape ran ~20 micro-stages over 15-row tables and paid
+    # more in stage launches than in work. Everything broadcasts.
+    methods = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ann_method_results(spark, sf_dir, name, key).select(
+                F.lit(name).alias("method"), "query_id", "neighbor_id"
             )
+            for name, key in RECALL_METHODS
+        ],
+    )
+    hits = (
+        methods.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    grid = qn.crossJoin(
+        spark.createDataFrame(
+            [(name,) for name, _ in RECALL_METHODS], "method string"
         )
-    return reduce(lambda a, b: a.unionByName(b), rows)
+    )
+    per_q = grid.join(
+        F.broadcast(hits), ["method", "query_id"], "left"
+    ).fillna(0, ["hits"])
+    return per_q.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.sum("hits").cast("double") / F.sum("k_exact").cast("double"), 6
+        ).alias("mean_recall"),
+        F.round(
+            F.min(
+                F.col("hits").cast("double") / F.col("k_exact").cast("double")
+            ),
+            6,
+        ).alias("min_recall"),
+    )
 
 
 def _oracle_recall_report(sf_dir: str) -> str:
