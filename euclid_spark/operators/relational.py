@@ -1537,60 +1537,71 @@ _PROFILE_LC_BITS = 1 << 20
 _PROFILE_LC_WORDS = _PROFILE_LC_BITS // 64
 
 
-def _profile_text(col: F.Column, kind: str) -> F.Column:
-    """The pinned cross-engine text form of a profiled value — used for
-    min/max display AND as the sketch hash input (both engines must
-    produce the identical bytes)."""
+def _profile_text_sql(x: str, kind: str) -> str:
+    """The pinned cross-engine text form of a profiled value (min/max
+    display): decimal(38,6) text for numerics, a second-truncated
+    strftime for timestamps, the raw string otherwise."""
     if kind == "num":
-        return col.cast("decimal(38,6)").cast("string")
+        return f"CAST(CAST({x} AS DECIMAL(38,6)) AS STRING)"
     if kind == "ts":
-        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
-    return col
+        return f"date_format({x}, 'yyyy-MM-dd HH:mm:ss')"
+    return x
 
 
-def _profile_lc_bit(col: F.Column, kind: str) -> F.Column:
-    """The B48 linear-counting bit index, per column kind. Numeric and
-    timestamp columns use PURE INTEGER arithmetic (fixed-point micros /
-    epoch seconds through the digest mix — engine-identical and ~3×
-    cheaper than an md5-over-text pass on the raw rows, which matters
-    on the sketched high-cardinality branch); strings use md5 (their
-    exact branches hash ≤ n_distinct keys, where md5 is free). NULL
-    values map to NULL (excluded from the count). Signed inputs are
-    well-defined on both engines: Spark uses pmod and the DuckDB
-    oracle folds its signed remainder up with (x % P + P) % P."""
+def _profile_lc_bit_sql(c: str, kind: str) -> str:
+    """The B48 linear-counting bit index (Spark SQL text), per column
+    kind. Numeric and timestamp columns use PURE INTEGER arithmetic
+    (fixed-point micros / epoch µs through the digest mix —
+    engine-identical and ~3× cheaper than an md5-over-text pass on the
+    raw rows); strings use md5 (their exact branches hash ≤ n_distinct
+    keys, where md5 is free). NULL propagates to NULL through every
+    arm (excluded by COUNT(DISTINCT ...)). Signed inputs are
+    well-defined on both engines: Spark's pmod never goes negative and
+    the DuckDB oracle folds its signed remainder up with
+    (x % P + P) % P."""
     from euclid_spark.functions.hashing import DIGEST_PRIME, MIX
 
+    m = _PROFILE_LC_BITS
     if kind == "num":
-        u = F.floor(col * 1000000).cast("long")
+        u = f"CAST(FLOOR({c} * 1000000) AS BIGINT)"
     elif kind == "ts":
         # epoch MICROS (r9): second-resolution collapsed distinct
         # timestamps within a second once real µs columns (events.ts)
         # joined the profiled set; µs is the native parquet resolution
-        u = F.unix_micros(col.cast("timestamp"))
+        u = f"unix_micros(CAST({c} AS TIMESTAMP))"
     else:
-        return F.when(
-            col.isNotNull(),
-            F.pmod(
-                F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
-                F.lit(_PROFILE_LC_BITS),
-            ),
+        return (
+            f"pmod(CAST(conv(substring(md5({c}), 1, 8), 16, 10)"
+            f" AS BIGINT), {m})"
         )
-    mixed = F.pmod(
-        F.pmod(u, F.lit(DIGEST_PRIME)) * F.lit(MIX), F.lit(DIGEST_PRIME)
+    return f"pmod(pmod(pmod({u}, {DIGEST_PRIME}) * {MIX}, {DIGEST_PRIME}), {m})"
+
+
+# the IEEE fixed-point micros form both engines compute bit-identically
+# (r14): one double multiply, one signed half-offset, truncate. The
+# same double arithmetic runs on Spark and DuckDB, so the per-row
+# integer — and therefore the sum and the mean — match by construction
+# (the prior CAST(x AS DECIMAL(38,6)) route was semantically identical
+# but paid a Double.toString → BigDecimal parse per row, the single
+# most expensive expression in the profile's hot scan). Domain:
+# |x| < 2^63/1e6 ≈ 9.2e12 — the same fixed-point domain the LC bit
+# expression above already pins.
+def _profile_micros_sql(c: str) -> str:
+    return (
+        f"CAST({c} * 1000000 +"
+        f" (CASE WHEN {c} >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)"
     )
-    return F.when(col.isNotNull(), F.pmod(mixed, F.lit(_PROFILE_LC_BITS)))
 
 
-def _profile_lc_estimate() -> F.Column:
-    """−m·ln(zero_fraction) from an n_set column, rounded to 2 decimals;
-    NULL when saturated or when n_set itself is NULL (exact-mode rows).
-    The `+ 0.0` normalizes IEEE −0.0 → 0.0 on an empty bitmap,
-    identically in the oracle."""
+def _profile_lc_estimate_sql(n_set: str) -> str:
+    """−m·ln(zero_fraction) from an n_set reference, rounded to 2
+    decimals; NULL when saturated or when n_set itself is NULL
+    (exact-mode rows). The `+ 0.0` normalizes IEEE −0.0 → 0.0 on an
+    empty bitmap, identically in the oracle."""
     m = _PROFILE_LC_BITS
-    zero_frac = (F.lit(m) - F.col("n_set")) / F.lit(m)
-    return F.when(
-        F.col("n_set") < m,
-        F.round(-F.lit(float(m)) * F.log(zero_frac), 2) + F.lit(0.0),
+    return (
+        f"CASE WHEN {n_set} < {m} THEN"
+        f" ROUND(-{float(m)!r} * LN(({m} - {n_set}) / {m}), 2) + 0.0 END"
     )
 
 
@@ -1626,120 +1637,145 @@ def table_profile(
     linear counting's error envelope of exact's count — paying BOTH per
     query is exactly the cost the mode switch exists to drop.
 
-    Determinism: min/max/count order-independent; mean = ROUND(decimal
-    sum / count) (the q15 rule); the sketch is md5 over the pinned text
-    form + integer bit ops + one rounded libm-ln — all hash-checked.
+    Determinism: min/max/count order-independent; per-row values enter
+    the mean as IEEE fixed-point micros (one double multiply + signed
+    half-offset + truncate — bit-identical on both engines), the sum is
+    an exact integer, and the displayed mean is the half-up integer
+    quotient of that sum (the q15 rule, replayed identically by the
+    oracle); the sketch is md5 over strings / integer bit ops otherwise
+    + one rounded libm-ln — all hash-checked.
 
-    Scale shape (r12): ONE full-width scan through ONE global aggregate
-    carrying every column's stats, with each column's distinct measure
-    as a native `count_distinct` — over the VALUE (exact columns) or
-    over the LC BIT INDEX (sketch columns: n_set ≡ the number of
-    distinct occupied bits, exactly the oracle's own COUNT(DISTINCT
-    bit) formulation; ≤ m values ever reach the grouping key, so the
-    shuffle stays bounded however many rows flow in). Catalyst's
-    multi-distinct rewrite plans this as one Expand (+1 narrow
-    projection per distinct measure) into codegen'd HashAggregates —
-    all JVM-native, no per-row Python, no row melting. String min/max
-    runs as ONE separate keyless fold pruned to the str columns (a
-    string agg buffer is immutable and would tip the keyed aggregate
-    into a sorting SortAggregate). Net: 2 scans instead of 11, one job,
-    and no full-width distinct shuffle anywhere: a sketched column's
-    raw value never enters a grouping key — the 100 TB shape. An r12
-    melt variant (explode per-column structs → two-level groupBy) lost
-    ~5× to this plan: struct allocation + string group keys pushed the
-    exploded rows off the vectorized path."""
+    Scale shape (r14, third rewrite — this one measured against the
+    per-branch floor): the whole face is ONE GENERATED SQL STATEMENT
+    (plan construction cost was ~1 s of py4j chatter for the ~400
+    Column objects the r12 shape built per call; the driver re-plans
+    per call, so construction is part of the marginal cost). Branches:
+    one full-width stats aggregate (counts, min/max, integer-micros
+    sums — the r12 decimal(38,6) sums paid a Double.toString →
+    BigDecimal parse per row, ~1.3 s of the old 3.5 s), one
+    multi-distinct aggregate for the bounded exact columns, ONE
+    SINGLE-DISTINCT AGGREGATE PER SKETCHED COLUMN (r14: Catalyst's
+    multi-distinct rewrite Expands every row ×(n_distincts+1) — 5.4 M
+    expanded rows cost 2.2 s where eight independent two-level
+    single-distinct branches cost 1.0 s and read the same total bytes,
+    each scan pruned to its one column), and one keyless string-extrema
+    fold (a string agg buffer is immutable — near a keyed aggregate it
+    would force a sorting SortAggregate). All branches are one-row
+    outputs broadcast-crossJoined and run CONCURRENTLY in one job; the
+    long format is a stack() over the one wide row. No full-width
+    distinct shuffle anywhere: a sketched column's raw value never
+    enters a grouping key — the 100 TB shape. (An r12 melt variant —
+    explode per-column structs → two-level groupBy — lost ~5×: struct
+    allocation + string group keys pushed the exploded rows off the
+    vectorized path.)"""
     if distinct_mode not in ("auto", "exact", "sketch"):
         raise ValueError(f"distinct_mode must be auto|exact|sketch, got {distinct_mode!r}")
-    src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    cols = _spec_from_spark_schema(src.schema)
-
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        # the spec needs only the schema: one local pyarrow footer read
+        # (~5 ms) instead of a Spark reader resolution (~150 ms of
+        # listing + py4j). Identical spec by construction — both
+        # derivations feed the shared profile_spec (the oracle uses
+        # this same footer path).
+        cols = _spec_from_parquet(path)
+    except (OSError, IndexError, ImportError):
+        # non-local sf_dir (s3://, hdfs://) — resolve through Spark
+        cols = _spec_from_spark_schema(spark.read.parquet(path).schema)
     modes = {
         c: (auto if distinct_mode == "auto" else distinct_mode)
         for c, _, auto in cols
     }
-    # four one-row branches, each the fast plan for its agg class —
-    # fusing them into ONE aggregate is the trap: regular aggs combined
-    # with multiple distincts make Catalyst's Expand carry every
-    # regular-agg buffer through every distinct replica (~7× here).
-    # Separate branches keep each Expand narrow, each scan pruned to
-    # the columns its branch touches, and all four run concurrently in
-    # the one job (measured: 11 per-column passes 3.0 s → 1.8 s warm).
-    stats_aggs = [F.count(F.lit(1)).alias("n_rows")]
-    exact_cds, sketch_cds = [], []
+    # one `src` CTE so the parquet relation resolves ONCE at analysis —
+    # referencing parquet.`path` from every branch re-ran file listing
+    # + footer schema per branch (~0.1 s × n_branches of pure planning)
+    rel = "src"
+
+    stats_sel = ["COUNT(1) AS n_rows"]
+    exact_sel, str_sel, sketch_ctes = [], [], []
     for i, (c, kind, _) in enumerate(cols):
-        col = F.col(c)
-        stats_aggs.append(F.count(col).alias(f"nn_{i}"))
+        q = f"`{c}`"
+        stats_sel.append(f"COUNT({q}) AS nn_{i}")
         if kind in ("num", "ts"):
             # native-type min/max buffers stay mutable → hash agg
-            stats_aggs.append(F.min(col).alias(f"mn_{i}"))
-            stats_aggs.append(F.max(col).alias(f"mx_{i}"))
+            stats_sel.append(f"MIN({q}) AS mn_{i}")
+            stats_sel.append(f"MAX({q}) AS mx_{i}")
+        else:
+            str_sel.append(f"MIN({q}) AS mn_{i}")
+            str_sel.append(f"MAX({q}) AS mx_{i}")
         if kind == "num":
-            stats_aggs.append(
-                F.sum(col.cast("decimal(38,6)")).alias(f"s_{i}")
+            # integer micros summed in decimal(38,0): per-row work is a
+            # long→Decimal lift (no string parse), the buffer never
+            # wraps at any corpus size
+            stats_sel.append(
+                f"SUM(CAST({_profile_micros_sql(q)} AS DECIMAL(38,0)))"
+                f" AS s_{i}"
             )
         if modes[c] == "exact":
-            exact_cds.append(F.count_distinct(col).alias(f"nd_{i}"))
+            exact_sel.append(f"COUNT(DISTINCT {q}) AS nd_{i}")
         else:
-            # n_set ≡ COUNT(DISTINCT bit) — the oracle's own form
-            sketch_cds.append(
-                F.count_distinct(_profile_lc_bit(col, kind)).alias(
-                    f"ns_{i}"
+            # n_set ≡ COUNT(DISTINCT bit) — the oracle's own form; one
+            # branch PER column keeps every distinct single (two-level
+            # partial-distinct hash aggs, no Expand)
+            sketch_ctes.append(
+                (
+                    f"sk_{i}",
+                    f"SELECT COUNT(DISTINCT {_profile_lc_bit_sql(q, kind)})"
+                    f" AS ns_{i} FROM {rel}",
                 )
             )
-    # string min/max: a keyless global fold pruned to the str columns —
-    # the only agg whose buffer is a string (immutable: anywhere near a
-    # keyed aggregate it would force a sorting SortAggregate)
-    str_aggs = [
-        x
-        for i, (c, kind, _) in enumerate(cols)
-        if kind == "str"
-        for x in (F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}"))
-    ]
-    one = src.agg(*stats_aggs)
-    for branch in (exact_cds, sketch_cds, str_aggs):
-        if branch:
-            one = one.crossJoin(F.broadcast(src.agg(*branch)))
 
-    # unpivot the one stats row to the long format (a 1-row explode)
-    structs = []
+    ctes = [("stats", f"SELECT {', '.join(stats_sel)} FROM {rel}")]
+    if exact_sel:
+        ctes.append(("ex", f"SELECT {', '.join(exact_sel)} FROM {rel}"))
+    ctes.extend(sketch_ctes)
+    if str_sel:
+        ctes.append(("strs", f"SELECT {', '.join(str_sel)} FROM {rel}"))
+
+    stack_rows = []
     for i, (c, kind, _) in enumerate(cols):
         mode = modes[c]
-        structs.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col("n_rows").alias("n_rows"),
-                (F.col("n_rows") - F.col(f"nn_{i}")).alias("n_nulls"),
-                F.lit(mode).alias("d_mode"),
-                (
-                    F.col(f"nd_{i}")
-                    if mode == "exact"
-                    else F.lit(None).cast("long")
-                ).alias("n_distinct"),
-                (
-                    F.lit(None).cast("long")
-                    if mode == "exact"
-                    else F.col(f"ns_{i}")
-                ).alias("n_set"),
-                _profile_text(F.col(f"mn_{i}"), kind).alias("min_s"),
-                _profile_text(F.col(f"mx_{i}"), kind).alias("max_s"),
-                (
-                    F.round(F.col(f"s_{i}") / F.col(f"nn_{i}"), 6).cast(
-                        "double"
-                    )
-                    if kind == "num"
-                    else F.lit(None).cast("double")
-                ).alias("mean"),
+        nd = f"nd_{i}" if mode == "exact" else "CAST(NULL AS BIGINT)"
+        ns = "CAST(NULL AS BIGINT)" if mode == "exact" else f"ns_{i}"
+        if kind == "num":
+            # exact half-up integer quotient of the micro sum — `div`
+            # on the decimal returns BIGINT, and a mean in micros
+            # always fits one (the SUM buffer is what must not wrap)
+            mean = (
+                f"CAST(CASE WHEN s_{i} >= 0"
+                f" THEN (2 * s_{i} + nn_{i}) div (2 * nn_{i})"
+                f" ELSE -((-2 * s_{i} + nn_{i}) div (2 * nn_{i})) END"
+                f" AS DOUBLE) / 1000000.0"
             )
+        else:
+            mean = "CAST(NULL AS DOUBLE)"
+        stack_rows.append(
+            f"'{c}', n_rows, n_rows - nn_{i}, '{mode}', {nd}, {ns}, "
+            f"{_profile_text_sql(f'mn_{i}', kind)}, "
+            f"{_profile_text_sql(f'mx_{i}', kind)}, {mean}"
         )
-    return (
-        one.select(F.explode(F.array(*structs)).alias("p"))
-        .select("p.*")
-        .select(
-            "column", "n_rows", "n_nulls", "d_mode", "n_distinct",
-            _profile_lc_estimate().alias("distinct_est"),
-            "min_s", "max_s", "mean",
-        )
+
+    with_sql = ",\n".join(
+        [f"src AS (SELECT * FROM parquet.`{path}`)"]
+        + [f"{name} AS ({q})" for name, q in ctes]
     )
+    hint = ", ".join(name for name, _ in ctes[1:])
+    hint_sql = f"/*+ BROADCAST({hint}) */ " if hint else ""
+    joins = " CROSS JOIN ".join(name for name, _ in ctes)
+    stacked = ",\n        ".join(stack_rows)
+    sql = f"""
+    WITH {with_sql}
+    SELECT `column`, n_rows, n_nulls, d_mode, n_distinct,
+           {_profile_lc_estimate_sql("n_set")} AS distinct_est,
+           min_s, max_s, mean
+    FROM (
+      SELECT {hint_sql}stack({len(stack_rows)},
+        {stacked}
+      ) AS (`column`, n_rows, n_nulls, d_mode, n_distinct, n_set,
+            min_s, max_s, mean)
+      FROM {joins}
+    )
+    """
+    return spark.sql(sql)
 
 
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2459,11 +2495,19 @@ def _profile_sql(table: str, spec: "list[tuple[str, str, str]]") -> str:
             )
             mn = f"CAST(CAST(MIN({c}) AS DECIMAL(38,6)) AS VARCHAR)"
             mx = f"CAST(CAST(MAX({c}) AS DECIMAL(38,6)) AS VARCHAR)"
-            # Spark divides decimals EXACTLY then rounds HALF_UP; DuckDB
-            # decimal division detours through DOUBLE and loses exact
-            # half-cases (l_tax mean hit one) — so replay the half-up
+            # per-row IEEE fixed-point micros (r14, mirrors the Spark
+            # side's _profile_micros_sql byte-for-byte: one double
+            # multiply, signed half-offset, truncate — both engines run
+            # the identical IEEE ops, so the integer sum matches by
+            # construction); the displayed mean replays the half-up
             # quotient in integer micros: (2S+n)//(2n), sign-folded
-            su = f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) * 1000000 AS HUGEINT)"
+            # (DuckDB's SUM(BIGINT) is HUGEINT — never wraps, like the
+            # Spark side's DECIMAL(38,0) buffer)
+            su = (
+                f"SUM(CAST(trunc({c} * 1000000 +"
+                f" (CASE WHEN {c} >= 0 THEN 0.5 ELSE -0.5 END))"
+                f" AS BIGINT))"
+            )
             cnt = f"COUNT({c})"
             mean = f"""CAST(CASE WHEN {cnt} = 0 THEN NULL
                  WHEN {su} >= 0 THEN (2 * {su} + {cnt}) // (2 * {cnt})
