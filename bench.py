@@ -46,6 +46,13 @@ from euclid_spark import registry
 from euclid_spark.cache import release_all
 from euclid_spark.session import get_session
 
+# Reference host speed for the fixed 50M-row JVM range-sum probe
+# (_calibrate's spark_ms): the healthy-host band on the r12/r13 driver
+# boxes was ~115-190 ms, so 150 ms is the pinned midpoint. calib_norm_*
+# on the JSON line = wall / (measured_spark_ms / this) — a number
+# comparable across rounds run on differently-loaded hosts.
+REF_CALIB_SPARK_MS = 150.0
+
 HEADLINE = [
     "euclid_q2_distinct_keys",
     "euclid_erc20_weighted_sum",
@@ -299,6 +306,20 @@ def main() -> None:
         # cross-round wall-clock by the spark_ms ratio before reading
         # any delta as a regression
         "calib_spark_ms": [calib_pre["spark_ms"], calib_post["spark_ms"]],
+        # host-normalized totals (r13 verdict #3): cold divided by the
+        # pre-pass probe factor, warm by the post-pass one, each
+        # relative to REF_CALIB_SPARK_MS — so cross-round tables can
+        # compare calib_norm_* directly without re-deriving the host
+        # ratio (r12->r13 cold read 1.28x purely from a 4.8x-slower
+        # probe)
+        "calib_norm_cold": round(
+            detail["value"] / (calib_pre["spark_ms"] / REF_CALIB_SPARK_MS), 3
+        ),
+        "calib_norm_warm": round(
+            detail["warm_total"]
+            / (calib_post["spark_ms"] / REF_CALIB_SPARK_MS),
+            3,
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     if detail["warm_total"] > detail["value"]:
