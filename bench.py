@@ -152,6 +152,8 @@ HEADLINE = [
     "mm_feature_census",
     "mm_audio_triage",
     "sim_ann_recall_report",
+    # r14 faces
+    "curation_shard_roundtrip",
 ]
 
 

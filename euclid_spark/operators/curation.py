@@ -482,36 +482,67 @@ ORACLES["curation_soft_dedup_weights"] = _oracle_soft_weights()
 
 EPOCH_SEED = "epoch0"  # one seed string per epoch: 'epoch1', ... reshuffles
 SHARD_TOKENS = 4096  # shard budget in tokens (a dataloader's file quantum)
-_SHARD_BUCKET_HEX = 3  # md5-prefix buckets for the two-level prefix sum
+_SHARD_BUCKET_HEX = 3  # fallback md5-prefix width when footer stats fail
+_SHARD_ROWS_PER_BUCKET = 4096  # target within-bucket sort size
+_SHARD_MAX_HEX = 6  # 16^6 = 16M buckets covers ~7e10 docs at the target
+_SHARD_SUPER = 4096  # buckets per super-bucket in the hierarchical offsets
 
 
-def curation_epoch_shards(
+def _shard_bucket_hex(sf_dir: str) -> int:
+    """Derive the md5-prefix bucket width from the corpus ROW COUNT
+    (parquet footer metadata — a stat read, never a data scan: the B59
+    footer discipline), sized so within-bucket sorts stay ~bounded at
+    _SHARD_ROWS_PER_BUCKET rows whatever the corpus size (r14, closing
+    the r13 "grow with the corpus" comment the code didn't honor).
+    RESULT-INVARIANT by construction: the bucket is a PREFIX of the
+    sort key, so any width yields the identical global order and
+    manifest (property-tested in tests/test_drift.py). Any
+    filesystem/pyarrow error (remote sf_dir) falls back to the pinned
+    default — the width only tunes cost, never output."""
+    import glob
+    import math
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/documents.parquet"
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        n = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    except Exception:  # noqa: BLE001 — remote/odd fs: pinned default
+        return _SHARD_BUCKET_HEX
+    if n <= 0:
+        return _SHARD_BUCKET_HEX
+    return max(
+        2,
+        min(
+            _SHARD_MAX_HEX,
+            math.ceil(math.log(max(n / _SHARD_ROWS_PER_BUCKET, 1.0), 16)),
+        ),
+    )
+
+
+def _shard_assignments(
     spark: SparkSession,
     sf_dir: str,
-    seed: str = EPOCH_SEED,
-    shard_tokens: int = SHARD_TOKENS,
+    seed: str,
+    shard_tokens: int,
+    bucket_hex: "int | None" = None,
 ) -> DataFrame:
-    """C55 — EPOCH SHUFFLE + SHARDING: the reproducible global shuffle a
-    training dataloader needs — order the corpus by a seeded hash
-    (md5(seed:doc_id): a new seed string is a fresh epoch-order, no
-    stored permutation), then cut the hash-ordered token stream into
-    fixed-budget shards and emit the PER-SHARD MANIFEST (doc count,
-    token mass, key range, order-free checksum) that a loader uses to
-    open/validate exactly the shards it owns. Deterministic by
-    construction (hash order + integer token counts), so the whole
-    manifest — checksums included — is hash-checked against the oracle.
-
-    Scale shape: the shard cut needs a GLOBAL prefix sum over the
-    hash order; a bare Window.orderBy(key) would funnel the corpus
-    through one reducer (the A9 hazard), so it runs TWO-LEVEL like
-    text_pack_sequences but keyed on the hash itself: bucket = the
-    first 3 hex chars of the key (≤4096 buckets, uniform by md5;
-    bucket order ≡ key order because the bucket IS the key's prefix),
-    within-bucket cumulative window under the partitioned bucket key,
-    bucket offsets from a triangular join over ≤4096 per-bucket totals
-    (broadcast). The per-shard checksum is a SUM of per-doc hash
-    prefixes — commutative, so no ordered fold anywhere. Grow
-    _SHARD_BUCKET_HEX with the corpus to keep per-bucket sorts bounded."""
+    """Doc-level epoch-shuffle shard assignment: (doc_id, key,
+    n_tokens, shard_id) where shard_id cuts the seeded-hash-ordered
+    token stream at `shard_tokens`. The global prefix sum is two-level
+    on the hash-prefix bucket (see curation_epoch_shards); when the
+    derived bucket space exceeds _SHARD_SUPER, bucket offsets
+    themselves go through a second two-level pass (triangular join
+    over ≤_SHARD_SUPER super-buckets + a window partitioned by
+    super-bucket) so no stage ever sorts or joins more than ~4096
+    rows per group at any corpus size."""
+    hexn = _shard_bucket_hex(sf_dir) if bucket_hex is None else bucket_hex
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = (
         docs.filter(F.col("doc_id").isNotNull())
@@ -529,16 +560,46 @@ def curation_epoch_shards(
         .filter(F.col("n_tokens") > 0)
         .withColumn(
             "bucket",
-            F.conv(F.substring("key", 1, _SHARD_BUCKET_HEX), 16, 10).cast("long"),
+            F.conv(F.substring("key", 1, hexn), 16, 10).cast("long"),
         )
     )
     btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    b1, b2 = btot.alias("b1"), btot.alias("b2")
-    offsets = (
-        b1.join(b2, F.col("b2.bucket") < F.col("b1.bucket"), "left")
-        .groupBy(F.col("b1.bucket").alias("bucket"))
-        .agg(F.coalesce(F.sum("b2.btot"), F.lit(0)).alias("offset"))
-    )
+    if 16**hexn <= _SHARD_SUPER:
+        b1, b2 = btot.alias("b1"), btot.alias("b2")
+        offsets = (
+            b1.join(b2, F.col("b2.bucket") < F.col("b1.bucket"), "left")
+            .groupBy(F.col("b1.bucket").alias("bucket"))
+            .agg(F.coalesce(F.sum("b2.btot"), F.lit(0)).alias("offset"))
+        )
+    else:
+        # hierarchical offsets: the triangular join is O(B²) pairs, so
+        # past _SHARD_SUPER buckets it runs one level up over bucket
+        # GROUPS (super-bucket = bucket div _SHARD_SUPER — still a key
+        # prefix, so group order ≡ key order), then a bounded window
+        # inside each group. ≤4096 rows in any sort or join side.
+        sbt = btot.withColumn(
+            "sb", F.expr(f"bucket div {_SHARD_SUPER}").cast("long")
+        )
+        stot = sbt.groupBy("sb").agg(F.sum("btot").alias("stot"))
+        s1, s2 = stot.alias("s1"), stot.alias("s2")
+        soff = (
+            s1.join(s2, F.col("s2.sb") < F.col("s1.sb"), "left")
+            .groupBy(F.col("s1.sb").alias("sb"))
+            .agg(F.coalesce(F.sum("s2.stot"), F.lit(0)).alias("soff"))
+        )
+        wb = (
+            Window.partitionBy("sb")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        offsets = (
+            sbt.join(F.broadcast(soff), "sb")
+            .withColumn(
+                "offset",
+                F.col("soff") + F.sum("btot").over(wb) - F.col("btot"),
+            )
+            .select("bucket", "offset")
+        )
     w = (
         Window.partitionBy("bucket")
         .orderBy("key", "doc_id")
@@ -551,6 +612,43 @@ def curation_epoch_shards(
         .withColumn(
             "shard_id", F.expr(f"start_tok div {shard_tokens}").cast("long")
         )
+        .select("doc_id", "key", "n_tokens", "shard_id")
+    )
+
+
+def curation_epoch_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = EPOCH_SEED,
+    shard_tokens: int = SHARD_TOKENS,
+    bucket_hex: "int | None" = None,
+) -> DataFrame:
+    """C55 — EPOCH SHUFFLE + SHARDING: the reproducible global shuffle a
+    training dataloader needs — order the corpus by a seeded hash
+    (md5(seed:doc_id): a new seed string is a fresh epoch-order, no
+    stored permutation), then cut the hash-ordered token stream into
+    fixed-budget shards and emit the PER-SHARD MANIFEST (doc count,
+    token mass, key range, order-free checksum) that a loader uses to
+    open/validate exactly the shards it owns. Deterministic by
+    construction (hash order + integer token counts), so the whole
+    manifest — checksums included — is hash-checked against the oracle.
+
+    Scale shape: the shard cut needs a GLOBAL prefix sum over the
+    hash order; a bare Window.orderBy(key) would funnel the corpus
+    through one reducer (the A9 hazard), so it runs TWO-LEVEL like
+    text_pack_sequences but keyed on the hash itself: bucket = the
+    first _shard_bucket_hex(corpus) hex chars of the key (uniform by
+    md5; bucket order ≡ key order because the bucket IS the key's
+    prefix),
+    within-bucket cumulative window under the partitioned bucket key,
+    bucket offsets from a triangular join over the per-bucket totals
+    (broadcast; past _SHARD_SUPER buckets the offsets themselves go
+    two-level — see _shard_assignments). The per-shard checksum is a
+    SUM of per-doc hash prefixes — commutative, so no ordered fold
+    anywhere. The bucket width GROWS WITH THE CORPUS (r14): derived
+    from footer row counts by _shard_bucket_hex, result-invariant."""
+    return (
+        _shard_assignments(spark, sf_dir, seed, shard_tokens, bucket_hex)
         .withColumn(
             # the key's first 15 hex chars as a LONG: min/max over it
             # keep the keyed aggregate's buffers MUTABLE (hash agg under
@@ -618,3 +716,155 @@ def _oracle_epoch_shards() -> str:
 
 QUERIES["curation_epoch_shards"] = curation_epoch_shards
 ORACLES["curation_epoch_shards"] = _oracle_epoch_shards()
+
+
+# ---------------------------------------------------------------------------
+# C55b — epoch shard FILES + loader-contract round-trip (r14: the r13
+# manifest was emitted but nothing wrote or re-opened the shards it
+# describes — the artifact a training dataloader actually opens)
+
+
+def serve_epoch_shard_files(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = EPOCH_SEED,
+    shard_tokens: int = SHARD_TOKENS,
+) -> str:
+    """The epoch's shard FILES as a fingerprint-keyed disk artifact:
+    doc-level rows (doc_id, key, n_tokens) written partitionBy
+    shard_id — one directory per shard (the D18/D26 layout precedent:
+    Hive-style `shard_id=K` paths, atomic temp+rename), so a loader
+    opens exactly the shard directories it owns and a shard_id filter
+    is a partition-pruning read, never a scan. Built once per (corpus,
+    seed, budget); the bucket width is NOT in the key — it never
+    changes the assignment (result-invariance, property-tested)."""
+    import os
+    import shutil
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="epoch_shard_files", seed=seed, budget=shard_tokens,
+    )
+    path = os.path.join(
+        artifacts.artifact_dir(), f"epoch_shard_files_{fp}.parquet"
+    )
+    if not os.path.exists(path):
+        os.makedirs(artifacts.artifact_dir(), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        _shard_assignments(spark, sf_dir, seed, shard_tokens).write.mode(
+            "overwrite"
+        ).partitionBy("shard_id").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won — identical bytes
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def curation_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55b — LOADER-CONTRACT CHECK over the WRITTEN shard files: read
+    the served shard layout back off disk, recompute every shard's
+    manifest row (doc count, token mass, key range, order-free
+    checksum) FROM THE FILES, and match it against the manifest
+    derived from the corpus — exactly what a dataloader does before
+    trusting a shard it is about to stream (open shard k, validate
+    against the manifest). `ok` is false for any shard whose files
+    were lost, truncated, or tampered with (tamper test in
+    tests/test_drift.py). Hash-checked end to end: the oracle reads
+    the SAME artifact directory (artifact-as-oracle-input, the
+    C56/C57/C58 precedent) and the corpus-side manifest SQL, so a
+    write that dropped or duplicated rows diverges on both engines
+    identically and surfaces as ok=false rows.
+
+    Scale shape: one index-sized scan of the shard layout into a
+    bounded per-shard aggregate, one sort-free equi-join against the
+    manifest — the corpus-side cost is the manifest's own two-level
+    prefix sum; the file side reads only footer-pruned doc-level rows
+    (never text)."""
+    path = serve_epoch_shard_files(spark, sf_dir)
+    files = spark.read.parquet(path).withColumn(
+        "key_pre", F.conv(F.substring("key", 1, 15), 16, 10).cast("long")
+    )
+    recomputed = (
+        files.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("f_n_docs"),
+            F.sum("n_tokens").alias("f_total_tokens"),
+            F.min("key_pre").alias("f_min_pre"),
+            F.max("key_pre").alias("f_max_pre"),
+            F.sum(
+                F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
+            ).alias("f_checksum"),
+        )
+        .select(
+            "shard_id", "f_n_docs", "f_total_tokens",
+            F.lower(F.lpad(F.hex("f_min_pre"), 15, "0")).alias("f_min_key"),
+            F.lower(F.lpad(F.hex("f_max_pre"), 15, "0")).alias("f_max_key"),
+            "f_checksum",
+        )
+    )
+    man = curation_epoch_shards(spark, sf_dir)
+    eq = (
+        (F.col("n_docs") == F.col("f_n_docs"))
+        & (F.col("total_tokens") == F.col("f_total_tokens"))
+        & (F.col("min_key") == F.col("f_min_key"))
+        & (F.col("max_key") == F.col("f_max_key"))
+        & (F.col("checksum") == F.col("f_checksum"))
+    )
+    return (
+        man.join(recomputed, "shard_id", "full_outer")
+        .select(
+            "shard_id",
+            "n_docs", "total_tokens", "checksum",
+            "f_n_docs", "f_total_tokens", "f_checksum",
+            F.coalesce(eq, F.lit(False)).alias("ok"),
+        )
+    )
+
+
+def _oracle_shard_roundtrip(sf_dir: str) -> str:
+    import os as _os
+
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="epoch_shard_files", seed=EPOCH_SEED, budget=SHARD_TOKENS,
+    )
+    path = _os.path.join(
+        artifacts.artifact_dir(), f"epoch_shard_files_{fp}.parquet"
+    )
+    return f"""
+        WITH man AS ({_oracle_epoch_shards()}),
+        rec AS (
+            SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                   CAST(COUNT(*) AS BIGINT) AS f_n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS f_total_tokens,
+                   printf('%015x',
+                       MIN(CAST('0x' || substr(key, 1, 15) AS BIGINT)))
+                       AS f_min_key,
+                   printf('%015x',
+                       MAX(CAST('0x' || substr(key, 1, 15) AS BIGINT)))
+                       AS f_max_key,
+                   CAST(SUM(CAST('0x' || substr(key, 1, 8) AS BIGINT))
+                        AS BIGINT) AS f_checksum
+            FROM read_parquet('{path}/*/*.parquet', hive_partitioning=1)
+            GROUP BY 1
+        )
+        SELECT COALESCE(man.shard_id, rec.shard_id) AS shard_id,
+               man.n_docs, man.total_tokens, man.checksum,
+               rec.f_n_docs, rec.f_total_tokens, rec.f_checksum,
+               COALESCE(man.n_docs = rec.f_n_docs
+                        AND man.total_tokens = rec.f_total_tokens
+                        AND man.min_key = rec.f_min_key
+                        AND man.max_key = rec.f_max_key
+                        AND man.checksum = rec.f_checksum,
+                        FALSE) AS ok
+        FROM man FULL OUTER JOIN rec ON man.shard_id = rec.shard_id
+    """
+
+
+QUERIES["curation_shard_roundtrip"] = curation_shard_roundtrip
+DYNAMIC_ORACLES = {"curation_shard_roundtrip": _oracle_shard_roundtrip}
