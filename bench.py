@@ -154,6 +154,7 @@ HEADLINE = [
     "sim_ann_recall_report",
     # r14 faces
     "curation_shard_roundtrip",
+    "text_safety_screen",
 ]
 
 

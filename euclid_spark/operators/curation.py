@@ -10,7 +10,9 @@ training set —
   3. benchmark CONTAMINATION screen (C23, GPT-3 app. C n-gram
      overlap) — contaminated docs AND the benchmark sources
      themselves are excluded,
-  4. deterministic STRATIFIED SAMPLING to the target language mix
+  4. SAFETY/BLOCKLIST screen (C60, the C4 bad-words rule: any
+     blocklisted hit drops the doc — r14),
+  5. deterministic STRATIFIED SAMPLING to the target language mix
      (C22, md5-bucket thresholds — no random()).
 
 Plan shape: the sample predicate is row-local (applied on the scan);
@@ -33,8 +35,9 @@ from euclid_spark.operators.textops import BENCH_SOURCES
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C25 — the final kept set: (doc_id, lang, source, bucket_hex) of
-    every document that survives dedup, repetition, and contamination
-    screening and is selected by the stratified sample."""
+    every document that survives dedup, repetition, contamination, and
+    safety/blocklist screening and is selected by the stratified
+    sample."""
     sample = textops.text_stratified_sample(spark, sf_dir).filter(
         ~F.col("source").isin(*BENCH_SOURCES)
     )
@@ -49,10 +52,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("contaminated")
         .select("doc_id")
     )
+    blocked = (
+        textops.text_safety_screen(spark, sf_dir)
+        .filter("blocked")
+        .select("doc_id")
+    )
     return (
         sample.join(kept, "doc_id", "left_semi")
         .join(rep_ok, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
+        .join(blocked, "doc_id", "left_anti")
     )
 
 
@@ -60,6 +69,7 @@ def _oracle() -> str:
     samp = textops.ORACLES["text_stratified_sample"]
     rep = textops.ORACLES["text_repetition_filter"]
     contam = textops.ORACLES["text_benchmark_overlap"]
+    safety = textops.ORACLES["text_safety_screen"]
     keep = components.ORACLES["dedup_keep_list"]
     bench = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
     return f"""
@@ -69,7 +79,10 @@ def _oracle() -> str:
         JOIN (SELECT doc_id FROM ({rep}) WHERE keep) r ON s.doc_id = r.doc_id
         LEFT JOIN (SELECT doc_id FROM ({contam}) WHERE contaminated) c
                ON s.doc_id = c.doc_id
-        WHERE c.doc_id IS NULL AND s.source NOT IN ({bench})
+        LEFT JOIN (SELECT doc_id FROM ({safety}) WHERE blocked) x
+               ON s.doc_id = x.doc_id
+        WHERE c.doc_id IS NULL AND x.doc_id IS NULL
+          AND s.source NOT IN ({bench})
     """
 
 

@@ -191,6 +191,90 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# C60 — safety / blocklist document screen (r14)
+
+# Category → phrase blocklist. STAND-IN LEXICONS: the real deployment
+# swaps these for its vetted taboo/NSFW word lists (the public C4
+# "bad words" filter, Raffel et al. 2020 — the screen every production
+# corpus pipeline runs before training); this synthetic corpus has a
+# closed ~30-word vocabulary, so the stand-ins are phrases that occur
+# in it at realistic rates (~10% of docs). What is UNDER TEST is the
+# machinery a lexicon swap inherits unchanged: word-boundary matching
+# in the Java-regex ∩ RE2 dialect (byte-identical on both engines),
+# per-category counts, the any-hit verdict, and the C25/C35/D22
+# compositions.
+SAFETY_BLOCKLISTS = {
+    "cat_a": ("slow slow", "dup dup"),
+    "cat_b": ("big big", "big dup"),
+    "cat_c": ("hash dup", "vector dup"),
+}
+SAFETY_MAX_HITS = 0  # the C4 rule: ANY blocklisted hit drops the doc
+
+
+def _safety_re(terms: "tuple[str, ...]") -> str:
+    """Word-boundary alternation over literal phrases — `\\b` and `|`
+    mean the same thing in Java regex (Spark) and RE2 (DuckDB), and
+    the terms are escaped literals, so both engines match identical
+    spans."""
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+
+
+def safety_counts(docs: DataFrame) -> DataFrame:
+    """Frame-level body of C60 (reused per micro-batch by
+    streaming/curation_stream.py — every signal is row-local, so batch
+    and streamed evaluation agree doc for doc): per category, the
+    number of blocklisted matches in the lowercased text; `blocked` =
+    total hits > SAFETY_MAX_HITS. NULL text counts as empty (never
+    blocked), the repetition-filter convention."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    counts = [
+        F.size(
+            F.regexp_extract_all(low, F.lit(_safety_re(terms)), 0)
+        ).alias(f"n_{cat}")
+        for cat, terms in SAFETY_BLOCKLISTS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    total = sum(
+        (F.col(f"n_{cat}") for cat in SAFETY_BLOCKLISTS),
+        F.lit(0),
+    )
+    return out.withColumn("n_hits", total.cast("long")).withColumn(
+        "blocked", F.col("n_hits") > SAFETY_MAX_HITS
+    )
+
+
+def text_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60 — SAFETY / BLOCKLIST SCREEN: the taboo-content document
+    filter every production corpus pipeline runs (the C4 bad-words
+    screen, Raffel et al. 2020: any blocklisted term drops the page;
+    category counts kept for the data card's incidence reporting).
+    Pure regexp column expressions like C18 — codegen'd, per-row
+    parallel, no shuffle; the verdict composes into C25's keep-list
+    and D22's streamed twin as one more row-local stage."""
+    return safety_counts(_docs(spark, sf_dir))
+
+
+def _safety_sql(rel: str = "documents") -> str:
+    cols, tot = [], []
+    for cat, terms in SAFETY_BLOCKLISTS.items():
+        pat = _safety_re(terms)
+        cols.append(
+            f"len(regexp_extract_all(lower(coalesce(text, '')), '{pat}'))"
+            f" AS n_{cat}"
+        )
+        tot.append(f"n_{cat}")
+    total = " + ".join(tot)
+    return f"""
+        SELECT doc_id, {", ".join(tot)},
+               CAST({total} AS BIGINT) AS n_hits,
+               ({total}) > {SAFETY_MAX_HITS} AS blocked
+        FROM (SELECT doc_id, {", ".join(cols)} FROM {rel})
+    """
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C19 — unigram language-model score, the cheap perplexity filter
     used for corpus curation: mean log p(word) under the corpus's own
@@ -880,6 +964,7 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     B25 parity)."""
     sig = doc_signals(spark, sf_dir)
     rep = text_repetition_filter(spark, sf_dir).select("doc_id", "keep")
+    safety = text_safety_screen(spark, sf_dir).select("doc_id", "blocked")
     mc = sig.groupBy(F.col("norm_md5").alias("m")).agg(
         F.count("*").alias("copies")
     )
@@ -887,6 +972,7 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.join(mc, sig.norm_md5 == mc.m)
         .withColumn("is_dup", F.col("copies") > 1)
         .join(rep, "doc_id")
+        .join(safety, "doc_id")
         .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -906,6 +992,7 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_dup").cast("long")).alias("n_exact_dup"),
             F.sum(F.col("has_pii").cast("long")).alias("n_pii_docs"),
             F.sum((~F.col("keep")).cast("long")).alias("n_rep_flagged"),
+            F.sum(F.col("blocked").cast("long")).alias("n_blocked_docs"),
         )
     )
 
@@ -1604,6 +1691,7 @@ ORACLES["text_data_card"] = f"""
     qual AS ({ORACLES["text_quality_score"]}),
     rep AS ({ORACLES["text_repetition_filter"]}),
     pii AS ({ORACLES["text_pii_redact"]}),
+    saf AS ({_safety_sql()}),
     md AS (SELECT doc_id,
                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS m
            FROM documents),
@@ -1619,12 +1707,15 @@ ORACLES["text_data_card"] = f"""
            CAST(SUM(CASE WHEN pii.n_email + pii.n_ipv4 + pii.n_idrun > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
            CAST(SUM(CASE WHEN rep.keep THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_rep_flagged
+               AS n_rep_flagged,
+           CAST(SUM(CASE WHEN saf.blocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked_docs
     FROM documents d
     JOIN tok  ON tok.doc_id = d.doc_id
     JOIN qual ON qual.doc_id = d.doc_id
     JOIN rep  ON rep.doc_id = d.doc_id
     JOIN pii  ON pii.doc_id = d.doc_id
+    JOIN saf  ON saf.doc_id = d.doc_id
     JOIN md   ON md.doc_id = d.doc_id
     JOIN mc   ON mc.m = md.m
     GROUP BY d.source, d.lang
@@ -1717,3 +1808,6 @@ ORACLES["text_lang_confusion"] = f"""
 
 
 DYNAMIC_ORACLES = {"text_tokenizer_fertility": _fertility_oracle}
+
+QUERIES["text_safety_screen"] = text_safety_screen
+ORACLES["text_safety_screen"] = _safety_sql()

@@ -12,7 +12,8 @@ Per micro-batch:
    batch operator applies them — stratified sample (C22), repetition
    rules (C21), contamination screen (C23) against a STATIC benchmark
    shingle index (a held-out eval suite is fixed up front; the batch
-   operator derives the same set from the corpus's bench sources) —
+   operator derives the same set from the corpus's bench sources),
+   safety/blocklist screen (C60, r14) —
    and survivors append to the kept store (anti-join = idempotent);
 3. the CURRENT curated set is kept ∖ revoked: the dedup changelog
    applies as pure deletions (revocation is monotone — see
@@ -44,6 +45,7 @@ from euclid_spark.operators.textops import (
     BENCH_SOURCES,
     contamination_overlap,
     repetition_stats,
+    safety_counts,
     stratified_sample,
 )
 from euclid_spark.streaming.dedup_stream import IncrementalDedupIndex
@@ -101,9 +103,13 @@ class StreamingCuration:
             .filter("contaminated")
             .select("doc_id")
         )
+        blocked = (
+            safety_counts(batch_df).filter("blocked").select("doc_id")
+        )
         cand = (
             surv.join(rep_ok, "doc_id", "left_semi")
             .join(contaminated, "doc_id", "left_anti")
+            .join(blocked, "doc_id", "left_anti")
         )
         new_kept = cand.join(self._kept_store(), "doc_id", "left_anti")
         if not new_kept.isEmpty():

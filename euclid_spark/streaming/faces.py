@@ -525,7 +525,7 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_d.N_HASHES,
         band=_d.BAND_SIZE,
         cap=_d.MAX_BUCKET,
-        v=2,
+        v=3,  # r14: C60 safety screen joined the row-local stages
     )
 
     def build(tmp: str) -> DataFrame:
@@ -813,6 +813,7 @@ def _curation_kept_sql() -> str:
     samp = _TO["text_stratified_sample"]
     rep = _TO["text_repetition_filter"]
     contam = _TO["text_benchmark_overlap"]
+    safety = _TO["text_safety_screen"]
     bench = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
     return f"""
         WITH RECURSIVE
@@ -822,7 +823,10 @@ def _curation_kept_sql() -> str:
         JOIN (SELECT doc_id FROM ({rep}) WHERE keep) r ON s.doc_id = r.doc_id
         LEFT JOIN (SELECT doc_id FROM ({contam}) WHERE contaminated) c
                ON s.doc_id = c.doc_id
+        LEFT JOIN (SELECT doc_id FROM ({safety}) WHERE blocked) x
+               ON s.doc_id = x.doc_id
         WHERE c.doc_id IS NULL
+          AND x.doc_id IS NULL
           AND s.source NOT IN ({bench})
           AND s.doc_id NOT IN (
               SELECT doc_id FROM comp WHERE doc_id <> component

@@ -37,12 +37,16 @@ def _batch_reference(spark, docs, pairs, bench):
         .filter("contaminated")
         .select("doc_id")
     )
+    from euclid_spark.operators.textops import safety_counts
+
+    blocked = safety_counts(docs).filter("blocked").select("doc_id")
     return (
         stratified_sample(docs)
         .filter(~is_bench)
         .join(repetition_stats(docs).filter("keep").select("doc_id"),
               "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
+        .join(blocked, "doc_id", "left_anti")
         .join(drop, "doc_id", "left_anti")
     )
 
