@@ -155,6 +155,7 @@ HEADLINE = [
     # r14 faces
     "curation_shard_roundtrip",
     "text_safety_screen",
+    "rel_data_drift_psi_quantile",
 ]
 
 

@@ -74,8 +74,13 @@ def corpus_fingerprint(paths: "list[str]", **params: object) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def _path(name: str, fp: str) -> str:
-    return os.path.join(artifact_dir(), f"{name}_{fp}.parquet")
+def _path(name: str, fp: str, suffix: str = ".parquet") -> str:
+    """Artifact directory path. `suffix` labels the payload format —
+    parquet for frames (the default), `.jsonl` for text-line fixtures
+    (ADVICE r13: a plain-text directory under a .parquet name breaks
+    any tooling that globs the artifact root and reads *.parquet
+    entries as parquet)."""
+    return os.path.join(artifact_dir(), f"{name}_{fp}{suffix}")
 
 
 def load_frame(spark: SparkSession, name: str, fp: str) -> "DataFrame | None":
@@ -246,9 +251,11 @@ def gc(keep: "dict[str, str | set[str] | list[str]]") -> "list[str]":
             removed.append(path)
             continue
         for name, fps in keep_sets.items():
-            live = {f"{name}_{fp}.parquet" for fp in fps} | {
-                f"{name}_{fp}.manifest.json" for fp in fps
-            }
+            live = (
+                {f"{name}_{fp}.parquet" for fp in fps}
+                | {f"{name}_{fp}.jsonl" for fp in fps}
+                | {f"{name}_{fp}.manifest.json" for fp in fps}
+            )
             if entry.startswith(f"{name}_") and entry not in live:
                 if os.path.isdir(path):
                     shutil.rmtree(path, ignore_errors=True)

@@ -58,15 +58,16 @@ def _event_day_span(spark: SparkSession, sf_dir: str):
     excluded from parquet min/max by spec, matching the oracle's
     ts IS NOT NULL). Falls back to a one-row Spark fold if any footer
     lacks ts stats (same value either way)."""
-    import pyarrow.parquet as pq
-
     path = f"{sf_dir}/events.parquet"
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+
     def _from_footers():
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
         lo = hi = None
         for p in files:
             md = pq.ParquetFile(p).metadata
@@ -83,7 +84,13 @@ def _event_day_span(spark: SparkSession, sf_dir: str):
                     hi = st.max if hi is None else max(hi, st.max)
         return lo, hi
 
-    lo, hi = _from_footers()
+    try:
+        lo, hi = _from_footers()
+    except Exception:  # noqa: BLE001 — non-local sf_dir (s3://, hdfs://):
+        # the driver-local glob/pyarrow path can't list or open it;
+        # every other face goes through the Spark reader only, so this
+        # one falls back to the same one-row Spark fold (ADVICE r13)
+        lo = hi = None
     if lo is None or hi is None:  # footer without stats: one bounded fold
         row = (
             spark.read.parquet(path)
@@ -98,81 +105,14 @@ def _event_day_span(spark: SparkSession, sf_dir: str):
     return lo, hi
 
 
-def data_drift_psi(
-    spark: SparkSession,
-    sf_dir: str,
-    split_day: "str | _dt.date | None" = None,
-    bins: int = PSI_BINS,
-    alert: float = PSI_ALERT,
+def _psi_from_perbin(
+    perbin: DataFrame, bins: int, alert: float
 ) -> DataFrame:
-    """B59 — per-event_type PSI between the corpus's two half-windows.
-    Emits (event_type, n_ref, n_cur, psi, drifted); types with no
-    reference-window rows are skipped (PSI needs a baseline).
-
-    Parameterized (the §4 discipline — the gate face is the pinned
-    default instantiation, property-tested equal in tests/test_drift.py):
-    `split_day` sets the reference/current boundary explicitly (ISO
-    string or date; default = the corpus day-span midpoint from footer
-    stats), `bins` the bin count, `alert` the drifted threshold."""
-    if split_day is None:
-        d0, d1 = _event_day_span(spark, sf_dir)
-        if d0 is None:  # empty corpus: no types, stable schema
-            split = _dt.date(1970, 1, 1)
-        else:
-            split = d0 + _dt.timedelta(days=(d1 - d0).days // 2)
-    else:
-        split = (
-            _dt.date.fromisoformat(split_day)
-            if isinstance(split_day, str)
-            else split_day
-        )
-    split_lit = F.to_date(F.lit(split.isoformat()))
-
-    # scan 1: per-type reference bounds — the ts < split predicate is
-    # applied on the STORED column (load_events), so it reaches the
-    # parquet reader as a pushed filter
-    bounds = (
-        catalog.load_events(spark, sf_dir, t_max=split.isoformat())
-        .filter(F.col("value").isNotNull())
-        .groupBy("event_type")
-        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-        .withColumn(
-            "width",
-            F.when(
-                F.col("vmax") > F.col("vmin"),
-                (F.col("vmax") - F.col("vmin")) / F.lit(float(bins)),
-            ).otherwise(F.lit(1.0)),
-        )
-    )
-
-    # scan 2: row-local bin assignment, bounded (type, bin) groups with
-    # the ref/cur split folded as conditional counts — one aggregate,
-    # no side dimension, no per-side re-reference
-    ev = (
-        catalog.load_events(spark, sf_dir)
-        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
-        .select(F.to_date("ts").alias("day"), "event_type", "value")
-    )
-    bin_col = F.least(
-        F.lit(bins - 1).cast("long"),
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((F.col("value") - F.col("vmin")) / F.col("width")),
-        ),
-    )
-    is_ref = F.col("day") < split_lit
-    perbin = (
-        ev.join(F.broadcast(bounds), "event_type")
-        .select("event_type", bin_col.alias("bin"), is_ref.alias("is_ref"))
-        .groupBy("event_type", "bin")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cnt_ref"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cnt_cur"),
-        )
-    )
-
-    # totals via a window PARTITIONED on the type key, over the bounded
-    # (type, bin) aggregate — never the raw rows
+    """The shared PSI tail over a bounded (event_type, bin,
+    cnt_ref, cnt_cur) aggregate — Laplace smoothing, ROUND(·,9)
+    decimal-accumulated per-bin terms, the absent-bin closed form, one
+    type-partitioned window. Both binning strategies (fixed-width,
+    reference-quantile) feed this identical arithmetic."""
     w = Window.partitionBy("event_type")
     half_b = float(bins) / 2.0
     with_tot = perbin.select(
@@ -224,41 +164,236 @@ def data_drift_psi(
     )
 
 
+def data_drift_psi(
+    spark: SparkSession,
+    sf_dir: str,
+    split_day: "str | _dt.date | None" = None,
+    bins: int = PSI_BINS,
+    alert: float = PSI_ALERT,
+    edges: str = "width",
+) -> DataFrame:
+    """B59 — per-event_type PSI between the corpus's two half-windows.
+    Emits (event_type, n_ref, n_cur, psi, drifted); types with no
+    reference-window rows are skipped (PSI needs a baseline).
+
+    Parameterized (the §4 discipline — the gate face is the pinned
+    default instantiation, property-tested equal in tests/test_drift.py):
+    `split_day` sets the reference/current boundary explicitly (ISO
+    string or date; default = the corpus day-span midpoint from footer
+    stats), `bins` the bin count, `alert` the drifted threshold,
+    `edges` the binning strategy — 'width' (fixed-width bins over the
+    reference [min,max]: the pinned default) or 'quantile' (bins on
+    reference quantile edges — PSI practice for outlier-heavy
+    measures: ONE extreme reference value flattens every populated
+    fixed-width bin into one, while quantile edges keep ~equal
+    reference mass per bin; r14, VERDICT r13 #7; see
+    data_drift_psi_quantile for the mechanism)."""
+    if edges not in ("width", "quantile"):
+        raise ValueError(f"edges must be width|quantile, got {edges!r}")
+    if split_day is None:
+        d0, d1 = _event_day_span(spark, sf_dir)
+        if d0 is None:  # empty corpus: no types, stable schema
+            split = _dt.date(1970, 1, 1)
+        else:
+            split = d0 + _dt.timedelta(days=(d1 - d0).days // 2)
+    else:
+        split = (
+            _dt.date.fromisoformat(split_day)
+            if isinstance(split_day, str)
+            else split_day
+        )
+    split_lit = F.to_date(F.lit(split.isoformat()))
+
+    # scan 2's source: row-local day/type/value projection (built once;
+    # the binning strategies differ only in how `bin` is derived)
+    ev = (
+        catalog.load_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(F.to_date("ts").alias("day"), "event_type", "value")
+    )
+    is_ref = F.col("day") < split_lit
+
+    if edges == "quantile":
+        perbin = _quantile_perbin(spark, sf_dir, split, ev, is_ref, bins)
+    else:
+        # scan 1: per-type reference bounds — the ts < split predicate
+        # is applied on the STORED column (load_events), so it reaches
+        # the parquet reader as a pushed filter
+        bounds = (
+            catalog.load_events(spark, sf_dir, t_max=split.isoformat())
+            .filter(F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+            .withColumn(
+                "width",
+                F.when(
+                    F.col("vmax") > F.col("vmin"),
+                    (F.col("vmax") - F.col("vmin")) / F.lit(float(bins)),
+                ).otherwise(F.lit(1.0)),
+            )
+        )
+        # scan 2: row-local bin assignment, bounded (type, bin) groups
+        # with the ref/cur split folded as conditional counts — one
+        # aggregate, no side dimension, no per-side re-reference
+        bin_col = F.least(
+            F.lit(bins - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.col("value") - F.col("vmin")) / F.col("width")),
+            ),
+        )
+        perbin = (
+            ev.join(F.broadcast(bounds), "event_type")
+            .select(
+                "event_type", bin_col.alias("bin"), is_ref.alias("is_ref")
+            )
+            .groupBy("event_type", "bin")
+            .agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias(
+                    "cnt_ref"
+                ),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias(
+                    "cnt_cur"
+                ),
+            )
+        )
+
+    return _psi_from_perbin(perbin, bins, alert)
+
+
+# --- quantile-edge binning (r14, VERDICT r13 #7) ---------------------------
+
+# bucket-key packing: key = nbits·64 + sub (sub < 32 in the exact
+# range, < 16 in the log range) — one comparable long per HDR bucket,
+# ordered exactly as the bucket lower bounds. Key 0 is the reserved
+# UNDERFLOW bucket for fixed-point values < 1 (zeros and negatives):
+# the width face bins every non-null value, so the quantile face must
+# cover the same domain (the D32 tile store's v ≥ 1 filter is the
+# documented population gap this bucket closes for the batch face).
+_KEY_STRIDE = 64
+
+
+def _hdr_key(col: str) -> F.Column:
+    """The B47 HDR bucket key of floor(`col`·100), as ONE comparable
+    long — pure integer arithmetic after one shared IEEE multiply+floor
+    (identical ops in DuckDB: LENGTH(printf('%b', v)) ≡
+    length(conv(v, 10, 2))). Built as one SQL expression because the
+    variable-amount shiftright only takes a column in expr form."""
+    from euclid_spark.operators.quantile_sketch import SUB_BITS
+
+    lo = 1 << (SUB_BITS + 1)
+    v = f"CAST(FLOOR({col} * 100) AS BIGINT)"
+    nbits = f"length(conv(CAST({v} AS STRING), 10, 2))"
+    sub = (
+        f"shiftright({v}, CAST({nbits} - {SUB_BITS + 1} AS INT))"
+        f" & {(1 << SUB_BITS) - 1}"
+    )
+    return F.expr(
+        f"CAST(CASE WHEN {v} < 1 THEN 0"
+        f" WHEN {v} < {lo} THEN {SUB_BITS + 1} * {_KEY_STRIDE} + {v}"
+        f" ELSE {nbits} * {_KEY_STRIDE} + ({sub}) END AS BIGINT)"
+    )
+
+
+def _quantile_perbin(
+    spark: SparkSession,
+    sf_dir: str,
+    split: "_dt.date",
+    ev: DataFrame,
+    is_ref: F.Column,
+    bins: int,
+) -> DataFrame:
+    """(event_type, bin, cnt_ref, cnt_cur) under REFERENCE-QUANTILE
+    edges: the reference window's values land in B47 HDR integer
+    buckets (bounded, deterministic, mergeable — the same sketch the
+    D32 tile store maintains per day, so a deployment reads this off
+    served tiles instead of scan 1), the bucket histogram's cumulative
+    masses cut B ~equal-mass bins (bin of a bucket = ⌊cum_before·B/n⌋,
+    capped), and every row — both windows — maps through the ≤ B−1
+    EDGE KEYS (broadcast as one sorted array per type; assignment is a
+    row-local array fold, no row multiplication). Bucket-granularity
+    edges mean ties collapse honestly: a bucket never splits across
+    bins, so heavily-repeated values stay in one bin on both engines.
+
+    Scale shape: scan 1 (pushed ref-window filter) folds to ≤
+    types × ~1100 bucket rows; the cumulative/edge windows run
+    PARTITIONED BY event_type over that bounded aggregate; scan 2 is
+    the same row-local pass as the width face."""
+    ref_sketch = (
+        catalog.load_events(spark, sf_dir, t_max=split.isoformat())
+        .filter(F.col("value").isNotNull())
+        .select("event_type", _hdr_key("value").alias("key"))
+        .groupBy("event_type", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wk = (
+        Window.partitionBy("event_type")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("event_type")
+    # bin of a bucket = min(B−1, (cum_before · B) div n): integer `div`
+    # on both engines — nonnegative operands, so trunc ≡ floor and the
+    # edge set is exact, never a double-rounding artifact
+    binned = (
+        ref_sketch.select(
+            "event_type",
+            "key",
+            F.coalesce(F.sum("cnt").over(wk), F.lit(0)).alias("cb"),
+            F.sum("cnt").over(wt).alias("n"),
+        )
+        .select(
+            "event_type",
+            "key",
+            F.least(
+                F.lit(bins - 1).cast("long"), F.expr(f"cb * {bins} div n")
+            ).alias("qbin"),
+        )
+    )
+    edges = (
+        binned.filter(F.col("qbin") >= 1)
+        .groupBy("event_type", "qbin")
+        .agg(F.min("key").alias("ekey"))
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("ekey")).alias("edges"))
+    )
+    keyed = ev.select(
+        "event_type", _hdr_key("value").alias("key"), is_ref.alias("is_ref")
+    )
+    bin_col = F.size(
+        F.filter(
+            F.coalesce(F.col("edges"), F.expr("array()")),
+            lambda e: e <= F.col("key"),
+        )
+    ).cast("long")
+    return (
+        keyed.join(F.broadcast(edges), "event_type", "left")
+        .select("event_type", bin_col.alias("bin"), "is_ref")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cnt_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cnt_cur"),
+        )
+    )
+
+
+def data_drift_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B59b — the quantile-edge PSI face (the pinned default
+    instantiation of data_drift_psi(edges='quantile'))."""
+    return data_drift_psi(spark, sf_dir, edges="quantile")
+
+
 QUERIES = {
     "rel_data_drift_psi": data_drift_psi,
+    "rel_data_drift_psi_quantile": data_drift_psi_quantile,
 }
 
-ORACLES = {
-    "rel_data_drift_psi": f"""
-        WITH sp AS (
-            SELECT CAST(MIN(ts) AS DATE)
-                   + CAST((CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE)) // 2
-                          AS INTEGER) AS split_day
-            FROM events WHERE ts IS NOT NULL
-        ),
-        ev AS (
-            SELECT CAST(ts AS DATE) AS day, event_type, value
-            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-        ),
-        bounds AS (
-            SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
-                   CASE WHEN MAX(value) > MIN(value)
-                        THEN (MAX(value) - MIN(value)) / {float(PSI_BINS)}
-                        ELSE 1.0 END AS width
-            FROM ev, sp WHERE day < split_day GROUP BY event_type
-        ),
-        perbin AS (
-            SELECT e.event_type,
-                   LEAST({PSI_BINS - 1}, GREATEST(0,
-                       CAST(FLOOR((e.value - b.vmin) / b.width) AS BIGINT)
-                   )) AS bin,
-                   SUM(CASE WHEN e.day < sp.split_day THEN 1 ELSE 0 END)
-                       AS cnt_ref,
-                   SUM(CASE WHEN e.day < sp.split_day THEN 0 ELSE 1 END)
-                       AS cnt_cur
-            FROM ev e JOIN bounds b USING (event_type), sp
-            GROUP BY 1, 2
-        ),
+
+def _psi_tail_sql() -> str:
+    """The shared PSI-tail CTEs over a `perbin` CTE — the oracle mirror
+    of _psi_from_perbin (smoothing, ROUND(·,9) decimal terms,
+    absent-bin closed form)."""
+    return f"""
         with_tot AS (
             SELECT *,
                    SUM(cnt_ref) OVER (PARTITION BY event_type) AS n_ref,
@@ -294,5 +429,103 @@ ORACLES = {
                CAST(n_cur AS BIGINT) AS n_cur, psi,
                psi > {PSI_ALERT} AS drifted
         FROM agg WHERE n_ref > 0
+    """
+
+
+_SP_CTE = """
+        sp AS (
+            SELECT CAST(MIN(ts) AS DATE)
+                   + CAST((CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE)) // 2
+                          AS INTEGER) AS split_day
+            FROM events WHERE ts IS NOT NULL
+        ),
+        ev AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, value
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        )"""
+
+
+def _hdr_key_sql(v: str) -> str:
+    """DuckDB mirror of _hdr_key: LENGTH(printf('%b', v)) ≡ Spark's
+    length(conv(v, 10, 2)) for positive v; key 0 = underflow."""
+    from euclid_spark.operators.quantile_sketch import SUB_BITS
+
+    lo, mask = 1 << (SUB_BITS + 1), (1 << SUB_BITS) - 1
+    nbits = f"LENGTH(printf('%b', {v}))"
+    return (
+        f"CAST(CASE WHEN {v} < 1 THEN 0"
+        f" WHEN {v} < {lo} THEN {SUB_BITS + 1} * {_KEY_STRIDE} + {v}"
+        f" ELSE {nbits} * {_KEY_STRIDE}"
+        f" + (({v} >> ({nbits} - {SUB_BITS + 1})) & {mask})"
+        f" END AS BIGINT)"
+    )
+
+
+ORACLES = {
+    "rel_data_drift_psi": f"""
+        WITH {_SP_CTE},
+        bounds AS (
+            SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
+                   CASE WHEN MAX(value) > MIN(value)
+                        THEN (MAX(value) - MIN(value)) / {float(PSI_BINS)}
+                        ELSE 1.0 END AS width
+            FROM ev, sp WHERE day < split_day GROUP BY event_type
+        ),
+        perbin AS (
+            SELECT e.event_type,
+                   LEAST({PSI_BINS - 1}, GREATEST(0,
+                       CAST(FLOOR((e.value - b.vmin) / b.width) AS BIGINT)
+                   )) AS bin,
+                   SUM(CASE WHEN e.day < sp.split_day THEN 1 ELSE 0 END)
+                       AS cnt_ref,
+                   SUM(CASE WHEN e.day < sp.split_day THEN 0 ELSE 1 END)
+                       AS cnt_cur
+            FROM ev e JOIN bounds b USING (event_type), sp
+            GROUP BY 1, 2
+        ),
+        {_psi_tail_sql()}
+    """,
+    "rel_data_drift_psi_quantile": f"""
+        WITH {_SP_CTE},
+        keyed AS (
+            SELECT event_type, day,
+                   {_hdr_key_sql("CAST(FLOOR(value * 100) AS BIGINT)")} AS key
+            FROM ev
+        ),
+        refk AS (
+            SELECT k.event_type, k.key, COUNT(*) AS cnt
+            FROM keyed k, sp WHERE k.day < sp.split_day GROUP BY 1, 2
+        ),
+        binned AS (
+            SELECT event_type, key,
+                   LEAST({PSI_BINS - 1},
+                       (COALESCE(SUM(cnt) OVER (
+                            PARTITION BY event_type ORDER BY key
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) * {PSI_BINS})
+                       // SUM(cnt) OVER (PARTITION BY event_type)
+                   ) AS qbin
+            FROM refk
+        ),
+        edges AS (
+            SELECT event_type, list_sort(list(ekey)) AS edges
+            FROM (SELECT event_type, qbin, MIN(key) AS ekey
+                  FROM binned WHERE qbin >= 1 GROUP BY 1, 2)
+            GROUP BY event_type
+        ),
+        rows_b AS (
+            SELECT k.event_type,
+                   CAST(len(list_filter(COALESCE(e.edges, []),
+                                        x -> x <= k.key)) AS BIGINT) AS bin,
+                   k.day < sp.split_day AS is_ref
+            FROM keyed k LEFT JOIN edges e USING (event_type), sp
+        ),
+        perbin AS (
+            SELECT event_type, bin,
+                   SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cnt_ref,
+                   SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cnt_cur
+            FROM rows_b GROUP BY 1, 2
+        ),
+        {_psi_tail_sql()}
     """,
 }

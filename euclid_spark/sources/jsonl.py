@@ -56,7 +56,8 @@ def jsonl_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     file stays one record per line."""
     src = f"{sf_dir}/documents.parquet"
     fp = artifacts.corpus_fingerprint([src], corrupt_mod=CORRUPT_MOD, v=1)
-    path = artifacts._path("jsonl_docs", fp)
+    # .jsonl suffix: the payload is text lines, not parquet (ADVICE r13)
+    path = artifacts._path("jsonl_docs", fp, suffix=".jsonl")
     if os.path.exists(path):
         return path
     docs = spark.read.parquet(src).withColumn(

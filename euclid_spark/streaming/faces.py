@@ -1183,7 +1183,20 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes the statistic maintainable), and the face READS the
     two-half-window PSI off the tile store: bounded per-type folds,
     cost ∝ tiles, not events. Gate = the identical derivation from raw
-    events in DuckDB — binding partial → merge → read end to end."""
+    events in DuckDB — binding partial → merge → read end to end.
+
+    POPULATION CONTRACT (ADVICE r13): the tile store's fixed-point
+    filter (v = floor(value·100) ≥ 1) EXCLUDES values below 0.01 —
+    zeros and negatives — from both windows, while batch B59 clamps
+    every non-null value into bin 0. Each face is self-consistent
+    with its own oracle, but the two monitor different populations:
+    swapping batch for streamed monitoring changes n_ref/n_cur and
+    PSI wherever sub-threshold values occur. (The r14 quantile-edge
+    batch variant closes this for the batch side with a reserved
+    underflow bucket — drift.py _hdr_key; giving the tile store the
+    same bucket would require a tile-schema version bump and is the
+    natural follow-up if sub-threshold mass ever matters in a stream
+    deployment.)"""
     from euclid_spark.streaming.block_db import read_event_stream
     from euclid_spark.streaming.ivm import MaintainedAggregate
     from euclid_spark.streaming.parity import _drift_merge, _drift_partial

