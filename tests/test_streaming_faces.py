@@ -60,8 +60,8 @@ def test_face_rebuild_is_deterministic(spark, tmp_path, monkeypatch):
 
 
 def test_curation_face_matches_batch_composition(spark, tmp_path, monkeypatch):
-    """kept ∖ revoked == sample ∩ repetition ∩ ¬contaminated ∩
-    LSH-component keep-list evaluated over the full corpus."""
+    """kept ∖ revoked == sample ∩ repetition ∩ ¬contaminated ∩ ¬blocked
+    ∩ LSH-component keep-list evaluated over the full corpus."""
     from euclid_spark.operators.components import connected_components
     from euclid_spark.operators.dedup import dedup_minhash_lsh
     from euclid_spark.operators.textops import (
@@ -89,12 +89,16 @@ def test_curation_face_matches_batch_composition(spark, tmp_path, monkeypatch):
         .filter("contaminated")
         .select("doc_id")
     )
+    from euclid_spark.operators.textops import safety_counts
+
+    blocked = safety_counts(docs).filter("blocked").select("doc_id")
     batch = (
         stratified_sample(docs)
         .filter(~is_bench)
         .join(repetition_stats(docs).filter("keep").select("doc_id"),
               "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
+        .join(blocked, "doc_id", "left_anti")
         .join(drop, "doc_id", "left_anti")
     )
     assert _rows(streamed) == _rows(batch)
