@@ -55,11 +55,23 @@ def main() -> None:
     f_warm, warm_measured = _calib_factor(old, new, "calib_post")
     if not (cold_measured and warm_measured):
         print("NOTE: calib probes missing in one record — raw ratios only")
-    if max(f_cold, f_warm) / max(min(f_cold, f_warm), 1e-9) > 2.0:
+    # the probe→workload transfer is only trustworthy NEAR 1x: a probe
+    # that lands in a co-tenancy spike overstates the host delta (the
+    # fixed 50M-row range-sum is more contention-sensitive than the
+    # mixed query set), so a far-from-1 factor must not mint per-query
+    # regression verdicts — it can only excuse or un-excuse totals.
+    confident = (
+        cold_measured
+        and warm_measured
+        and 0.7 <= f_warm <= 1.4
+        and max(f_cold, f_warm) / max(min(f_cold, f_warm), 1e-9) <= 2.0
+    )
+    if not confident:
         print(
-            "NOTE: the two phases' host factors differ >2x — at least one "
-            "probe ran on a transiently-contended host; treat normalized "
-            "numbers as low-confidence and prefer an interleaved A/B"
+            "NOTE: host factors are far from 1x or phase-divergent — one "
+            "probe likely ran on a transiently-contended host; normalized "
+            "numbers are low-confidence, the verdict below is withheld in "
+            "favor of raw ratios; prefer an interleaved same-session A/B"
         )
     print(
         f"host factor (new/old spark_ms): cold-phase {f_cold:.2f}  "
@@ -91,23 +103,41 @@ def main() -> None:
             f"  raw {nw[k] / ow[k] if ow[k] else 0:4.2f}x  norm {r:4.2f}x"
         )
 
-    regressions = [
-        (k, r)
-        for r, k in rows
-        if r > REGRESSION_RATIO and (nw[k] - ow[k] * f_warm) > REGRESSION_ABS_S
-    ]
-    if regressions:
+    if not confident:
+        raw_reg = [
+            (k, nw[k] / ow[k])
+            for k in common
+            if ow[k] > 0
+            and nw[k] / ow[k] > REGRESSION_RATIO
+            and nw[k] - ow[k] > REGRESSION_ABS_S
+        ]
         print(
-            f"\nVERDICT: {len(regressions)} real warm regression(s) after "
-            f"host normalization (> {REGRESSION_RATIO}x and "
-            f"> {REGRESSION_ABS_S}s): "
-            + ", ".join(f"{k} {r:.2f}x" for k, r in regressions)
+            "\nVERDICT (low confidence — raw, host factors unusable): "
+            + (
+                ", ".join(f"{k} {r:.2f}x" for k, r in raw_reg)
+                if raw_reg
+                else "no raw warm regressions either"
+            )
         )
     else:
-        print(
-            "\nVERDICT: no real warm regressions after host normalization "
-            "— residual deltas are host noise"
-        )
+        regressions = [
+            (k, r)
+            for r, k in rows
+            if r > REGRESSION_RATIO
+            and (nw[k] - ow[k] * f_warm) > REGRESSION_ABS_S
+        ]
+        if regressions:
+            print(
+                f"\nVERDICT: {len(regressions)} real warm regression(s) "
+                f"after host normalization (> {REGRESSION_RATIO}x and "
+                f"> {REGRESSION_ABS_S}s): "
+                + ", ".join(f"{k} {r:.2f}x" for k, r in regressions)
+            )
+        else:
+            print(
+                "\nVERDICT: no real warm regressions after host "
+                "normalization — residual deltas are host noise"
+            )
     if added:
         print("\nadded:", {k: nw[k] for k in added})
     if removed:
