@@ -776,29 +776,62 @@ def serve_epoch_shard_files(
     return path
 
 
+def serve_epoch_shard_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = EPOCH_SEED,
+    shard_tokens: int = SHARD_TOKENS,
+) -> DataFrame:
+    """The per-shard manifest as a SERVED artifact next to the shard
+    files (same fingerprint scheme): what a dataloader actually opens
+    to validate the shards it owns — it never recomputes the manifest
+    from the corpus. The manifest's own corpus binding is C55's gate
+    (curation_epoch_shards is hash-checked against the corpus-derived
+    SQL), so serving it loses no verification: C55 pins
+    corpus ≡ manifest, C55b pins manifest ≡ bytes-on-disk."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="epoch_shard_manifest", seed=seed, budget=shard_tokens,
+    )
+    return artifacts.serve_frame(
+        spark,
+        "epoch_shard_manifest",
+        fp,
+        lambda: curation_epoch_shards(spark, sf_dir, seed, shard_tokens),
+    )
+
+
 def curation_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C55b — LOADER-CONTRACT CHECK over the WRITTEN shard files: read
     the served shard layout back off disk, recompute every shard's
     manifest row (doc count, token mass, key range, order-free
-    checksum) FROM THE FILES, and match it against the manifest
-    derived from the corpus — exactly what a dataloader does before
-    trusting a shard it is about to stream (open shard k, validate
-    against the manifest). `ok` is false for any shard whose files
-    were lost, truncated, or tampered with (tamper test in
-    tests/test_drift.py). Hash-checked end to end: the oracle reads
-    the SAME artifact directory (artifact-as-oracle-input, the
-    C56/C57/C58 precedent) and the corpus-side manifest SQL, so a
-    write that dropped or duplicated rows diverges on both engines
+    checksum) FROM THE FILES, and match it against the SERVED manifest
+    — exactly what a dataloader does before trusting a shard it is
+    about to stream (open shard k, validate against the manifest it
+    shipped with; r14.2: the manifest is read from its artifact, not
+    recomputed from the corpus per call — the corpus binding is C55's
+    own hash gate). `ok` is false for any shard whose files were lost,
+    truncated, or tampered with (tamper test in tests/test_drift.py).
+    Hash-checked end to end: the oracle reads the SAME two artifacts
+    (artifact-as-oracle-input, the C56/C57/C58 precedent), so a write
+    that dropped or duplicated rows diverges on both engines
     identically and surfaces as ok=false rows.
 
-    Scale shape: one index-sized scan of the shard layout into a
-    bounded per-shard aggregate, one sort-free equi-join against the
-    manifest — the corpus-side cost is the manifest's own two-level
-    prefix sum; the file side reads only footer-pruned doc-level rows
-    (never text)."""
+    Scale shape: two index-sized scans (shard layout → bounded
+    per-shard aggregate; manifest) and one sort-free equi-join — no
+    corpus-scale work anywhere in the serving path."""
     path = serve_epoch_shard_files(spark, sf_dir)
-    files = spark.read.parquet(path).withColumn(
-        "key_pre", F.conv(F.substring("key", 1, 15), 16, 10).cast("long")
+    # explicit data schema (partition column still discovered from the
+    # shard_id=K directory names): skipping footer schema-merge across
+    # the per-shard files halved the read wall on a 67-shard layout
+    files = (
+        spark.read.schema("doc_id long, key string, n_tokens long")
+        .parquet(path)
+        .withColumn(
+            "key_pre", F.conv(F.substring("key", 1, 15), 16, 10).cast("long")
+        )
     )
     recomputed = (
         files.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
@@ -818,7 +851,7 @@ def curation_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_checksum",
         )
     )
-    man = curation_epoch_shards(spark, sf_dir)
+    man = serve_epoch_shard_manifest(spark, sf_dir)
     eq = (
         (F.col("n_docs") == F.col("f_n_docs"))
         & (F.col("total_tokens") == F.col("f_total_tokens"))
@@ -849,8 +882,17 @@ def _oracle_shard_roundtrip(sf_dir: str) -> str:
     path = _os.path.join(
         artifacts.artifact_dir(), f"epoch_shard_files_{fp}.parquet"
     )
+    mfp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="epoch_shard_manifest", seed=EPOCH_SEED, budget=SHARD_TOKENS,
+    )
+    mpath = _os.path.join(
+        artifacts.artifact_dir(), f"epoch_shard_manifest_{mfp}.parquet"
+    )
     return f"""
-        WITH man AS ({_oracle_epoch_shards()}),
+        WITH man AS (
+            SELECT * FROM read_parquet('{mpath}/*.parquet')
+        ),
         rec AS (
             SELECT CAST(shard_id AS BIGINT) AS shard_id,
                    CAST(COUNT(*) AS BIGINT) AS f_n_docs,
