@@ -826,31 +826,44 @@ def curation_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit data schema (partition column still discovered from the
     # shard_id=K directory names): skipping footer schema-merge across
     # the per-shard files halved the read wall on a 67-shard layout
-    files = (
-        spark.read.schema("doc_id long, key string, n_tokens long")
-        .parquet(path)
-        .withColumn(
+    raw = spark.read.schema("doc_id long, key string, n_tokens long").parquet(
+        path
+    )
+    if "shard_id" not in raw.columns:
+        # an EMPTY corpus writes an empty layout — no shard_id=K dirs,
+        # so the partition column never materializes; the contract is
+        # "no shards, nothing to validate", not an analysis error
+        recomputed = spark.createDataFrame(
+            [],
+            "shard_id long, f_n_docs long, f_total_tokens long,"
+            " f_min_key string, f_max_key string, f_checksum long",
+        )
+    else:
+        files = raw.withColumn(
             "key_pre", F.conv(F.substring("key", 1, 15), 16, 10).cast("long")
         )
-    )
-    recomputed = (
-        files.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
-        .agg(
-            F.count(F.lit(1)).alias("f_n_docs"),
-            F.sum("n_tokens").alias("f_total_tokens"),
-            F.min("key_pre").alias("f_min_pre"),
-            F.max("key_pre").alias("f_max_pre"),
-            F.sum(
-                F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
-            ).alias("f_checksum"),
+        recomputed = (
+            files.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+            .agg(
+                F.count(F.lit(1)).alias("f_n_docs"),
+                F.sum("n_tokens").alias("f_total_tokens"),
+                F.min("key_pre").alias("f_min_pre"),
+                F.max("key_pre").alias("f_max_pre"),
+                F.sum(
+                    F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
+                ).alias("f_checksum"),
+            )
+            .select(
+                "shard_id", "f_n_docs", "f_total_tokens",
+                F.lower(F.lpad(F.hex("f_min_pre"), 15, "0")).alias(
+                    "f_min_key"
+                ),
+                F.lower(F.lpad(F.hex("f_max_pre"), 15, "0")).alias(
+                    "f_max_key"
+                ),
+                "f_checksum",
+            )
         )
-        .select(
-            "shard_id", "f_n_docs", "f_total_tokens",
-            F.lower(F.lpad(F.hex("f_min_pre"), 15, "0")).alias("f_min_key"),
-            F.lower(F.lpad(F.hex("f_max_pre"), 15, "0")).alias("f_max_key"),
-            "f_checksum",
-        )
-    )
     man = serve_epoch_shard_manifest(spark, sf_dir)
     eq = (
         (F.col("n_docs") == F.col("f_n_docs"))

@@ -89,6 +89,10 @@ EMPTY_OK = {
     "rel_data_drift_psi": 0,
     "curation_epoch_shards": 0,
     "src_jsonl_quarantine": 0,
+    # r14 faces
+    "rel_data_drift_psi_quantile": 0,
+    "text_safety_screen": 0,
+    "curation_shard_roundtrip": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 

@@ -39,6 +39,8 @@ CASES = [
     "rel_data_drift_psi",          # rounded-ln decimal term sums (r13)
     "curation_epoch_shards",       # two-level prefix sum + checksums (r13)
     "mm_feature_census",           # decimal feature means off artifact (r13)
+    "rel_data_drift_psi_quantile", # HDR-bucket edges + decimal terms (r14)
+    "curation_shard_roundtrip",    # layout write + checksum matches (r14)
 ]
 
 
