@@ -99,17 +99,46 @@ def load_frame(spark: SparkSession, name: str, fp: str) -> "DataFrame | None":
 FINE_ROW_GROUPS = {"parquet.block.size": 4 * 1024 * 1024}
 
 
+def data_files(path: str) -> "list[str]":
+    """The data files of a parquet path — one file, or a Spark-written
+    directory's sorted part files (underscore/dot entries skipped).
+    The ONE local listing used by every driver-side footer read
+    (row counts, column statistics, schema); callers wrap in
+    try/except and fall back to a Spark fold on remote filesystems."""
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def footer_num_rows(path: str) -> int:
+    """Total row count from parquet FOOTER metadata — a stat read,
+    never a data scan. Raises on remote/unreadable paths; callers
+    fall back to a pinned default or a Spark fold."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in data_files(path))
+
+
 def save_frame(
-    df: DataFrame, name: str, fp: str, options: "dict | None" = None
+    df: DataFrame,
+    name: str,
+    fp: str,
+    options: "dict | None" = None,
+    partition_by: "str | None" = None,
+    suffix: str = ".parquet",
 ) -> str:
     """Write `df` as the artifact (atomic temp+rename; a lost race keeps
-    the winner's identical output). Returns the artifact path."""
-    path = _path(name, fp)
+    the winner's identical output). `partition_by` writes a Hive-style
+    partitioned layout (the D18/D26/C55b shard precedent) under the
+    same atomicity contract. Returns the artifact path."""
+    path = _path(name, fp, suffix)
     os.makedirs(artifact_dir(), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     w = df.write.mode("overwrite")
     for k, v in (options or {}).items():
         w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(partition_by)
     w.parquet(tmp)
     try:
         os.rename(tmp, path)

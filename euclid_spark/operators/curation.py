@@ -512,20 +512,12 @@ def _shard_bucket_hex(sf_dir: str) -> int:
     manifest (property-tested in tests/test_drift.py). Any
     filesystem/pyarrow error (remote sf_dir) falls back to the pinned
     default — the width only tunes cost, never output."""
-    import glob
     import math
-    import os
+
+    from euclid_spark import artifacts
 
     try:
-        import pyarrow.parquet as pq
-
-        path = f"{sf_dir}/documents.parquet"
-        files = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
-        n = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+        n = artifacts.footer_num_rows(f"{sf_dir}/documents.parquet")
     except Exception:  # noqa: BLE001 — remote/odd fs: pinned default
         return _SHARD_BUCKET_HEX
     if n <= 0:
@@ -619,8 +611,18 @@ def _shard_assignments(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     start = F.col("offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # broadcast the offsets ONLY while the bucket space is small; past
+    # the cutoff, offsets is ~n_docs/_SHARD_ROWS_PER_BUCKET rows —
+    # corpus-proportional, exactly what must never be collected to the
+    # driver. The plain equi-join shuffles on `bucket`, the SAME key
+    # the window below partitions on, so the exchange is reused — the
+    # join costs nothing extra at any scale (caught in r14 review:
+    # the forced broadcast contradicted the bounded-stage claim).
+    offs = (
+        F.broadcast(offsets) if 16**hexn <= _SHARD_SUPER else offsets
+    )
     return (
-        t.join(F.broadcast(offsets), "bucket")
+        t.join(offs, "bucket")
         .withColumn("start_tok", start)
         .withColumn(
             "shard_id", F.expr(f"start_tok div {shard_tokens}").cast("long")
@@ -752,7 +754,6 @@ def serve_epoch_shard_files(
     seed, budget); the bucket width is NOT in the key — it never
     changes the assignment (result-invariance, property-tested)."""
     import os
-    import shutil
 
     from euclid_spark import artifacts
 
@@ -760,19 +761,14 @@ def serve_epoch_shard_files(
         [f"{sf_dir}/documents.parquet"],
         op="epoch_shard_files", seed=seed, budget=shard_tokens,
     )
-    path = os.path.join(
-        artifacts.artifact_dir(), f"epoch_shard_files_{fp}.parquet"
-    )
+    path = artifacts._path("epoch_shard_files", fp)
     if not os.path.exists(path):
-        os.makedirs(artifacts.artifact_dir(), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        _shard_assignments(spark, sf_dir, seed, shard_tokens).write.mode(
-            "overwrite"
-        ).partitionBy("shard_id").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:  # concurrent builder won — identical bytes
-            shutil.rmtree(tmp, ignore_errors=True)
+        artifacts.save_frame(
+            _shard_assignments(spark, sf_dir, seed, shard_tokens),
+            "epoch_shard_files",
+            fp,
+            partition_by="shard_id",
+        )
     return path
 
 

@@ -41,8 +41,6 @@ SinglePartition exchange (plan-asserted in tests/test_drift.py).
 from __future__ import annotations
 
 import datetime as _dt
-import glob
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -63,11 +61,9 @@ def _event_day_span(spark: SparkSession, sf_dir: str):
     def _from_footers():
         import pyarrow.parquet as pq
 
-        files = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
+        from euclid_spark.artifacts import data_files
+
+        files = data_files(path)
         lo = hi = None
         for p in files:
             md = pq.ParquetFile(p).metadata

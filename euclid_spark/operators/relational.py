@@ -1503,14 +1503,13 @@ def _spec_from_spark_schema(schema) -> "list[tuple[str, str, str]]":
 
 
 def _spec_from_parquet(path: str) -> "list[tuple[str, str, str]]":
-    import glob
-    import os
-
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
-    if os.path.isdir(path):  # Spark-written corpus: read one part's footer
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    from euclid_spark.artifacts import data_files
+
+    # Spark-written corpus: one part's footer carries the schema
+    path = data_files(path)[0]
     fields = []
     for f in pq.ParquetFile(path).schema_arrow:
         t = f.type

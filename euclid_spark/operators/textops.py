@@ -260,7 +260,10 @@ def text_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _safety_sql(rel: str = "documents") -> str:
     cols, tot = [], []
     for cat, terms in SAFETY_BLOCKLISTS.items():
-        pat = _safety_re(terms)
+        # '' doubling: re.escape does NOT escape apostrophes, and real
+        # bad-word lists contain them — an unescaped ' would terminate
+        # the SQL string literal (r14 review)
+        pat = _safety_re(terms).replace("'", "''")
         cols.append(
             f"len(regexp_extract_all(lower(coalesce(text, '')), '{pat}'))"
             f" AS n_{cat}"

@@ -91,11 +91,15 @@ def main() -> None:
     )
 
     # rank by NORMALIZED warm ratio — the raw delta sort buried real
-    # regressions under host-noise spikes and vice versa
-    rows = sorted(
-        ((nw[k] / ow[k] / f_warm if ow[k] > 0 else 1.0, k) for k in common),
-        key=lambda x: -x[0],
-    )
+    # regressions under host-noise spikes and vice versa. A query whose
+    # OLD warm rounded to 0 but is now measurably slow must rank first,
+    # not be pinned to 1.0 (r14 review).
+    def _ratio(k: str) -> float:
+        if ow[k] > 0:
+            return nw[k] / ow[k] / f_warm
+        return float("inf") if nw[k] > REGRESSION_ABS_S else 1.0
+
+    rows = sorted(((_ratio(k), k) for k in common), key=lambda x: -x[0])
     print(f"\ntop {top} by calib-normalized warm ratio:")
     for r, k in rows[:top]:
         print(
@@ -105,10 +109,9 @@ def main() -> None:
 
     if not confident:
         raw_reg = [
-            (k, nw[k] / ow[k])
+            (k, nw[k] / ow[k] if ow[k] > 0 else float("inf"))
             for k in common
-            if ow[k] > 0
-            and nw[k] / ow[k] > REGRESSION_RATIO
+            if (nw[k] / ow[k] > REGRESSION_RATIO if ow[k] > 0 else True)
             and nw[k] - ow[k] > REGRESSION_ABS_S
         ]
         print(
