@@ -1185,24 +1185,23 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost ∝ tiles, not events. Gate = the identical derivation from raw
     events in DuckDB — binding partial → merge → read end to end.
 
-    POPULATION CONTRACT (ADVICE r13): the tile store's fixed-point
-    filter (v = floor(value·100) ≥ 1) EXCLUDES values below 0.01 —
-    zeros and negatives — from both windows, while batch B59 clamps
-    every non-null value into bin 0. Each face is self-consistent
-    with its own oracle, but the two monitor different populations:
-    swapping batch for streamed monitoring changes n_ref/n_cur and
-    PSI wherever sub-threshold values occur. (The r14 quantile-edge
-    batch variant closes this for the batch side with a reserved
-    underflow bucket — drift.py _hdr_key; giving the tile store the
-    same bucket would require a tile-schema version bump and is the
-    natural follow-up if sub-threshold mass ever matters in a stream
-    deployment.)"""
+    POPULATION CONTRACT (ADVICE r13, CLOSED r14): the tile store's
+    original fixed-point filter (v = floor(value·100) ≥ 1) excluded
+    values below 0.01 — zeros and negatives — from both windows, while
+    batch B59 clamps every non-null value into bin 0, so the two
+    monitors measured different populations. The tiles now carry a
+    RESERVED UNDERFLOW bucket (nbits=0, sub=0 — one more additive
+    tile row; same design as the r14 quantile-edge batch variant's
+    key 0, drift.py _hdr_key), so batch and streamed monitoring see
+    the identical row set and n_ref/n_cur agree. Tile schema bump =
+    the v=2 fingerprint below (one rebuild per corpus version)."""
     from euclid_spark.streaming.block_db import read_event_stream
     from euclid_spark.streaming.ivm import MaintainedAggregate
     from euclid_spark.streaming.parity import _drift_merge, _drift_partial
 
     fp = artifacts.corpus_fingerprint(
-        [f"{sf_dir}/events.parquet"], op="stream_drift_psi", n=N_SPLITS, v=1
+        [f"{sf_dir}/events.parquet"], op="stream_drift_psi", n=N_SPLITS,
+        v=2,  # r14: underflow bucket joined the tile universe
     )
 
     def build(tmp: str) -> DataFrame:
@@ -1250,8 +1249,7 @@ def _drift_psi_sql() -> str:
             SELECT event_type, CAST(ts AS DATE) AS day,
                    CAST(FLOOR(value * 100) AS BIGINT) AS v
             FROM events
-            WHERE ts IS NOT NULL
-              AND CAST(FLOOR(value * 100) AS BIGINT) >= 1
+            WHERE ts IS NOT NULL AND value IS NOT NULL
         ),
         sp AS (
             SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)
@@ -1260,9 +1258,11 @@ def _drift_psi_sql() -> str:
         ),
         keyed AS (
             SELECT event_type, day,
-                   CASE WHEN v < {lo} THEN {SUB_BITS + 1}
+                   CASE WHEN v < 1 THEN 0
+                        WHEN v < {lo} THEN {SUB_BITS + 1}
                         ELSE LENGTH(printf('%b', v)) END AS nbits,
-                   CASE WHEN v < {lo} THEN v
+                   CASE WHEN v < 1 THEN 0
+                        WHEN v < {lo} THEN v
                         ELSE (v >> (LENGTH(printf('%b', v)) - {SUB_BITS + 1}))
                              & {mask} END AS sub
             FROM vals

@@ -370,19 +370,37 @@ def _drift_partial(events: DataFrame) -> DataFrame:
     """r13 drift tiles: the B47 sketch keyed per (event_type, day) —
     the maintained state the streamed PSI face reads its two windows
     from. Same additive-count monoid as the HDR tiles; NULL ts / NULL
-    value rows are excluded up front (they belong to no window)."""
+    value rows are excluded up front (they belong to no window).
+    Fixed-point values < 1 — zeros and negatives — land in a RESERVED
+    UNDERFLOW bucket (nbits=0, sub=0; r14, closing the r13-advice
+    population gap): the tile store now covers exactly the rows batch
+    B59 bins, so swapping batch for streamed monitoring never changes
+    n_ref/n_cur. The bucket is one more additive tile row — the
+    monoid, merge, and read are untouched."""
     from euclid_spark.operators.quantile_sketch import hdr_sketch
 
     vals = (
-        events.filter(F.col("ts").isNotNull())
+        events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .select(
             "event_type",
             F.to_date("ts").alias("day"),
             F.floor(F.col("value") * 100).cast("long").alias("v"),
         )
-        .filter(F.col("v") >= 1)
     )
-    return hdr_sketch(vals, ["event_type", "day"], "v")
+    pos = hdr_sketch(vals.filter(F.col("v") >= 1), ["event_type", "day"], "v")
+    under = (
+        vals.filter(F.col("v") < 1)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            "day",
+            F.lit(0).cast("int").alias("nbits"),
+            F.lit(0).cast("long").alias("sub"),
+            "cnt",
+        )
+    )
+    return pos.unionByName(under)
 
 
 def _drift_merge(old: DataFrame, partial: DataFrame) -> DataFrame:

@@ -295,6 +295,41 @@ def test_jsonl_good_rows_round_trip_doc_ids(spark):
 # --- D32 streamed drift -----------------------------------------------
 
 
+def test_drift_tiles_underflow_bucket_covers_batch_population(spark):
+    """The r14 population-gap closure: fixed-point values < 1 (zeros
+    and negatives — absent from the testdata, present in any real
+    deployment) land in the reserved (nbits=0, sub=0) tile instead of
+    being dropped, so the tile store's row coverage equals batch
+    B59's; NULL values stay excluded on both sides."""
+    from euclid_spark.streaming.parity import _drift_partial
+
+    import datetime as dt
+
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    ev = spark.createDataFrame(
+        [
+            (1, "a", d1, -5.0),    # negative → underflow
+            (2, "a", d1, 0.0),     # zero → underflow
+            (3, "a", d2, 0.004),   # < 0.01 → underflow
+            (4, "a", d2, 7.5),     # normal bucket
+            (5, "a", d2, None),    # NULL → excluded
+            (6, None, None, 1.0),  # NULL ts → excluded
+        ],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    tiles = _drift_partial(ev).collect()
+    total = sum(r["cnt"] for r in tiles)
+    assert total == 4  # NULL value + NULL ts rows excluded
+    under = {
+        (r["day"].isoformat(), r["cnt"])
+        for r in tiles
+        if r["nbits"] == 0 and r["sub"] == 0
+    }
+    assert under == {("2024-01-01", 2), ("2024-01-02", 1)}
+    # the underflow key sorts before every real bucket (nbits ≥ 5)
+    assert all(r["nbits"] == 0 or r["nbits"] >= 5 for r in tiles)
+
+
 def test_stream_drift_psi_served_and_stable(spark):
     """The streamed face serves a deterministic PSI table: repeat call
     == first call (artifact-served), schema pinned, and every row
