@@ -156,6 +156,7 @@ HEADLINE = [
     "curation_shard_roundtrip",
     "text_safety_screen",
     "rel_data_drift_psi_quantile",
+    "sim_ivf_exact_fit_topk",
 ]
 
 

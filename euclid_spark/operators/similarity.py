@@ -908,6 +908,7 @@ RECALL_METHODS = (
     ("lsh", "sim_ann_lsh"),
     ("ivf", "sim_ivf_topk"),
     ("ivf_pinned", "sim_ivf_pinned_topk"),
+    ("ivf_exact_fit", "sim_ivf_exact_fit_topk"),  # r14: C12b
     ("int8", "sim_quantized_topk"),
     ("prefix_rerank", "sim_prefix_rerank"),
 )
@@ -1028,6 +1029,7 @@ def _oracle_recall_report(sf_dir: str) -> str:
         "lsh": ORACLES["sim_ann_lsh"],
         "ivf": _oracle_ivf_topk(sf_dir),
         "ivf_pinned": ORACLES["sim_ivf_pinned_topk"],
+        "ivf_exact_fit": _oracle_ivf_exact_fit(),
         "int8": ORACLES["sim_quantized_topk"],
         "prefix_rerank": ORACLES["sim_prefix_rerank"],
     }
@@ -1068,3 +1070,233 @@ DYNAMIC_ORACLES = {
     "sim_ivf_topk": _oracle_ivf_topk,
     "sim_ann_recall_report": _oracle_recall_report,
 }
+
+
+# ---------------------------------------------------------------------------
+# C12b — IVF over a HASH-CHECKED Lloyd fit (r14). C12's k-means is
+# Spark-ML engine-side (the one ANN stage no oracle sees — rows-only
+# for the FIT, recall-floor-gated). This face closes that gap with a
+# fit DEFINED to be engine-replayable: pinned init (the N_CENTROIDS
+# lowest-vec_id corpus vectors), assignment by the same ROUND(·,6)
+# cosine + cid tiebreak every IVF stage already uses, and centroid
+# updates as EXACT FIXED-POINT MEANS — per dimension, the IEEE micros
+# of each member coordinate (one double multiply + signed half-offset
+# + truncate, bit-identical in DuckDB) summed in decimal (order-free)
+# with the half-up integer quotient as the new coordinate (the B55
+# mean rule). IVF_FIT_ITERS Lloyd steps, empty clusters keep their
+# previous centroid. Every quantity is integer-exact or a shared IEEE
+# operation sequence, so the DuckDB oracle REFITS THE MODEL ITSELF
+# (unrolled iteration CTEs) and then replays the full serving path —
+# train → index → probe → rank, all in one hash.
+
+IVF_FIT_ITERS = 3  # unrolled in the oracle; enough for a real fit loop
+
+
+def _fixed_micros(col: F.Column) -> F.Column:
+    """IEEE fixed-point micros (the B55 profile rule): one double
+    multiply, signed half-offset, truncate — identical ops in DuckDB's
+    CAST(trunc(x·1e6 ± 0.5) AS BIGINT)."""
+    return (
+        col * 1000000 + F.when(col >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    ).cast("long")
+
+
+_FIT_MEAN = (
+    "CAST(CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n)"
+    " ELSE -((-2 * s + n) div (2 * n)) END AS DOUBLE) / 1000000.0"
+)
+
+
+def ivf_exact_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decimal-exact Lloyd model, served once per corpus version
+    (cid, cemb). Each iteration: one broadcast assignment scan, one
+    bounded (cid, dim) aggregate (≤ k·DIM groups whatever the corpus
+    size), one ≤k-row driver fetch (the documented model-row collect
+    class) to rebuild the broadcastable centroid literal."""
+    from euclid_spark import artifacts
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"],
+        op="ivf_exact_fit", k=N_CENTROIDS, q=N_QUERIES,
+        iters=IVF_FIT_ITERS,
+    )
+
+    def build() -> DataFrame:
+        corpus = (
+            _emb(spark, sf_dir)
+            .filter(F.col("vec_id") >= N_QUERIES)
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("ce"),
+            )
+        )
+        init = corpus.orderBy("neighbor_id").limit(N_CENTROIDS).collect()
+        cent_rows = [(i, list(r["ce"])) for i, r in enumerate(init)]
+        schema = "cid int, cemb array<double>"
+        for _ in range(IVF_FIT_ITERS if cent_rows else 0):
+            cent = spark.createDataFrame(cent_rows, schema)
+            assign = _nearest_centroids(
+                corpus, cent, "neighbor_id", "ce", keep=1
+            )
+            means = (
+                assign.select("cid", F.posexplode("ce").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(
+                    F.sum(
+                        _fixed_micros(F.col("x")).cast("decimal(38,0)")
+                    ).alias("s"),
+                    F.count("x").alias("n"),
+                )
+                .select("cid", "d", F.expr(_FIT_MEAN).alias("m"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("d", "m"))
+                    ).alias("dm")
+                )
+                .select(
+                    "cid", F.expr("transform(dm, p -> p.m)").alias("cemb")
+                )
+            )
+            got = {r["cid"]: list(r["cemb"]) for r in means.collect()}
+            cent_rows = [
+                (cid, got.get(cid, old)) for cid, old in cent_rows
+            ]
+        return spark.createDataFrame(cent_rows, schema)
+
+    return artifacts.serve_frame(spark, "ivf_exact_model", fp, build)
+
+
+def sim_ivf_exact_fit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12b — the C48 probe-join-rank pipeline over the FITTED
+    exact-Lloyd model: assignment served as a disk artifact (the
+    production inverted-list layout), queries routed to their N_PROBE
+    nearest lists, probed candidates ranked by exact cosine. With the
+    fit itself oracle-replayed, this is the first fully hash-checked
+    train→serve ANN path in the registry (C48 verifies the machinery
+    over a seed model; C12 keeps the real Spark-ML fit, recall-gated)."""
+    from euclid_spark import artifacts
+
+    cent = ivf_exact_fit_centroids(spark, sf_dir)
+    corpus = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/embeddings.parquet"],
+        op="ivf_exact_assign", k=N_CENTROIDS, q=N_QUERIES,
+        iters=IVF_FIT_ITERS,
+    )
+    assign = artifacts.serve_frame(
+        spark,
+        "ivf_exact_assign",
+        fp,
+        lambda: _nearest_centroids(corpus, cent, "neighbor_id", "ce", keep=1),
+    )
+    probes = _nearest_centroids(
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        ),
+        cent,
+        "query_id",
+        "qe",
+        keep=N_PROBE,
+    )
+    scored = assign.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "neighbor_id",
+        "cid",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cid", "cosine", "rn")
+    )
+
+
+def _oracle_ivf_exact_fit() -> str:
+    """The oracle REFITS the model: unrolled Lloyd CTEs (assignment by
+    the shared rounded-cosine + cid tiebreak; per-dimension IEEE-micros
+    sums with half-up integer-quotient means; empty clusters carry the
+    previous centroid), then the C48 serving-path SQL over the fitted
+    centroids. STATIC SQL — no artifact input: the fit is re-derived
+    from the corpus on every gate run."""
+    u = (
+        "CAST(trunc(CAST(d.x AS DOUBLE) * 1000000 +"
+        " (CASE WHEN d.x >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT)"
+    )
+    halfup = (
+        "CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)"
+        " ELSE -((-2 * s + n) // (2 * n)) END"
+    )
+    prev, iter_ctes = "c0", []
+    for i in range(1, IVF_FIT_ITERS + 1):
+        iter_ctes.append(f"""
+    a{i} AS (SELECT neighbor_id, ce, cid FROM (
+        SELECT c.neighbor_id, c.ce, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+                   ROUND(CASE WHEN {_NC} * {_N_CEMB} = 0 THEN 0.0
+                              ELSE {_DOT_CC} / ({_NC} * {_N_CEMB})
+                         END, 6) DESC, t.cid) AS crn
+        FROM c CROSS JOIN {prev} t) WHERE crn = 1),
+    m{i} AS (SELECT d.cid, d.ord AS dim,
+                    SUM({u}) AS s, COUNT(*) AS n
+             FROM (SELECT cid, unnest(ce) AS x,
+                          generate_subscripts(ce, 1) AS ord
+                   FROM a{i}) d
+             GROUP BY 1, 2),
+    c{i} AS (
+        SELECT cid,
+               list(CAST({halfup} AS DOUBLE) / 1000000.0
+                    ORDER BY dim) AS cemb
+        FROM m{i} GROUP BY cid
+        UNION ALL
+        SELECT cid, cemb FROM {prev}
+        WHERE cid NOT IN (SELECT cid FROM m{i}))""")
+        prev = f"c{i}"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id,
+                 CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, ce AS cemb FROM (
+        SELECT ce, ROW_NUMBER() OVER (ORDER BY neighbor_id) AS rn
+        FROM c) WHERE rn <= {N_CENTROIDS}),{",".join(iter_ctes)},
+    asg AS (SELECT neighbor_id, ce, cid,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY
+                       ROUND(CASE WHEN {_NC} * {_N_CEMB} = 0 THEN 0.0
+                                  ELSE {_DOT_CC} / ({_NC} * {_N_CEMB})
+                             END, 6) DESC, cid) AS crn
+            FROM c CROSS JOIN {prev}),
+    assign AS (SELECT neighbor_id, ce, cid FROM asg WHERE crn = 1),
+    prb AS (SELECT query_id, qe, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       ROUND(CASE WHEN {_NQ} * {_N_CEMB} = 0 THEN 0.0
+                                  ELSE {_DOT_QC} / ({_NQ} * {_N_CEMB})
+                             END, 6) DESC, cid) AS crn
+            FROM q CROSS JOIN {prev}),
+    probes AS (SELECT query_id, qe, cid FROM prb WHERE crn <= {N_PROBE}),
+    scored AS (SELECT p.query_id, a.neighbor_id, a.cid,
+                      ROUND(CASE WHEN {_NQ} * {_NC} = 0 THEN 0.0
+                                 ELSE {_DOT} / ({_NQ} * {_NC}) END, 6)
+                          AS cosine
+               FROM assign a JOIN probes p ON a.cid = p.cid)
+    SELECT query_id, neighbor_id, cid, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+    FROM scored
+    QUALIFY rn <= {TOP_K}
+    """
+
+
+QUERIES["sim_ivf_exact_fit_topk"] = sim_ivf_exact_fit_topk
+ORACLES["sim_ivf_exact_fit_topk"] = _oracle_ivf_exact_fit()

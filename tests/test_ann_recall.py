@@ -6,6 +6,8 @@ that buckets/lists actually partition the space)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from euclid_spark.operators.similarity import (
     TOP_K,
     sim_ann_lsh,
@@ -51,6 +53,45 @@ def test_ivf_recall_floor(spark):
     # neighbors — if centroid training or list assignment breaks,
     # recall drops toward n_probe/n_centroids = 0.25.
     assert r >= 0.5, f"IVF recall@{TOP_K} collapsed: {r:.3f}"
+
+
+def test_exact_fit_ivf_recall_and_fit_properties(spark):
+    """C12b: the hash-checked Lloyd fit must behave like a fit —
+    recall above the trivial seed floor, iterated centroids that moved
+    off their init vectors, and every corpus vector in exactly one
+    list."""
+    from euclid_spark.operators.similarity import (
+        IVF_FIT_ITERS,
+        ivf_exact_fit_centroids,
+        sim_ivf_exact_fit_topk,
+        sim_topk_cosine,
+    )
+
+    exact = _topk_sets(sim_topk_cosine(spark, SF_ORACLE))
+    fit = _topk_sets(sim_ivf_exact_fit_topk(spark, SF_ORACLE))
+    r = _recall_at_k(fit, exact)
+    print(f"\nexact-fit IVF recall@{TOP_K}: {r:.3f}")
+    assert r >= 0.2, f"exact-fit IVF recall@{TOP_K} collapsed: {r:.3f}"
+    cent = {
+        r2["cid"]: list(r2["cemb"])
+        for r2 in ivf_exact_fit_centroids(spark, SF_ORACLE).collect()
+    }
+    assert len(cent) == 8
+    # the Lloyd loop actually iterated: centroids are means, no longer
+    # any single corpus vector (probability of a fixed point on this
+    # data is nil; a regression to 0 iterations trips this)
+    from euclid_spark.operators.similarity import _emb, N_QUERIES
+
+    init = {
+        tuple(r2["embedding"])
+        for r2 in _emb(spark, SF_ORACLE)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    }
+    moved = [c for c in cent.values() if tuple(c) not in init]
+    assert moved, f"no centroid moved in {IVF_FIT_ITERS} iterations"
 
 
 def test_quantized_recall_floor(spark):
@@ -157,7 +198,9 @@ def test_recall_report_matches_independent_computation(spark):
         r["method"]: r.asDict()
         for r in sim_ann_recall_report(spark, SF_ORACLE).collect()
     }
-    assert set(rep) == {"lsh", "ivf", "ivf_pinned", "int8", "prefix_rerank"}
+    assert set(rep) == {
+        "lsh", "ivf", "ivf_pinned", "ivf_exact_fit", "int8", "prefix_rerank"
+    }
     exact = _topk_sets(sim_topk_cosine(spark, SF_ORACLE))
     lsh = _topk_sets(sim_ann_lsh(spark, SF_ORACLE))
     micro = sum(

@@ -93,6 +93,7 @@ EMPTY_OK = {
     "rel_data_drift_psi_quantile": 0,
     "text_safety_screen": 0,
     "curation_shard_roundtrip": 0,
+    "sim_ivf_exact_fit_topk": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
