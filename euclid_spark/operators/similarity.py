@@ -927,6 +927,7 @@ def _recall_fp(sf_dir: str, op: str) -> str:
         op=op, q=N_QUERIES, k=TOP_K, tables=N_TABLES, bits=BITS_PER_TABLE,
         planes=N_PLANES, pfx=PREFIX_DIMS, pool=RERANK_POOL,
         cent=N_CENTROIDS, probe=N_PROBE, seed_k=SEED_K, seed=42,
+        fit_iters=IVF_FIT_ITERS,
     )
 
 
