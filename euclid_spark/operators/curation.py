@@ -898,11 +898,18 @@ def _oracle_shard_roundtrip(sf_dir: str) -> str:
     mpath = _os.path.join(
         artifacts.artifact_dir(), f"epoch_shard_manifest_{mfp}.parquet"
     )
-    return f"""
-        WITH man AS (
-            SELECT * FROM read_parquet('{mpath}/*.parquet')
-        ),
-        rec AS (
+    # An empty corpus writes a manifest but no shard_id=K directories,
+    # and DuckDB's read_parquet errors on a glob with zero matches while
+    # the Spark face handles the missing partition column and returns 0
+    # rows — so when the layout has no shard subdirectories, emit a
+    # statically-empty rec CTE instead of the glob (same schema).
+    has_shards = any(
+        e.name.startswith("shard_id=")
+        for e in _os.scandir(path)
+        if e.is_dir()
+    ) if _os.path.isdir(path) else False
+    rec_sql = (
+        f"""
             SELECT CAST(shard_id AS BIGINT) AS shard_id,
                    CAST(COUNT(*) AS BIGINT) AS f_n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS f_total_tokens,
@@ -915,7 +922,22 @@ def _oracle_shard_roundtrip(sf_dir: str) -> str:
                    CAST(SUM(CAST('0x' || substr(key, 1, 8) AS BIGINT))
                         AS BIGINT) AS f_checksum
             FROM read_parquet('{path}/*/*.parquet', hive_partitioning=1)
-            GROUP BY 1
+            GROUP BY 1"""
+        if has_shards
+        else """
+            SELECT CAST(NULL AS BIGINT) AS shard_id,
+                   CAST(NULL AS BIGINT) AS f_n_docs,
+                   CAST(NULL AS BIGINT) AS f_total_tokens,
+                   CAST(NULL AS VARCHAR) AS f_min_key,
+                   CAST(NULL AS VARCHAR) AS f_max_key,
+                   CAST(NULL AS BIGINT) AS f_checksum
+            WHERE FALSE"""
+    )
+    return f"""
+        WITH man AS (
+            SELECT * FROM read_parquet('{mpath}/*.parquet')
+        ),
+        rec AS ({rec_sql}
         )
         SELECT COALESCE(man.shard_id, rec.shard_id) AS shard_id,
                man.n_docs, man.total_tokens, man.checksum,

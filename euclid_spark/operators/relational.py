@@ -1580,9 +1580,14 @@ def _profile_lc_bit_sql(c: str, kind: str) -> str:
 # (r14): one double multiply, one signed half-offset, truncate. The
 # same double arithmetic runs on Spark and DuckDB, so the per-row
 # integer — and therefore the sum and the mean — match by construction
-# (the prior CAST(x AS DECIMAL(38,6)) route was semantically identical
-# but paid a Double.toString → BigDecimal parse per row, the single
-# most expensive expression in the profile's hot scan). Domain:
+# (the prior CAST(x AS DECIMAL(38,6)) route rounded HALF_UP on the
+# exact decimal; this form rounds on the double image, so a value whose
+# true micros sit exactly on a .5 boundary can truncate one micro apart
+# from the decimal route — a 1-ulp/1e-6 tolerance on displayed means
+# versus pre-r14 baselines, NOT a cross-engine divergence, since both
+# engines changed in lockstep. The decimal route also paid a
+# Double.toString → BigDecimal parse per row, the single most
+# expensive expression in the profile's hot scan). Domain:
 # |x| < 2^63/1e6 ≈ 9.2e12 — the same fixed-point domain the LC bit
 # expression above already pins.
 def _profile_micros_sql(c: str) -> str:
@@ -1677,8 +1682,10 @@ def table_profile(
         # derivations feed the shared profile_spec (the oracle uses
         # this same footer path).
         cols = _spec_from_parquet(path)
-    except (OSError, IndexError, ImportError):
-        # non-local sf_dir (s3://, hdfs://) — resolve through Spark
+    except Exception:  # noqa: BLE001 — non-local sf_dir (s3://, hdfs://):
+        # pyarrow raises ArrowInvalid (a ValueError) for URIs it can't
+        # open, not just OSError — catch broadly (the _event_day_span /
+        # _shard_bucket_hex precedent) and resolve through Spark
         cols = _spec_from_spark_schema(spark.read.parquet(path).schema)
     modes = {
         c: (auto if distinct_mode == "auto" else distinct_mode)

@@ -36,6 +36,75 @@ from euclid_spark.operators import (
     timeseries,
 )
 
+# Newest faces first: the driver's per-round correctness gate compares the
+# FIRST 50 registry keys against their DuckDB oracles, so the keys most in
+# need of an independent gate (this round's and recent rounds' additions)
+# must sit inside that window — not r1's long-proven euclid/tpch rows.
+# Ordered newest → oldest by the round that introduced each key (r15 first);
+# everything not listed follows in stable module order. A listed key that
+# doesn't exist (yet) is skipped, so entries can be staged ahead of their
+# module landing.
+_NEWEST_FIRST = [
+    # r15
+    "text_quality_model",
+    "curation_model_filtered_mix",
+    "sim_matryoshka_recall_report",
+    "stream_epoch_shards",
+    # r14
+    "sim_ivf_exact_fit_topk",
+    "curation_shard_roundtrip",
+    "text_safety_screen",
+    "rel_data_drift_psi_quantile",
+    # r13/r12
+    "sim_ann_recall_report",
+    "curation_epoch_shards",
+    "curation_soft_dedup_weights",
+    "rel_data_drift_psi",
+    "src_jsonl_quarantine",
+    "stream_jsonl_ingest",
+    "stream_drift_psi",
+    "text_tokenizer_fertility",
+    "mm_audio_triage",
+    "mm_feature_census",
+    # r11/r10
+    "euclid_eth_proof_verify",
+    "euclid_verifiable_response_alt_contract",
+    "stream_eth_account_state",
+    # r9
+    "euclid_q2_range_response",
+    "euclid_erc20_range_response",
+    "euclid_verify_q2_range_response",
+    "euclid_verify_erc20_range_response",
+    "euclid_q2_distinct_keys_alt_contract",
+    "euclid_q2_range_tree_topL_alt_contract",
+    "rel_events_profile",
+    "stream_q2_cell_roots",
+    "stream_erc20_cell_roots",
+    # r8
+    "euclid_q2_range_tree_topL",
+    "euclid_erc20_range_tree_reward",
+    "euclid_verify_response",
+    "euclid_verify_erc20_response",
+    "sim_range_search",
+    "stream_q2_key_tiles",
+    # r7 (fills the 50-key window)
+    "euclid_range_tree_agg",
+    "rel_hdr_quantile_sketch",
+    "rel_hdr_range_quantiles",
+    "rel_linear_count_distinct",
+    "rel_lc_range_distinct",
+    "rel_cms_range_topk",
+    "rel_table_profile",
+    "rel_gap_fill_locf",
+    "rel_time_weighted_avg",
+    "rel_ohlc_resample",
+    "rel_event_dedup_window",
+    "rel_value_outliers",
+    "rel_seasonal_profile",
+    "curation_leakage_safe_split",
+    "dedup_provenance_report",
+]
+
 _MODULES = [
     euclid,
     relational,
@@ -89,9 +158,13 @@ def _with_session_confs(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        out.update({k: _with_session_confs(v) for k, v in m.QUERIES.items()})
+        merged.update({k: _with_session_confs(v) for k, v in m.QUERIES.items()})
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        k: merged[k] for k in _NEWEST_FIRST if k in merged
+    }
+    out.update(merged)  # re-inserting an existing key keeps its position
     return out
 
 

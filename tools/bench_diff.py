@@ -102,10 +102,11 @@ def main() -> None:
     rows = sorted(((_ratio(k), k) for k in common), key=lambda x: -x[0])
     print(f"\ntop {top} by calib-normalized warm ratio:")
     for r, k in rows[:top]:
-        print(
-            f"  {k:40s} {ow[k]:6.2f} -> {nw[k]:6.2f}"
-            f"  raw {nw[k] / ow[k] if ow[k] else 0:4.2f}x  norm {r:4.2f}x"
-        )
+        # a 0-second OLD warm has no defined raw ratio — print n/a, not
+        # 0.00x (which read as a massive improvement on what _ratio
+        # correctly ranks as a new regression)
+        raw = f"{nw[k] / ow[k]:4.2f}x" if ow[k] else " n/a"
+        print(f"  {k:40s} {ow[k]:6.2f} -> {nw[k]:6.2f}  raw {raw}  norm {r:4.2f}x")
 
     if not confident:
         raw_reg = [
