@@ -901,13 +901,28 @@ def _oracle_shard_roundtrip(sf_dir: str) -> str:
     # An empty corpus writes a manifest but no shard_id=K directories,
     # and DuckDB's read_parquet errors on a glob with zero matches while
     # the Spark face handles the missing partition column and returns 0
-    # rows — so when the layout has no shard subdirectories, emit a
-    # statically-empty rec CTE instead of the glob (same schema).
-    has_shards = any(
-        e.name.startswith("shard_id=")
-        for e in _os.scandir(path)
-        if e.is_dir()
-    ) if _os.path.isdir(path) else False
+    # rows — so when the layout will have no shard subdirectories, emit
+    # a statically-empty rec CTE instead of the glob (same schema). The
+    # decision comes from the CORPUS (the C55 membership rule: non-null
+    # doc_id, ≥1 token), not from the layout on disk: the generator may
+    # run before the face has written the layout (the null-crosscheck
+    # ordering), so a disk stat would pick the empty branch spuriously.
+    import duckdb as _duck
+
+    docs = f"{sf_dir}/documents.parquet"
+    if _os.path.isdir(docs):  # Spark-written layout: a part-file dir
+        docs = f"{docs}/*.parquet"
+    has_shards = bool(
+        _duck.connect()
+        .execute(
+            f"""SELECT COUNT(*) FROM read_parquet('{docs}')
+                WHERE doc_id IS NOT NULL
+                  AND len(regexp_extract_all(lower(text),
+                          '{textops.TOKEN_RE}')) > 0
+                LIMIT 1"""
+        )
+        .fetchone()[0]
+    )
     rec_sql = (
         f"""
             SELECT CAST(shard_id AS BIGINT) AS shard_id,

@@ -27,6 +27,7 @@ from euclid_spark.operators import (
     mpt_ingest,
     multimodal,
     preprocessing,
+    quality_model,
     quantile_sketch,
     range_response,
     range_tree,
@@ -133,6 +134,7 @@ _MODULES = [
     eth_proof,        # }
     drift,            # }
     jsonl,            # }
+    quality_model,    # r15 — gated via _NEWEST_FIRST
 ]
 
 def _with_session_confs(
