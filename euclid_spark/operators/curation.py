@@ -12,7 +12,11 @@ training set —
      themselves are excluded,
   4. SAFETY/BLOCKLIST screen (C60, the C4 bad-words rule: any
      blocklisted hit drops the doc — r14),
-  5. deterministic STRATIFIED SAMPLING to the target language mix
+  5. LEARNED quality filter (C61, the FineWeb-Edu/DCLM model-filter
+     stage: docs the trained classifier rejects are dropped — r15;
+     the verdicts come from the SERVED quality_model_scores artifact,
+     so the fit never re-runs inside this pipeline),
+  6. deterministic STRATIFIED SAMPLING to the target language mix
      (C22, md5-bucket thresholds — no random()).
 
 Plan shape: the sample predicate is row-local (applied on the scan);
@@ -29,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from euclid_spark.operators import components, textops
+from euclid_spark.operators import components, quality_model, textops
 from euclid_spark.operators.textops import BENCH_SOURCES
 
 
@@ -57,11 +61,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("blocked")
         .select("doc_id")
     )
+    model_drop = (
+        quality_model.text_quality_model(spark, sf_dir)
+        .filter(~F.col("model_keep"))
+        .select("doc_id")
+    )
     return (
         sample.join(kept, "doc_id", "left_semi")
         .join(rep_ok, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(blocked, "doc_id", "left_anti")
+        .join(model_drop, "doc_id", "left_anti")
     )
 
 
@@ -70,6 +80,7 @@ def _oracle() -> str:
     rep = textops.ORACLES["text_repetition_filter"]
     contam = textops.ORACLES["text_benchmark_overlap"]
     safety = textops.ORACLES["text_safety_screen"]
+    qmodel = quality_model.ORACLES["text_quality_model"]
     keep = components.ORACLES["dedup_keep_list"]
     bench = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
     return f"""
@@ -81,29 +92,38 @@ def _oracle() -> str:
                ON s.doc_id = c.doc_id
         LEFT JOIN (SELECT doc_id FROM ({safety}) WHERE blocked) x
                ON s.doc_id = x.doc_id
-        WHERE c.doc_id IS NULL AND x.doc_id IS NULL
+        LEFT JOIN (SELECT doc_id FROM ({qmodel}) WHERE NOT model_keep) qm
+               ON s.doc_id = qm.doc_id
+        WHERE c.doc_id IS NULL AND x.doc_id IS NULL AND qm.doc_id IS NULL
           AND s.source NOT IN ({bench})
     """
 
 
-def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C32 — the r5 curation stages composed into the TRAINING-READY
-    layout (the C25 pattern applied to the newer operator family):
-    keep documents that
+def _training_mix(
+    spark: SparkSession, sf_dir: str, model_filtered: bool
+) -> DataFrame:
+    """C32 (and its C61b model-filtered twin) — the r5 curation stages
+    composed into the TRAINING-READY layout (the C25 pattern applied to
+    the newer operator family): keep documents that
 
       1. sit in the head or middle perplexity tercile of their
          language (C30, CCNet),
-      2. are DSIR-selected toward the target distribution (C29), and
+      2. are DSIR-selected toward the target distribution (C29),
       3. carry ≤ 20 % duplicated-substring material (C28, Lee et al.),
+      4. [model_filtered only] are KEPT by the C61 learned quality
+         classifier (the FineWeb-Edu model-filter stage, read off the
+         served quality_model_scores artifact — r15),
 
     then SEQUENCE-PACK the survivors (C26): the output row per kept
     document is its place in the packed context-window stream
     (n_tokens, start_tok, bin range) — what a training loader consumes.
 
-    Plan shape: all three survivorship checks are LEFT SEMI joins on
+    Plan shape: every survivorship check is a LEFT SEMI join on
     doc_id — one shuffle key end-to-end; packing's prefix sum is the
     two-level bucket construction (no single-reducer window); the
-    oracle composes the same stage SQL bodies as chained CTEs."""
+    oracle composes the same stage SQL bodies as chained CTEs (the
+    model stage embeds the C61 exact-refit SQL, so even the learned
+    filter is replayed by the oracle end-to-end)."""
     from euclid_spark.operators import dedup as _dd
 
     ppl_ok = (
@@ -137,22 +157,52 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket totals + its final join, plus the lang join here) — without
     # a persist the whole three-stage screening chain re-executes per
     # reference (measured 32 s vs 4 s at sf0.1)
-    survivors = persist_tracked(
+    surv = (
         toks.join(ppl_ok, "doc_id", "left_semi")
         .join(dsir_ok, "doc_id", "left_semi")
         .join(span_ok, "doc_id", "left_semi")
         .filter(F.col("n_tokens") > 0)
     )
+    if model_filtered:
+        mdl_ok = (
+            quality_model.text_quality_model(spark, sf_dir)
+            .filter("model_keep")
+            .select("doc_id")
+        )
+        surv = surv.join(mdl_ok, "doc_id", "left_semi")
+    survivors = persist_tracked(surv)
     packed = textops.pack_stream(survivors.select("doc_id", "n_tokens"))
     return packed.join(survivors.select("doc_id", "lang"), "doc_id")
 
 
-def _oracle_mix() -> str:
+def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 — the heuristic training mix (docstring: _training_mix)."""
+    return _training_mix(spark, sf_dir, model_filtered=False)
+
+
+def curation_model_filtered_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61b — C32's training mix with the C61 LEARNED quality filter as
+    a fourth survivorship stage (docstring: _training_mix). Packing runs
+    over the model-filtered survivor set, so start_tok/bin assignments
+    differ from C32's — this is the corpus a model-filtered run trains
+    on, not a column bolted onto C32."""
+    return _training_mix(spark, sf_dir, model_filtered=True)
+
+
+def _oracle_mix(model_filtered: bool = False) -> str:
     from euclid_spark.operators import dedup as _dd
 
     ppl = textops.ORACLES["text_perplexity_buckets"]
     dsir = textops.ORACLES["text_importance_resample"]
     span = _dd.ORACLES["dedup_substring_spans"]
+    mdl = (
+        f"""JOIN (SELECT doc_id FROM
+                ({quality_model.ORACLES["text_quality_model"]})
+                WHERE model_keep) q
+              ON d.doc_id = q.doc_id"""
+        if model_filtered
+        else ""
+    )
     return f"""
         WITH surv AS (
             SELECT d.doc_id, d.lang,
@@ -165,6 +215,7 @@ def _oracle_mix() -> str:
               ON d.doc_id = s.doc_id
             JOIN (SELECT doc_id FROM ({span}) WHERE NOT flagged) z
               ON d.doc_id = z.doc_id
+            {mdl}
             WHERE len(regexp_extract_all(lower(d.text),
                       '{textops.TOKEN_RE}')) > 0
         ),
@@ -269,12 +320,14 @@ def _oracle_split() -> str:
 QUERIES = {
     "curation_pipeline": curation_pipeline,
     "curation_training_mix": curation_training_mix,
+    "curation_model_filtered_mix": curation_model_filtered_mix,
     "curation_leakage_safe_split": curation_leakage_safe_split,
 }
 
 ORACLES = {
     "curation_pipeline": _oracle(),
     "curation_training_mix": _oracle_mix(),
+    "curation_model_filtered_mix": _oracle_mix(model_filtered=True),
     "curation_leakage_safe_split": _oracle_split(),
 }
 
@@ -531,25 +584,14 @@ def _shard_bucket_hex(sf_dir: str) -> int:
     )
 
 
-def _shard_assignments(
-    spark: SparkSession,
-    sf_dir: str,
-    seed: str,
-    shard_tokens: int,
-    bucket_hex: "int | None" = None,
-) -> DataFrame:
-    """Doc-level epoch-shuffle shard assignment: (doc_id, key,
-    n_tokens, shard_id) where shard_id cuts the seeded-hash-ordered
-    token stream at `shard_tokens`. The global prefix sum is two-level
-    on the hash-prefix bucket (see curation_epoch_shards); when the
-    derived bucket space exceeds _SHARD_SUPER, bucket offsets
-    themselves go through a second two-level pass (triangular join
-    over ≤_SHARD_SUPER super-buckets + a window partitioned by
-    super-bucket) so no stage ever sorts or joins more than ~4096
-    rows per group at any corpus size."""
-    hexn = _shard_bucket_hex(sf_dir) if bucket_hex is None else bucket_hex
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = (
+def _shard_rows(docs: DataFrame, seed: str, hexn: int) -> DataFrame:
+    """ROW-LOCAL shard-ingest step: (doc_id, key, n_tokens, bucket)
+    for a documents frame — seeded hash key, token count, hash-prefix
+    bucket. Shared verbatim by the batch face and the D34 streaming
+    sink (r15): a micro-batch runs exactly this on its own rows, so
+    the maintained store holds the identical rows the batch pipeline
+    would derive (the parity argument's whole premise)."""
+    return (
         docs.filter(F.col("doc_id").isNotNull())
         .select(
             "doc_id",
@@ -568,6 +610,15 @@ def _shard_assignments(
             F.conv(F.substring("key", 1, hexn), 16, 10).cast("long"),
         )
     )
+
+
+def _assignments_from_rows(
+    t: DataFrame, hexn: int, shard_tokens: int
+) -> DataFrame:
+    """The two-level global prefix sum over pre-derived shard rows
+    (doc_id, key, n_tokens, bucket) → + shard_id. Split out of
+    _shard_assignments (r15) so the D34 streaming sink can run the
+    identical cut over its bucket-partitioned maintained store."""
     btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
     if 16**hexn <= _SHARD_SUPER:
         b1, b2 = btot.alias("b1"), btot.alias("b2")
@@ -631,6 +682,29 @@ def _shard_assignments(
     )
 
 
+def _shard_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str,
+    shard_tokens: int,
+    bucket_hex: "int | None" = None,
+) -> DataFrame:
+    """Doc-level epoch-shuffle shard assignment: (doc_id, key,
+    n_tokens, shard_id) where shard_id cuts the seeded-hash-ordered
+    token stream at `shard_tokens`. The global prefix sum is two-level
+    on the hash-prefix bucket (see curation_epoch_shards); when the
+    derived bucket space exceeds _SHARD_SUPER, bucket offsets
+    themselves go through a second two-level pass (triangular join
+    over ≤_SHARD_SUPER super-buckets + a window partitioned by
+    super-bucket) so no stage ever sorts or joins more than ~4096
+    rows per group at any corpus size."""
+    hexn = _shard_bucket_hex(sf_dir) if bucket_hex is None else bucket_hex
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _assignments_from_rows(
+        _shard_rows(docs, seed, hexn), hexn, shard_tokens
+    )
+
+
 def curation_epoch_shards(
     spark: SparkSession,
     sf_dir: str,
@@ -662,8 +736,17 @@ def curation_epoch_shards(
     SUM of per-doc hash prefixes — commutative, so no ordered fold
     anywhere. The bucket width GROWS WITH THE CORPUS (r14): derived
     from footer row counts by _shard_bucket_hex, result-invariant."""
-    return (
+    return _manifest_from_assignments(
         _shard_assignments(spark, sf_dir, seed, shard_tokens, bucket_hex)
+    )
+
+
+def _manifest_from_assignments(assigned: DataFrame) -> DataFrame:
+    """Per-shard manifest rollup over (doc_id, key, n_tokens,
+    shard_id) rows — split out of curation_epoch_shards (r15) for the
+    D34 streaming sink."""
+    return (
+        assigned
         .withColumn(
             # the key's first 15 hex chars as a LONG: min/max over it
             # keep the keyed aggregate's buffers MUTABLE (hash agg under

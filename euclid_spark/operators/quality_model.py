@@ -457,5 +457,50 @@ def _oracle_quality_model() -> str:
     """
 
 
+def text_data_card_with_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35 (r15 extension) — the data card with the learned-filter
+    incidence column the C60 precedent set: `n_model_dropped` per
+    (source, lang) stratum — how many docs the C61 classifier rejects.
+    Composition, not recomputation: the base card is textops' C35 face
+    unchanged; the drop counts read the SERVED quality_model_scores
+    artifact, joined to the corpus for stratum keys, one bounded
+    (source, lang) aggregate. This module is last in the registry's
+    module list, so these QUERIES/ORACLES entries override textops'
+    under the same key — the override lives here (not in textops)
+    because the model depends on textops' scorers, and the import must
+    stay one-directional (quality_model → textops)."""
+    card = textops.text_data_card(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    drops = (
+        text_quality_model(spark, sf_dir)
+        .filter(~F.col("model_keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("nd"))
+    )
+    return card.join(drops, ["source", "lang"], "left").withColumn(
+        "n_model_dropped", F.coalesce(F.col("nd"), F.lit(0)).cast("long")
+    ).drop("nd")
+
+
+def _oracle_data_card_with_model() -> str:
+    base = textops.ORACLES["text_data_card"]
+    return f"""
+    WITH card AS ({base}),
+    qmd AS (SELECT d.source, d.lang, COUNT(*) AS nd
+            FROM ({ORACLES["text_quality_model"]}) q
+            JOIN documents d USING (doc_id)
+            WHERE NOT q.model_keep
+            GROUP BY 1, 2)
+    SELECT card.*, CAST(COALESCE(qmd.nd, 0) AS BIGINT) AS n_model_dropped
+    FROM card LEFT JOIN qmd USING (source, lang)
+    """
+
+
 QUERIES = {"text_quality_model": text_quality_model}
 ORACLES = {"text_quality_model": _oracle_quality_model()}
+QUERIES["text_data_card"] = text_data_card_with_model
+ORACLES["text_data_card"] = _oracle_data_card_with_model()

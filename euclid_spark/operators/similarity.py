@@ -38,10 +38,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 — exact top-k: rank on the *rounded* cosine with a neighbor-id
-    tiebreak so ordering is reproducible bit-for-bit by the oracle."""
-    emb = _emb(spark, sf_dir)
+def _topk_over(emb: DataFrame) -> DataFrame:
+    """Exact top-k over an arbitrary (vec_id, embedding) frame — the C5
+    body, shared with the C38b Matryoshka fixture (r15)."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -59,6 +58,12 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — exact top-k: rank on the *rounded* cosine with a neighbor-id
+    tiebreak so ordering is reproducible bit-for-bit by the oracle."""
+    return _topk_over(_emb(spark, sf_dir))
 
 
 PREFIX_DIMS = 8   # coarse stage scores only the embedding prefix
@@ -82,7 +87,12 @@ def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim (query_id, neighbor_id, coarse) row set into the per-query
     top-pool; stage 2 touches RERANK_POOL × N_QUERIES vectors via an
     id equi-join. The query set broadcasts; the corpus never does."""
-    emb = _emb(spark, sf_dir)
+    return _prefix_rerank_over(_emb(spark, sf_dir))
+
+
+def _prefix_rerank_over(emb: DataFrame) -> DataFrame:
+    """The C38 two-stage body over an arbitrary (vec_id, embedding)
+    frame — shared with the C38b Matryoshka fixture (r15)."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -633,12 +643,15 @@ def sim_range_search(
 
 QUERIES["sim_range_search"] = sim_range_search
 
-ORACLES = {
-    "sim_topk_cosine": f"""
+def _topk_sql(src: str = "embeddings") -> str:
+    """The C5 exact-top-k oracle body over source table/CTE `src` —
+    parametrized so the C38b Matryoshka fixture (r15) replays the same
+    SQL over its reweighted embedding CTE."""
+    return f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+                   FROM {src} WHERE vec_id < {N_QUERIES}),
         c AS (SELECT vec_id AS neighbor_id, embedding AS ce
-              FROM embeddings WHERE vec_id >= {N_QUERIES}),
+              FROM {src} WHERE vec_id >= {N_QUERIES}),
         s AS (SELECT query_id, neighbor_id,
                      ROUND({_DOT} / ({_NQ} * {_NC}), 6) AS cosine
               FROM c CROSS JOIN q),
@@ -647,7 +660,11 @@ ORACLES = {
                           ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
               FROM s)
         SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+ORACLES = {
+    "sim_topk_cosine": _topk_sql(),
     # sim_ann_lsh: rows-only (approximate; bucket constants are engine-side)
     "sim_range_search": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -682,11 +699,14 @@ _NC_P = (
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
 
-ORACLES["sim_prefix_rerank"] = f"""
+def _prefix_rerank_sql(src: str = "embeddings") -> str:
+    """The C38 two-stage oracle body over source table/CTE `src` (the
+    _topk_sql parametrization, r15)."""
+    return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
+               FROM {src} WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS ce
-          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+          FROM {src} WHERE vec_id >= {N_QUERIES}),
     s1 AS (SELECT query_id, neighbor_id,
                   ROUND(CASE WHEN {_NQ_P} * {_NC_P} = 0 THEN 0.0
                              ELSE {_DOT_P} / ({_NQ_P} * {_NC_P}) END, 6)
@@ -708,7 +728,10 @@ ORACLES["sim_prefix_rerank"] = f"""
                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
     FROM r
     QUALIFY rn <= {TOP_K}
-"""
+    """
+
+
+ORACLES["sim_prefix_rerank"] = _prefix_rerank_sql()
 
 # C48: the IVF probe-join-rank pipeline over the pinned seed model —
 # every stage (assignment, probe routing, final rank) replicated in SQL
@@ -1301,3 +1324,156 @@ def _oracle_ivf_exact_fit() -> str:
 
 QUERIES["sim_ivf_exact_fit_topk"] = sim_ivf_exact_fit_topk
 ORACLES["sim_ivf_exact_fit_topk"] = _oracle_ivf_exact_fit()
+
+
+# ------------------------------------------------------------- C38b
+# Matryoshka recall fixture + report (r15, VERDICT r14 #6). C59's
+# report honestly shows prefix-rerank at ~0.20 recall on the synthetic
+# embeddings — correct, because their dims are near-iid, so an 8-of-64
+# prefix carries ~12.5% of the signal and the coarse stage is close to
+# random. The C38 docstring's promise (Kusupati et al. 2022: with
+# IMPORTANCE-ORDERED dims the prefix is a faithful coarse scorer) needs
+# a fixture with that property to be demonstrable. Deterministic
+# construction: reweight dim i by the exact power of two 2^-(i div 2)
+# (division by shifted longs — IEEE-exact scaling, so both engines
+# produce bit-identical doubles with NO libm call). The prefix (8 of
+# 64 dims) then carries ~99.6% of the expected squared mass, which is
+# precisely the Matryoshka energy profile; the same two-stage pipeline
+# flips from ~0.2 to ~1.0 recall with the arithmetic unchanged.
+
+_MRL_W_SPARK = (
+    "transform(embedding, (x, i) ->"
+    " x / cast(shiftleft(cast(1 as bigint), i div 2) as double))"
+)
+_MRL_W_DUCK = (
+    "list_transform(range(1, len(embedding) + 1),"
+    " i -> embedding[i] /"
+    " CAST((CAST(1 AS BIGINT) << CAST((i - 1) // 2 AS INT)) AS DOUBLE))"
+)
+
+
+def _mrl_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.expr(_MRL_W_SPARK).alias("embedding")
+    )
+
+
+def sim_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38b — prefix-rerank recall on the raw (near-iid dims) vs the
+    Matryoshka-reweighted embedding set, one row per set: the
+    measured demonstration that C38's two-stage retrieval is an
+    embedding-PROPERTY bet, not an arithmetic defect (module comment).
+    All four result sets (exact + prefix per embedding set) are served
+    fingerprint-keyed artifacts (the C59 economics); recall math is the
+    C59 micro-average. The raw rows reuse C59's `ann_result_exact` /
+    `ann_result_prefix_rerank` artifacts unchanged."""
+    from euclid_spark import artifacts
+
+    exact_raw = artifacts.serve_frame(
+        spark,
+        "ann_result_exact",
+        _recall_fp(sf_dir, op="ann_result_exact"),
+        lambda: sim_topk_cosine(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+    )
+    pr_raw = ann_method_results(
+        spark, sf_dir, "prefix_rerank", "sim_prefix_rerank"
+    )
+    exact_mrl = artifacts.serve_frame(
+        spark,
+        "ann_result_mrl_exact",
+        _recall_fp(sf_dir, op="ann_result_mrl_exact"),
+        lambda: _topk_over(_mrl_emb(spark, sf_dir)).select(
+            "query_id", "neighbor_id"
+        ),
+    )
+    pr_mrl = artifacts.serve_frame(
+        spark,
+        "ann_result_mrl_prefix",
+        _recall_fp(sf_dir, op="ann_result_mrl_prefix"),
+        lambda: _prefix_rerank_over(_mrl_emb(spark, sf_dir)).select(
+            "query_id", "neighbor_id"
+        ),
+    )
+    frames = []
+    for name, exact, got in (
+        ("raw", exact_raw, pr_raw),
+        ("mrl", exact_mrl, pr_mrl),
+    ):
+        ex = exact.select("query_id", "neighbor_id")
+        qn = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_exact"))
+        hits = (
+            got.select("query_id", "neighbor_id")
+            .join(F.broadcast(ex), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        frames.append(
+            qn.join(F.broadcast(hits), "query_id", "left")
+            .fillna(0, ["hits"])
+            .select(
+                F.lit(name).alias("embedding_set"),
+                "query_id",
+                "k_exact",
+                "hits",
+            )
+        )
+    return (
+        frames[0]
+        .unionByName(frames[1])
+        .groupBy("embedding_set")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum("hits").cast("double") / F.sum("k_exact").cast("double"),
+                6,
+            ).alias("mean_recall"),
+            F.round(
+                F.min(
+                    F.col("hits").cast("double")
+                    / F.col("k_exact").cast("double")
+                ),
+                6,
+            ).alias("min_recall"),
+        )
+    )
+
+
+def _oracle_matryoshka_report() -> str:
+    """Static SQL: the reweighting CTE + the parametrized C5/C38 oracle
+    bodies over each embedding set + the C59 recall aggregation."""
+    blocks, selects = [], []
+    for name, topk, pr in (
+        ("raw", _topk_sql(), _prefix_rerank_sql()),
+        ("mrl", _topk_sql("mrl_emb"), _prefix_rerank_sql("mrl_emb")),
+    ):
+        blocks.append(f"""
+    e_{name} AS (SELECT query_id, neighbor_id FROM ({topk})),
+    m_{name} AS (SELECT query_id, neighbor_id FROM ({pr})),
+    qn_{name} AS (SELECT query_id, COUNT(*) AS k_exact
+                  FROM e_{name} GROUP BY 1),
+    h_{name} AS (SELECT e.query_id, COUNT(*) AS hits
+                 FROM e_{name} e
+                 JOIN m_{name} m ON m.query_id = e.query_id
+                                AND m.neighbor_id = e.neighbor_id
+                 GROUP BY 1),
+    r_{name} AS (SELECT '{name}' AS embedding_set,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   ROUND(CAST(SUM(COALESCE(h.hits, 0)) AS DOUBLE)
+                         / CAST(SUM(q.k_exact) AS DOUBLE), 6) AS mean_recall,
+                   ROUND(MIN(CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                         / CAST(q.k_exact AS DOUBLE)), 6) AS min_recall
+                 FROM qn_{name} q
+                 LEFT JOIN h_{name} h ON h.query_id = q.query_id)""")
+        selects.append(f"SELECT * FROM r_{name}")
+    return f"""
+    WITH mrl_emb AS MATERIALIZED (
+        SELECT vec_id, {_MRL_W_DUCK} AS embedding FROM embeddings
+    ),{",".join(blocks)}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+QUERIES["sim_matryoshka_recall_report"] = sim_matryoshka_recall_report
+ORACLES["sim_matryoshka_recall_report"] = _oracle_matryoshka_report()

@@ -13,7 +13,12 @@ Per micro-batch:
    rules (C21), contamination screen (C23) against a STATIC benchmark
    shingle index (a held-out eval suite is fixed up front; the batch
    operator derives the same set from the corpus's bench sources),
-   safety/blocklist screen (C60, r14) —
+   safety/blocklist screen (C60, r14), and the LEARNED quality filter
+   (C61, r15) against STATIC served model weights — the offline-train /
+   online-serve shape: the classifier is fitted once on the reference
+   corpus, its (b, w, m) rows are handed to the sink up front like the
+   benchmark index, and scoring a doc against fixed weights is a pure
+   per-doc function, so batch ≡ stream decisions hold exactly —
    and survivors append to the kept store (anti-join = idempotent);
 3. the CURRENT curated set is kept ∖ revoked: the dedup changelog
    applies as pure deletions (revocation is monotone — see
@@ -60,7 +65,11 @@ class StreamingCuration:
     benchmark index the contamination screen probes."""
 
     def __init__(
-        self, spark: SparkSession, state_dir: str, bench_shingles: DataFrame
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        bench_shingles: DataFrame,
+        model: "DataFrame | None" = None,
     ) -> None:
         self.spark = spark
         self.index = IncrementalDedupIndex(
@@ -69,6 +78,9 @@ class StreamingCuration:
         self.kept_path = os.path.join(state_dir, "kept")
         self.meta_path = os.path.join(state_dir, "meta.json")
         self.bench = bench_shingles
+        # C61 model weights (b, w, m) — static like the benchmark
+        # index; None = run without the learned-filter stage
+        self.model = model
         os.makedirs(state_dir, exist_ok=True)
         self.last_batch_id = -1
         if os.path.exists(self.meta_path):
@@ -111,6 +123,15 @@ class StreamingCuration:
             .join(contaminated, "doc_id", "left_anti")
             .join(blocked, "doc_id", "left_anti")
         )
+        if self.model is not None:
+            from euclid_spark.operators.quality_model import model_verdicts
+
+            mdl_drop = (
+                model_verdicts(self.spark, batch_df, self.model)
+                .filter(~F.col("model_keep"))
+                .select("doc_id")
+            )
+            cand = cand.join(mdl_drop, "doc_id", "left_anti")
         new_kept = cand.join(self._kept_store(), "doc_id", "left_anti")
         if not new_kept.isEmpty():
             new_kept.write.mode("append").parquet(self.kept_path)
@@ -127,13 +148,18 @@ class StreamingCuration:
 
 
 def run_streaming_curation(
-    stream: DataFrame, state_dir: str, bench_shingles: DataFrame
+    stream: DataFrame,
+    state_dir: str,
+    bench_shingles: DataFrame,
+    model: "DataFrame | None" = None,
 ) -> "tuple[StreamingQuery, StreamingCuration]":
     """Attach the curation sink to a streaming documents frame
     (schema CURATION_DOCS_SCHEMA)."""
     ck = os.path.join(state_dir, "_checkpoint")
     os.makedirs(ck, exist_ok=True)
-    sink = StreamingCuration(stream.sparkSession, state_dir, bench_shingles)
+    sink = StreamingCuration(
+        stream.sparkSession, state_dir, bench_shingles, model
+    )
     q = (
         stream.writeStream.foreachBatch(sink.process)
         .option("checkpointLocation", ck)

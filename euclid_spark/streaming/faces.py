@@ -525,7 +525,7 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_d.N_HASHES,
         band=_d.BAND_SIZE,
         cap=_d.MAX_BUCKET,
-        v=3,  # r14: C60 safety screen joined the row-local stages
+        v=4,  # r15: C61 learned filter joined (r14 v=3: C60 safety)
     )
 
     def build(tmp: str) -> DataFrame:
@@ -540,12 +540,19 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench = benchmark_shingles(
             docs.filter(F.col("source").isin(*BENCH_SOURCES))
         )
+        # the C61 model is STATIC too (offline-trained on the reference
+        # corpus, served weights handed to the sink up front — r15)
+        from euclid_spark.operators.quality_model import quality_model_weights
+
+        model = quality_model_weights(spark, sf_dir)
         stream = (
             spark.readStream.schema("doc_id long, text string, lang string, source string")
             .option("maxFilesPerTrigger", 1)
             .parquet(feed)
         )
-        q, sink = run_streaming_curation(stream, os.path.join(tmp, "state"), bench)
+        q, sink = run_streaming_curation(
+            stream, os.path.join(tmp, "state"), bench, model
+        )
         _run_stream(q, sink, n_feeds)
         return sink.kept()
 
@@ -808,12 +815,14 @@ def _dedup_pairs_sql() -> str:
 
 
 def _curation_kept_sql() -> str:
+    from euclid_spark.operators.quality_model import ORACLES as _QM
     from euclid_spark.operators.textops import BENCH_SOURCES, ORACLES as _TO
 
     samp = _TO["text_stratified_sample"]
     rep = _TO["text_repetition_filter"]
     contam = _TO["text_benchmark_overlap"]
     safety = _TO["text_safety_screen"]
+    qmodel = _QM["text_quality_model"]
     bench = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
     return f"""
         WITH RECURSIVE
@@ -825,8 +834,11 @@ def _curation_kept_sql() -> str:
                ON s.doc_id = c.doc_id
         LEFT JOIN (SELECT doc_id FROM ({safety}) WHERE blocked) x
                ON s.doc_id = x.doc_id
+        LEFT JOIN (SELECT doc_id FROM ({qmodel}) WHERE NOT model_keep) qm
+               ON s.doc_id = qm.doc_id
         WHERE c.doc_id IS NULL
           AND x.doc_id IS NULL
+          AND qm.doc_id IS NULL
           AND s.source NOT IN ({bench})
           AND s.doc_id NOT IN (
               SELECT doc_id FROM comp WHERE doc_id <> component
@@ -2074,6 +2086,49 @@ def _eth_state_sql(sf_dir: str) -> str:
     """
 
 
+def stream_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D34 face (r15) — the epoch-shard manifest served from the
+    INCREMENTALLY MAINTAINED bucket-keyed shard-row store after
+    streaming the corpus through the D34 sink in N_SPLITS adversarial
+    hash-split batches (shard_stream.py: per-doc tokenize+hash paid
+    once at ingest, appends touch only the hash-buckets a batch hits).
+    The gate compares the maintained manifest against C55's own batch
+    SQL over the full corpus — incremental ≡ batch for the exact
+    artifact a training dataloader consumes (the D19/D20 discipline)."""
+    from euclid_spark.operators.curation import EPOCH_SEED, SHARD_TOKENS
+    from euclid_spark.streaming.shard_stream import run_streaming_shards
+
+    fp = artifacts.corpus_fingerprint(
+        [f"{sf_dir}/documents.parquet"],
+        op="stream_epoch_shards",
+        n=N_SPLITS,
+        seed=EPOCH_SEED,
+        budget=SHARD_TOKENS,
+        v=1,
+    )
+
+    def build(tmp: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feed = os.path.join(tmp, "feed")
+        n_feeds = _write_splits(docs.select("doc_id", "text"), feed, "doc_id")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, sink = run_streaming_shards(stream, os.path.join(tmp, "state"))
+        _run_stream(q, sink, n_feeds)
+        return sink.manifest()
+
+    return _serve_streamed(spark, "stream_epoch_shards", fp, build)
+
+
+def _epoch_shards_sql() -> str:
+    from euclid_spark.operators.curation import ORACLES as _CO
+
+    return _CO["curation_epoch_shards"]
+
+
 DYNAMIC_ORACLES = {"stream_eth_account_state": _eth_state_sql}
 
 
@@ -2100,9 +2155,11 @@ QUERIES = {
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_drift_psi": stream_drift_psi,
     "stream_jsonl_ingest": stream_jsonl_ingest,
+    "stream_epoch_shards": stream_epoch_shards,
 }
 
 ORACLES = {
+    "stream_epoch_shards": _epoch_shards_sql(),
     "stream_range_tree_tiles": _range_tree_tiles_sql(),
     "stream_q2_key_tiles": _q2_key_tiles_sql(),
     "stream_hdr_quantile_tiles": _hdr_tiles_sql(),

@@ -209,3 +209,43 @@ def test_recall_report_matches_independent_computation(spark):
     assert abs(rep["lsh"]["mean_recall"] - micro) < 1e-6
     for r in rep.values():
         assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+
+
+def test_matryoshka_fixture_flips_prefix_recall(spark):
+    """C38b (r15): on the raw near-iid embeddings prefix-rerank recall
+    is poor (the honest C59 number); on the Matryoshka-reweighted
+    fixture the SAME pipeline clears a high floor — the property the
+    C38 docstring promises, demonstrated rather than asserted."""
+    from euclid_spark.operators.similarity import (
+        _mrl_emb,
+        sim_matryoshka_recall_report,
+    )
+
+    rep = {
+        r["embedding_set"]: r.asDict()
+        for r in sim_matryoshka_recall_report(spark, SF_ORACLE).collect()
+    }
+    assert set(rep) == {"raw", "mrl"}
+    assert rep["raw"]["mean_recall"] <= 0.5
+    assert rep["mrl"]["mean_recall"] >= 0.85
+    assert rep["mrl"]["mean_recall"] > rep["raw"]["mean_recall"] + 0.3
+
+    # the reweighting is a pure per-dim exact-power-of-two scaling:
+    # same dim count, dim 0 unchanged, dim 2k & 2k+1 scaled by 2^-k
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .limit(3)
+        .collect()
+    }
+    mrl = {
+        r["vec_id"]: r["embedding"]
+        for r in _mrl_emb(spark, SF_ORACLE)
+        .filter(F.col("vec_id").isin(*raw.keys()))
+        .collect()
+    }
+    for vid, e in raw.items():
+        m = mrl[vid]
+        assert len(m) == len(e)
+        for i in range(len(e)):
+            assert m[i] == float(e[i]) / (1 << (i // 2)), (vid, i)

@@ -24,11 +24,12 @@ from euclid_spark.streaming.curation_stream import StreamingCuration
 from tests.conftest import SF_SMOKE
 
 
-def _batch_reference(spark, docs, pairs, bench):
+def _batch_reference(spark, docs, pairs, bench, model):
     """The batch curation composition over `docs`, with the dedup
     keep-set from `pairs` (the index's LSH pair family) and the STATIC
-    benchmark index `bench` — the streaming contract: a held-out eval
-    suite is fixed up front, not discovered incrementally."""
+    benchmark index `bench` + C61 model weights `model` — the streaming
+    contract: the held-out eval suite and the trained classifier are
+    both fixed up front, not discovered incrementally."""
     is_bench = F.col("source").isin(*BENCH_SOURCES)
     labels = connected_components(pairs)
     drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
@@ -37,9 +38,15 @@ def _batch_reference(spark, docs, pairs, bench):
         .filter("contaminated")
         .select("doc_id")
     )
+    from euclid_spark.operators.quality_model import model_verdicts
     from euclid_spark.operators.textops import safety_counts
 
     blocked = safety_counts(docs).filter("blocked").select("doc_id")
+    mdl_drop = (
+        model_verdicts(spark, docs, model)
+        .filter(~F.col("model_keep"))
+        .select("doc_id")
+    )
     return (
         stratified_sample(docs)
         .filter(~is_bench)
@@ -47,6 +54,7 @@ def _batch_reference(spark, docs, pairs, bench):
               "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(blocked, "doc_id", "left_anti")
+        .join(mdl_drop, "doc_id", "left_anti")
         .join(drop, "doc_id", "left_anti")
     )
 
@@ -68,7 +76,10 @@ def test_streamed_curation_tracks_batch_composition(spark, tmp_path, split_docs)
     bench = benchmark_shingles(
         corpus.filter(F.col("source").isin(*BENCH_SOURCES))
     )
-    sink = StreamingCuration(spark, str(tmp_path / "state"), bench)
+    from euclid_spark.operators.quality_model import quality_model_weights
+
+    model = quality_model_weights(spark, SF_SMOKE)
+    sink = StreamingCuration(spark, str(tmp_path / "state"), bench, model)
 
     seen = None
     for i, f in enumerate(sorted(os.listdir(split_docs))):
@@ -78,7 +89,7 @@ def test_streamed_curation_tracks_batch_composition(spark, tmp_path, split_docs)
         got = {tuple(r) for r in sink.kept().collect()}
         exp = {
             tuple(r)
-            for r in _batch_reference(spark, seen, sink.index.pairs(), bench).collect()
+            for r in _batch_reference(spark, seen, sink.index.pairs(), bench, model).collect()
         }
         release_all()
         assert got == exp, f"curated set diverged at batch {i}"
@@ -87,7 +98,7 @@ def test_streamed_curation_tracks_batch_composition(spark, tmp_path, split_docs)
     final_pairs = dedup_minhash_lsh(spark, SF_SMOKE).select("doc_a", "doc_b")
     exp_final = {
         tuple(r)
-        for r in _batch_reference(spark, corpus, final_pairs, bench).collect()
+        for r in _batch_reference(spark, corpus, final_pairs, bench, model).collect()
     }
     got_final = {tuple(r) for r in sink.kept().collect()}
     release_all()
