@@ -162,6 +162,8 @@ HEADLINE = [
     "curation_model_filtered_mix",
     "sim_matryoshka_recall_report",
     "stream_epoch_shards",
+    "text_quality_model_calibration",
+    "stream_soft_dedup_weights",
 ]
 
 

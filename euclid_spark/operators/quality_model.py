@@ -500,7 +500,88 @@ def _oracle_data_card_with_model() -> str:
     """
 
 
+def text_quality_model_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C61c — CALIBRATION REPORT for the learned filter: the standard
+    reliability diagram every served classifier ships (public practice:
+    Guo et al. 2017 "On Calibration of Modern Neural Networks") as a
+    queryable face — per probability decile: doc count, mean predicted
+    probability, empirical positive rate, |gap|, plus the expected
+    calibration error (ECE = Σ n_b/N·|gap_b|, repeated per row so the
+    schema stays rectangular). All arithmetic in integer micros with
+    the B55 half-up mean rule — the decile key comes from the EXACT
+    probability micros (ROUND(prob·1e6) recovers the stored integer),
+    never from float×10 flooring, so bucket edges cannot drift a ulp
+    across engines. Reads the SERVED per-doc verdicts (no refit here);
+    the oracle refits via the C61 SQL and replays the same decile
+    aggregation — train → serve → calibrate in one hash."""
+    v = text_quality_model(spark, sf_dir)
+    m = v.select(
+        F.col("label").cast("long").alias("y"),
+        F.expr(f"CAST(ROUND(prob * {_MICROS}, 0) AS LONG)").alias("pm"),
+    )
+    b = m.groupBy(
+        F.least(F.lit(9), F.expr(f"pm div {_MICROS // 10}")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pm").alias("s"),
+        F.sum("y").alias("pos"),
+    )
+    hu = (
+        lambda s, d: f"CAST((2 * ({s}) + ({d})) div (2 * ({d})) AS LONG)"
+    )  # operands non-negative here
+    g = b.select(
+        "bucket",
+        "n_docs",
+        F.expr(hu("s", "n_docs")).alias("mp"),
+        F.expr(hu(f"pos * {_MICROS}", "n_docs")).alias("fp"),
+    ).withColumn("gap", F.abs(F.col("mp") - F.col("fp")))
+    tot = g.agg(
+        F.expr(hu("sum(n_docs * gap)", "sum(n_docs)")).alias("ece_mic")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(F.col("mp") / _MICROS, 6).alias("mean_prob"),
+            F.round(F.col("fp") / _MICROS, 6).alias("frac_pos"),
+            F.round(F.col("gap") / _MICROS, 6).alias("gap"),
+            F.round(F.col("ece_mic") / _MICROS, 6).alias("ece"),
+        )
+    )
+
+
+def _oracle_calibration() -> str:
+    hu = lambda s, d: f"CAST((2 * ({s}) + ({d})) // (2 * ({d})) AS BIGINT)"
+    return f"""
+    WITH v AS ({_oracle_quality_model()}),
+    m AS (SELECT CASE WHEN label THEN 1 ELSE 0 END AS y,
+                 CAST(ROUND(prob * {_MICROS}, 0) AS BIGINT) AS pm
+          FROM v),
+    b AS (SELECT LEAST(9, pm // {_MICROS // 10}) AS bucket,
+                 COUNT(*) AS n_docs, SUM(pm) AS s, SUM(y) AS pos
+          FROM m GROUP BY 1),
+    g AS (SELECT bucket, n_docs,
+                 {hu("s", "n_docs")} AS mp,
+                 {hu("pos * " + str(_MICROS), "n_docs")} AS fp
+          FROM b),
+    g2 AS (SELECT *, ABS(mp - fp) AS gap FROM g),
+    e AS (SELECT {hu("SUM(n_docs * gap)", "SUM(n_docs)")} AS ece_mic
+          FROM g2)
+    SELECT bucket, n_docs,
+           ROUND(mp / {_MICROS}.0, 6) AS mean_prob,
+           ROUND(fp / {_MICROS}.0, 6) AS frac_pos,
+           ROUND(gap / {_MICROS}.0, 6) AS gap,
+           ROUND((SELECT ece_mic FROM e) / {_MICROS}.0, 6) AS ece
+    FROM g2
+    """
+
+
 QUERIES = {"text_quality_model": text_quality_model}
 ORACLES = {"text_quality_model": _oracle_quality_model()}
+QUERIES["text_quality_model_calibration"] = text_quality_model_calibration
+ORACLES["text_quality_model_calibration"] = _oracle_calibration()
 QUERIES["text_data_card"] = text_data_card_with_model
 ORACLES["text_data_card"] = _oracle_data_card_with_model()

@@ -48,6 +48,8 @@ from euclid_spark.operators import (
 _NEWEST_FIRST = [
     # r15
     "text_quality_model",
+    "text_quality_model_calibration",
+    "stream_soft_dedup_weights",
     "curation_model_filtered_mix",
     "sim_matryoshka_recall_report",
     "stream_epoch_shards",

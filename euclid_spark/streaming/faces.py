@@ -2086,6 +2086,54 @@ def _eth_state_sql(sf_dir: str) -> str:
     """
 
 
+def stream_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D35 face (r15) — C54's soft-dedup TRAINING WEIGHTS computed from
+    the INCREMENTALLY MAINTAINED component labels (the third consumer
+    of the shared streamed dedup state, after D21's pair ledger and
+    D28's leakage-safe splits — the production one-index-many-consumers
+    shape): as near-duplicates stream in, cluster sizes grow and every
+    member's weight 1/|cluster| decays WITHOUT re-running batch dedup —
+    the sampling weights a soft-dedup trainer (Abbas et al. 2023,
+    SemDeDup-style down-weighting practice) reads stay fresh against a
+    growing corpus. Projection is two aggregates over the served label
+    scan (groupBy component, then an equi-join on the same key — one
+    exchange, reused); oracle = the same 1/|component| rule over the
+    LSH-pair recursive closure (the pair universe D21 maintains)."""
+    _, labels = _streamed_dedup_state(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    assigned = docs.join(labels, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
+    )
+
+
+def _soft_dedup_weights_sql() -> str:
+    return f"""
+        WITH RECURSIVE
+        {_lsh_closure_ctes()},
+        csize AS (
+            SELECT component, COUNT(*) AS cluster_size
+            FROM comp GROUP BY component
+        ),
+        assign AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT a.doc_id, a.component,
+               CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+               ROUND(1.0 / COALESCE(s.cluster_size, 1), 9) AS weight
+        FROM assign a LEFT JOIN csize s ON a.component = s.component
+    """
+
+
 def stream_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D34 face (r15) — the epoch-shard manifest served from the
     INCREMENTALLY MAINTAINED bucket-keyed shard-row store after
@@ -2156,10 +2204,12 @@ QUERIES = {
     "stream_drift_psi": stream_drift_psi,
     "stream_jsonl_ingest": stream_jsonl_ingest,
     "stream_epoch_shards": stream_epoch_shards,
+    "stream_soft_dedup_weights": stream_soft_dedup_weights,
 }
 
 ORACLES = {
     "stream_epoch_shards": _epoch_shards_sql(),
+    "stream_soft_dedup_weights": _soft_dedup_weights_sql(),
     "stream_range_tree_tiles": _range_tree_tiles_sql(),
     "stream_q2_key_tiles": _q2_key_tiles_sql(),
     "stream_hdr_quantile_tiles": _hdr_tiles_sql(),

@@ -94,3 +94,29 @@ def test_fit_partition_invariant(spark):
         wa = qm._fit(spark, feats_a, labels, n)
         wb = qm._fit(spark, feats_b, labels, n)
         assert wa == wb
+
+
+def test_calibration_report_internally_consistent(spark):
+    """C61c: deciles partition the corpus (Σn = corpus size), every
+    bucket's mean_prob sits inside its decile edges, and the reported
+    ECE equals the Σ n·|gap|/N recomputed from the report's own rows."""
+    rep = qm.text_quality_model_calibration(spark, SF_SMOKE).collect()
+    assert rep
+    n_total = sum(r["n_docs"] for r in rep)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert n_total == n_docs
+    eces = {r["ece"] for r in rep}
+    assert len(eces) == 1  # repeated per row, one value
+    micros = 1_000_000
+    recomputed = round(
+        sum(r["n_docs"] * abs(r["mean_prob"] - r["frac_pos"]) for r in rep)
+        / n_total,
+        5,
+    )
+    assert abs(eces.pop() - recomputed) < 2e-5
+    for r in rep:
+        lo, hi = r["bucket"] / 10.0, (r["bucket"] + 1) / 10.0
+        if r["bucket"] == 9:
+            hi = 1.0 + 1e-9
+        assert lo - 1e-9 <= r["mean_prob"] <= hi + 1e-9, r
+        assert 0.0 <= r["frac_pos"] <= 1.0

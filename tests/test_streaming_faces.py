@@ -142,3 +142,21 @@ def test_ivf_assign_face_matches_batch(spark, tmp_path, monkeypatch):
     n_corpus = corpus.count()
     assert streamed.select("neighbor_id").distinct().count() == n_corpus
     assert streamed.count() == n_corpus
+
+
+def test_stream_soft_dedup_weights_properties(spark):
+    """D35: per-cluster weights sum to ~1 (each member carries
+    1/|cluster|), every doc appears exactly once, weights in (0, 1]."""
+    rows = faces.stream_soft_dedup_weights(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_comp: dict = {}
+    for r in rows:
+        assert 0.0 < r["weight"] <= 1.0
+        assert r["cluster_size"] >= 1
+        by_comp.setdefault(r["component"], []).append(r)
+    assert any(len(v) > 1 for v in by_comp.values())  # dups exist at this SF
+    for comp, members in by_comp.items():
+        assert len(members) == members[0]["cluster_size"], comp
+        assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-6, comp
