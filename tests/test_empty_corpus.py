@@ -94,6 +94,12 @@ EMPTY_OK = {
     "text_safety_screen": 0,
     "curation_shard_roundtrip": 0,
     "sim_ivf_exact_fit_topk": 0,
+    # r15 faces
+    "text_quality_model": 0,
+    "text_quality_model_calibration": 0,
+    "curation_model_filtered_mix": 0,
+    "sim_matryoshka_recall_report": 0,
+    "stream_soft_dedup_weights": 0,
 }
 SCALAR_ROWS_OK = {"euclid_block_db_metadata"}  # MIN/MAX over empty → one null row
 
@@ -132,7 +138,7 @@ def test_streaming_faces_tolerate_empty_corpus(spark, empty_sf, monkeypatch, tmp
     for name in ("stream_ivm_view", "stream_state_rollup", "stream_ss_join",
                  "stream_dedup_pairs", "stream_range_tree_tiles",
                  "stream_ivf_assign", "stream_leakage_splits",
-                 "stream_ohlc_bars"):
+                 "stream_ohlc_bars", "stream_epoch_shards"):
         rows = qs[name](spark, empty_sf).collect()
         assert rows == [], name
         release_all()

@@ -43,6 +43,9 @@ OPS = [
     "rel_table_profile",
     "tpch_q1_pricing_summary",
     "curation_leakage_safe_split",
+    "text_quality_model",
+    "text_quality_model_calibration",
+    "curation_model_filtered_mix",
 ]
 
 
