@@ -84,10 +84,16 @@ def _path(name: str, fp: str, suffix: str = ".parquet") -> str:
 
 
 def load_frame(spark: SparkSession, name: str, fp: str) -> "DataFrame | None":
-    """The artifact as a plain parquet scan, or None if absent."""
+    """The artifact as a plain parquet scan, or None if absent. The
+    reader is memoized per (session, path, mtime) — artifact paths are
+    fingerprint-keyed and written atomically, so a given path's content
+    never changes and the lazy scan node can be shared by every
+    consumer (catalog.cached_parquet; no data is cached)."""
+    from euclid_spark.catalog import cached_parquet
+
     path = _path(name, fp)
     if os.path.exists(path):
-        return spark.read.parquet(path)
+        return cached_parquet(spark, path)
     return None
 
 
@@ -145,6 +151,45 @@ def save_frame(
     except OSError:  # concurrent builder won — deterministic, same bytes
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def stat_min_max(name: str, fp: str, column: str) -> "tuple":
+    """(MIN, MAX) of a column across a served artifact's parquet FOOTER
+    statistics — the stat_max discipline for both bounds at once (the
+    day-tile faces need the tile span; an `agg(min, max)` on the frame
+    scans every tile row, which grows with the corpus). Returns
+    (None, None) when the artifact is empty or carries no stats."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for p in glob.glob(os.path.join(_path(name, fp), "*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                if col.path_in_schema == column:
+                    st = col.statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
+def served_span(frame: "DataFrame", name: str, fp: str, column: str):
+    """(MIN, MAX) of `column` on a served artifact — footer statistics
+    when the artifact root is locally statable (no Spark job), else one
+    bounded frame aggregate (remote stores). The parameter fetch every
+    day-tile range face starts with."""
+    try:
+        return stat_min_max(name, fp, column)
+    except Exception:  # remote artifact store — resolve through Spark
+        from pyspark.sql import functions as F
+
+        row = frame.agg(
+            F.min(column).alias("lo"), F.max(column).alias("hi")
+        ).collect()[0]
+        return row["lo"], row["hi"]
 
 
 def stat_max(name: str, fp: str, column: str):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
@@ -73,7 +74,7 @@ def cdc_scd2_time_travel(spark, sf_dir: str) -> DataFrame:
     filter alone."""
     from pyspark.sql import SparkSession  # noqa: F401 (signature parity)
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "event_id", "value"
     )
     hist = scd2_apply(ev, "user_id", "event_id")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.operators.relational import CMS_ROWS, CMS_TOP, CMS_W
 
@@ -34,7 +35,7 @@ def serve_cms_day_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark import artifacts
 
     def build() -> DataFrame:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
             F.to_date("ts").alias("day"),
             "user_id",
             F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r"),
@@ -56,18 +57,28 @@ def cms_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles (⅕..⅘ probe bounds, the B51/B52 pattern)."""
     from datetime import timedelta
 
+    from euclid_spark import artifacts
+
     tiles = serve_cms_day_tiles(spark, sf_dir)
-    meta = tiles.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).collect()[0]  # bounded parameter fetch
-    if meta["d0"] is None:  # zero-row corpus
+    # tile-span parameter fetch from parquet FOOTER statistics (no
+    # Spark job; frame-agg fallback on remote stores — artifacts.py)
+    d0, d1 = artifacts.served_span(
+        tiles,
+        "cms_day_tiles",
+        artifacts.corpus_fingerprint(
+            [f"{sf_dir}/events.parquet"], op="cms_day_tiles",
+            r=CMS_ROWS, w=CMS_W,
+        ),
+        "day",
+    )
+    if d0 is None:  # zero-row corpus
         return spark.createDataFrame(
             [],
             "user_id long, exact_n long, est_n long, overcount long, rk int",
         )
-    span = (meta["d1"] - meta["d0"]).days
-    d_lo = meta["d0"] + timedelta(days=span // 5)
-    d_hi = meta["d0"] + timedelta(days=span * 4 // 5)
+    span = (d1 - d0).days
+    d_lo = d0 + timedelta(days=span // 5)
+    d_hi = d0 + timedelta(days=span * 4 // 5)
 
     cms = (
         tiles.filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
@@ -75,7 +86,7 @@ def cms_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
     )
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        cached_parquet(spark, f"{sf_dir}/events.parquet")
         .select(F.to_date("ts").alias("day"), "user_id")
         .filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
     )

@@ -37,6 +37,7 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 
@@ -183,7 +184,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus against non-canonical cluster members (read from the
     labeling artifact — the anti-join side is index-sized, not a rerun
     of the pair pipeline)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     comp = component_labels(spark, sf_dir)
     drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.operators import components, quality_model, textops
 from euclid_spark.operators.textops import BENCH_SOURCES
@@ -141,7 +142,7 @@ def _training_mix(
         .filter(~F.col("flagged"))
         .select("doc_id")
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id",
         "lang",
@@ -262,7 +263,7 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Leakage property (asserted in tests/test_dedup_guards.py): for
     every verified near-dup pair, split(doc_a) == split(doc_b)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     comp = components.component_labels(spark, sf_dir)
     assigned = docs.join(comp, "doc_id", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("doc_id"))
@@ -350,7 +351,7 @@ def dedup_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark.functions.text import normalized_text
     from euclid_spark.operators import dedup as _dd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     dmd5 = docs.select(
@@ -496,7 +497,7 @@ def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count over it — no pair pipeline re-run, no shuffle wider than the
     labels. The weight column is what a training loader joins on at
     sample time, so serving it per corpus version is the entire cost."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     comp = components.component_labels(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -699,7 +700,7 @@ def _shard_assignments(
     super-bucket) so no stage ever sorts or joins more than ~4096
     rows per group at any corpus size."""
     hexn = _shard_bucket_hex(sf_dir) if bucket_hex is None else bucket_hex
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     return _assignments_from_rows(
         _shard_rows(docs, seed, hexn), hexn, shard_tokens
     )

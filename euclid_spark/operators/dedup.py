@@ -31,6 +31,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.cache import persist_tracked
 from euclid_spark.functions.text import normalized_text, shingles, words
@@ -45,7 +46,7 @@ SIMHASH_MAX_HAMMING = 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
@@ -636,7 +637,7 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = cached_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").alias("e")
     )
     n_vec = emb.count()  # one scalar job — orchestration, like components
@@ -649,7 +650,7 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup_centroids",
         fp,
         lambda: kmeans_centroids(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=k, seed=42
+            cached_parquet(spark, f"{sf_dir}/embeddings.parquet"), k=k, seed=42
         ),
     )
     assign = persist_tracked(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 LC_BITS = 1024           # bitmap size m (supports ~1000s of distinct keys)
 LC_WORDS = LC_BITS // 64
@@ -63,7 +64,7 @@ def lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc_estimate). The estimate is −m·ln(zero_fraction) rounded to 2
     decimals (libm-ln, the BM25 determinism class); the set-bit count
     is integer-exact."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
         F.col("event_type").alias("grp"), F.col("user_id")
     )
     bm = lc_bitmap(ev, "grp", "user_id")
@@ -96,7 +97,7 @@ def serve_lc_day_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark import artifacts
 
     def build() -> DataFrame:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
             F.to_date("ts").alias("day"), "user_id"
         )
         return lc_bitmap(ev, "day", "user_id").withColumnRenamed("grp", "day")
@@ -116,19 +117,28 @@ def lc_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the distinct-count monoid; same probe bounds (⅕..⅘ days)."""
     from datetime import timedelta
 
+    from euclid_spark import artifacts
+
     tiles = serve_lc_day_tiles(spark, sf_dir)
-    meta = tiles.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).collect()[0]  # bounded parameter fetch
-    if meta["d0"] is None:  # zero-row corpus
+    # tile-span parameter fetch from parquet FOOTER statistics (no
+    # Spark job; frame-agg fallback on remote stores — artifacts.py)
+    d0, d1 = artifacts.served_span(
+        tiles,
+        "lc_day_tiles",
+        artifacts.corpus_fingerprint(
+            [f"{sf_dir}/events.parquet"], op="lc_day_tiles", m=LC_BITS
+        ),
+        "day",
+    )
+    if d0 is None:  # zero-row corpus
         return spark.createDataFrame(
             [],
             "d_lo date, d_hi date, n_rows long, exact_distinct long, "
             "n_set_bits long, lc_estimate double",
         )
-    span = (meta["d1"] - meta["d0"]).days
-    d_lo = meta["d0"] + timedelta(days=span // 5)
-    d_hi = meta["d0"] + timedelta(days=span * 4 // 5)
+    span = (d1 - d0).days
+    d_lo = d0 + timedelta(days=span // 5)
+    d_hi = d0 + timedelta(days=span * 4 // 5)
 
     merged = (
         tiles.filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
@@ -139,7 +149,7 @@ def lc_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).cast("long").alias("n_set_bits")
     )
     exact = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        cached_parquet(spark, f"{sf_dir}/events.parquet")
         .select(F.to_date("ts").alias("day"), "user_id")
         .filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
         .agg(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from euclid_spark.catalog import load_events
+from euclid_spark.catalog import cached_parquet, load_events
 from euclid_spark.functions.hashing import DIGEST_PRIME, MIX, digest_agg, digest_term
 
 # Query-2 style parameters (owner + block range), fixed so the oracle SQL
@@ -222,7 +222,7 @@ def storage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the reference's group-hashing digest (storage/digest_equal.rs): a
     commutative mod-prime sum of per-row mixes. Map-side combinable,
     traversal-order independent, skew-immune."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = cached_parquet(spark, f"{sf_dir}/customer.parquet")
     term = digest_term(F.col("c_custkey").cast("long"), F.col("c_nationkey").cast("long"))
     return (
         cust.groupBy(F.col("c_nationkey").alias("group_key"))
@@ -234,7 +234,7 @@ def length_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — cardinality validation (storage/length_match.rs): the number
     of extracted entries must equal the declared length. Here: lineitem
     count per order vs the max line number."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = cached_parquet(spark, f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_entries"),
         F.max("l_linenumber").alias("declared_len"),
@@ -333,7 +333,7 @@ def membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality — the SQL shape of "this entry is a member of the digest
     the query was proven against" (digest_equal binds entry set to the
     storage-DB root). The digest side is tiny → broadcast join."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = cached_parquet(spark, f"{sf_dir}/customer.parquet")
     digests = storage_digest(spark, sf_dir)
     rows = cust.filter(F.col("c_custkey") % 100 == 7)
     return rows.join(

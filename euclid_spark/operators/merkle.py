@@ -47,6 +47,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.cache import local_checkpoint_tracked, persist_tracked
 
@@ -133,6 +134,23 @@ def merkle_levels(
     return nodes, levels
 
 
+def _served_depth(nodes: DataFrame, name: str, fp: str) -> "int | None":
+    """Tree depth (max level) of a SERVED node artifact from its parquet
+    FOOTER statistics — O(row groups) metadata reads, no Spark job (the
+    range_tree.stat_max discipline: the previous `agg(max(level))` here
+    scanned every node row on EVERY query call, a per-call job whose
+    cost grows with the corpus). Falls back to the frame aggregate on
+    remote/unstatable artifact roots, where footers aren't a local
+    read."""
+    from euclid_spark import artifacts
+
+    try:
+        ml = artifacts.stat_max(name, fp, "level")
+    except Exception:  # remote artifact store — resolve through Spark
+        ml = nodes.agg(F.max("level")).collect()[0][0]
+    return None if ml is None else int(ml)
+
+
 def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 — Merkle opening paths for every entry of the per-nation
     customer table: (entry, leaf_pos, leaf_hash, path, root). Verifying
@@ -154,7 +172,7 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_leaves() -> DataFrame:
-        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        cust = cached_parquet(spark, f"{sf_dir}/customer.parquet")
         w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
         return cust.select(
             F.col("c_nationkey").alias("group_key"),
@@ -175,7 +193,7 @@ def merkle_membership_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
             persist_tracked(leaves).select("group_key", "pos", "node_hash")
         )[0],
     )
-    depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    depth = _served_depth(nodes, "merkle_nodes_customer", fp)
     return merkle_opening_paths(
         leaves, entry_cols=["c_custkey"], nodes=nodes, depth=depth
     )
@@ -502,7 +520,7 @@ def _owner_token_tree(
             "pos",
         ),
     )
-    depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    depth = _served_depth(nodes, "owner_token_nodes", fp)
     return leaves, nodes, depth
 
 
@@ -667,7 +685,9 @@ def _erc20_entry_tree(
         .repartitionByRange(8, "group_key")
         .sortWithinPartitions("group_key", "level", "pos"),
     )
-    depth = nodes.agg(F.max("level")).collect()[0][0]  # one-row fetch
+    depth = _served_depth(
+        nodes, "erc20_entry_nodes", _erc20_fp(sf_dir, rewards_rate, contract)
+    )
     return leaves, nodes, depth
 
 

@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.functions.imaging import decode_image
 
@@ -128,7 +129,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 def mm_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11 — binary-column pipeline: metadata projection stays columnar;
     only (doc_id, payload, metadata) flows into the Arrow extractor."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     binary = with_binary_payload(docs)
     return binary.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
@@ -143,7 +144,7 @@ def mm_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowing). Pure posexplode over a generated index — columnar
     end-to-end, no UDF; chunk count scales with payload size, rows stay
     bounded per task."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     n_chunks = F.ceil(F.length("text") / F.lit(CHUNK)).cast("int")
     # empty/NULL text ⇒ n_chunks 0/NULL: unguarded sequence(0, -1) would
     # count DOWN (emitting bogus chunk_idx 0 and -1); an empty array
@@ -177,7 +178,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub). All columnar: a stepped `sequence` generates the sampled
     frame indices, higher-order `transform` does the stride — no UDF,
     output rows ∝ payload size / (FRAME · STRIDE)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     n_frames = F.ceil(F.length("text") / F.lit(CHUNK)).cast("int")
     # empty/NULL text ⇒ n_frames 0/NULL: sequence(0, -1, 3) throws
     # 'Illegal sequence boundaries' (start > stop with positive step);
@@ -269,7 +270,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric arrays is engine-side by definition); the semantics are
     pinned by a pure-numpy reference comparison in
     tests/test_multimodal.py."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     binary = with_binary_payload(docs).select("doc_id", "payload")
     return binary.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)
 
@@ -613,7 +614,7 @@ def image_dhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_dhashes",
         fp,
         lambda: with_image_payload(
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            cached_parquet(spark, f"{sf_dir}/documents.parquet")
         ).mapInPandas(_dhash_batches, schema=DHASH_SCHEMA),
     )
 

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.cache import persist_tracked
 from euclid_spark.functions.text import shingles
@@ -197,8 +198,10 @@ def _scores(
     """Per-doc pico-scale logit zp under (w, w_bias) with the sparse
     centering correction: zp = Σ x·w − C + XBIAS·w_bias."""
     c_off = sum(mu[b] * w[b] for b in range(QM_BUCKETS))
-    wdf = spark.createDataFrame(
-        [(b, w[b]) for b in range(QM_BUCKETS)], "b long, w long"
+    from euclid_spark.catalog import local_frame
+
+    wdf = local_frame(
+        spark, [(b, w[b]) for b in range(QM_BUCKETS)], "b long, w long"
     )
     zd = (
         feats.join(F.broadcast(wdf), "b")
@@ -258,7 +261,7 @@ def quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         feats = persist_tracked(
-            _qm_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            _qm_features(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
         )
         labels = persist_tracked(_qm_labels(spark, sf_dir))
         n = labels.count()
@@ -288,8 +291,10 @@ def model_verdicts(
     c_off = sum(mu.get(b, 0) * wv for b, wv in w.items())
 
     fx = _qm_features(docs)
-    wdf = spark.createDataFrame(
-        [(b, wv) for b, wv in sorted(w.items())], "b long, w long"
+    from euclid_spark.catalog import local_frame
+
+    wdf = local_frame(
+        spark, [(b, wv) for b, wv in sorted(w.items())], "b long, w long"
     )
     zd = (
         fx.join(F.broadcast(wdf), "b")
@@ -326,7 +331,7 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         feats = persist_tracked(
-            _qm_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            _qm_features(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
         )
         labels = persist_tracked(_qm_labels(spark, sf_dir))
         n = labels.count()
@@ -470,7 +475,7 @@ def text_data_card_with_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the model depends on textops' scorers, and the import must
     stay one-directional (quality_model → textops)."""
     card = textops.text_data_card(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "lang"
     )
     drops = (

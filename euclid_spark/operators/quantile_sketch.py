@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 SUB_BITS = 4  # 16 linear sub-buckets per octave
 QS = (50, 90, 99)  # report p50/p90/p99
@@ -99,7 +100,7 @@ def hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-error audit, B44's pattern). Prices fixed-point scaled
     (cents) so every step is integer-exact in both engines; quantile
     ranks use integer ceiling division (no float thresholds)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
         F.col("l_returnflag").alias("grp"),
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
     )
@@ -133,7 +134,7 @@ def hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE percentile aggregate with the quantile array (one per-group
     # sort, not one per quantile — measured 3.1 → ~1 s at sf0.1)
     exact_side = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cached_parquet(spark, f"{sf_dir}/lineitem.parquet")
         .select(
             F.col("l_returnflag").alias("grp"),
             F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
@@ -166,7 +167,7 @@ def serve_hdr_day_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark import artifacts
 
     def build() -> DataFrame:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
             F.to_date("ts").alias("day"),
             F.floor(F.col("value") * 100).cast("long").alias("v"),
         ).filter(F.col("v") >= 1)
@@ -191,11 +192,20 @@ def hdr_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, the A22/A25 pattern; two collected scalars)."""
     from datetime import timedelta
 
+    from euclid_spark import artifacts
+
     tiles = serve_hdr_day_tiles(spark, sf_dir)
-    meta = tiles.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).collect()[0]  # bounded parameter fetch
-    if meta["d0"] is None:  # zero-row corpus
+    # tile-span parameter fetch from parquet FOOTER statistics (no
+    # Spark job; frame-agg fallback on remote stores — artifacts.py)
+    d0, d1 = artifacts.served_span(
+        tiles,
+        "hdr_day_tiles",
+        artifacts.corpus_fingerprint(
+            [f"{sf_dir}/events.parquet"], op="hdr_day_tiles", sb=SUB_BITS
+        ),
+        "day",
+    )
+    if d0 is None:  # zero-row corpus
         return spark.createDataFrame(
             [],
             "d_lo date, d_hi date, n long, "
@@ -203,9 +213,9 @@ def hdr_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"p{q}_est double, p{q}_exact double" for q in QS
             ),
         )
-    span = (meta["d1"] - meta["d0"]).days
-    d_lo = meta["d0"] + timedelta(days=span // 5)
-    d_hi = meta["d0"] + timedelta(days=span * 4 // 5)
+    span = (d1 - d0).days
+    d_lo = d0 + timedelta(days=span // 5)
+    d_hi = d0 + timedelta(days=span * 4 // 5)
 
     merged = (
         tiles.filter((F.col("day") >= d_lo) & (F.col("day") < d_hi))
@@ -241,7 +251,7 @@ def hdr_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = cum.groupBy("grp").agg(F.max("n").cast("long").alias("n"), *ests)
     # the exact audit side scans the range rows (what the tiles avoid)
     exact = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        cached_parquet(spark, f"{sf_dir}/events.parquet")
         .select(
             F.to_date("ts").alias("day"),
             F.floor(F.col("value") * 100).cast("long").alias("v"),

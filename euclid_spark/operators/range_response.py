@@ -297,12 +297,20 @@ def _element_sequence(
     cell_nodes: DataFrame,
     cover: "list[tuple[int, int]]",
     edges: "list[tuple[int, int]]",
-) -> "list[tuple[int, str, dict]]":
+    companions: "tuple[DataFrame, ...]" = (),
+) -> "tuple[list[tuple[int, str, dict]], list[list]]":
     """The response's ELEMENT SEQUENCE in block order — low-edge
     leaves, occupied cover-tile subtree roots, high-edge leaves — as
     (block_start, hash, meta) triples. Bounded: O(log range) tiles +
-    two < TILE_SIZE edge slices, fetched with two or three collects."""
-    elems: "list[tuple[int, str, dict]]" = []
+    two < TILE_SIZE edge slices. The edge fetch, the tile fetch and any
+    caller-supplied `companions` (other independent bounded fetches the
+    caller needs, e.g. the revealed-row set) run as ONE CONCURRENT WAVE
+    of jobs (catalog.collect_all, guide §2.6) instead of two-to-four
+    sequential driver round trips. Returns (elems, companion_rows)."""
+    from euclid_spark.catalog import collect_all
+
+    fetches: "list[DataFrame]" = []
+    edge_ix = tile_ix = None
     if edges:
         econd = reduce(
             lambda a, b: a | b,
@@ -312,17 +320,11 @@ def _element_sequence(
             ],
         )
         if family == "erc20":
-            edge_rows = (
+            edge_df = (
                 own_leaves.filter(econd)
                 .select("event_id", "node_hash")
-                .orderBy("event_id")
-                .collect()  # ≤ 2·TILE_SIZE blocks' entries — bounded
+                .orderBy("event_id")  # ≤ 2·TILE_SIZE blocks' entries
             )
-            for r in edge_rows:
-                elems.append(
-                    (int(r["event_id"]), r["node_hash"],
-                     {"edge_id": int(r["event_id"])})
-                )
         else:
             # Q2 edges commit the DISTINCT keys seen in the partial
             # cells — one element per key, hash = sha256(token_id) (the
@@ -335,21 +337,15 @@ def _element_sequence(
                 serve_q2_entry_store,
             )
 
-            edge_rows = (
+            edge_df = (
                 serve_q2_entry_store(spark, sf_dir, contract)
                 .filter(econd & (F.col("owner") == owner))
                 .groupBy("token_id")
                 .agg(F.min("event_id").alias("first_id"))
                 .orderBy("first_id")
-                .collect()
             )
-            for r in edge_rows:
-                h = hashlib.sha256(str(r["token_id"]).encode()).hexdigest()
-                elems.append(
-                    (int(r["first_id"]), h,
-                     {"edge_id": int(r["first_id"]),
-                      "edge_tok": int(r["token_id"])})
-                )
+        edge_ix = len(fetches)
+        fetches.append(edge_df)
     if cover:
         ccond = reduce(
             lambda a, b: a | b,
@@ -358,11 +354,34 @@ def _element_sequence(
                 for k, c in cover
             ],
         )
+        tile_ix = len(fetches)
+        fetches.append(
+            cell_nodes.filter(ccond & (F.col("owner") == owner))
+        )  # ≤ 2 per level — bounded
+    n_own = len(fetches)
+    fetches.extend(companions)
+    results = collect_all(*fetches) if fetches else []
+
+    elems: "list[tuple[int, str, dict]]" = []
+    if edge_ix is not None:
+        if family == "erc20":
+            for r in results[edge_ix]:
+                elems.append(
+                    (int(r["event_id"]), r["node_hash"],
+                     {"edge_id": int(r["event_id"])})
+                )
+        else:
+            for r in results[edge_ix]:
+                h = hashlib.sha256(str(r["token_id"]).encode()).hexdigest()
+                elems.append(
+                    (int(r["first_id"]), h,
+                     {"edge_id": int(r["first_id"]),
+                      "edge_tok": int(r["token_id"])})
+                )
+    if tile_ix is not None:
         tile_rows = {
             (int(r["level"]), int(r["pos"])): r["node_hash"]
-            for r in cell_nodes.filter(
-                ccond & (F.col("owner") == owner)
-            ).collect()  # ≤ 2 per level — bounded
+            for r in results[tile_ix]
         }
         for k, c in cover:
             if (k, c) in tile_rows:  # empty subtree ⇒ no element
@@ -371,7 +390,7 @@ def _element_sequence(
                      {"k": k, "c": c})
                 )
     elems.sort(key=lambda t: t[0])
-    return elems
+    return elems, results[n_own:]
 
 
 def _response_root(
@@ -403,7 +422,7 @@ def _response_root(
     if not cover and not edges:
         return None
     own_leaves = leaves.filter(F.col("owner") == int(owner))
-    elems = _element_sequence(
+    elems, _ = _element_sequence(
         spark, sf_dir, family, int(owner), contract, own_leaves,
         cell_nodes, cover, edges,
     )
@@ -411,6 +430,46 @@ def _response_root(
         _hdr(int(b_min), int(b_max), int(owner), rate),
         [h for _, h, _ in elems],
     )
+
+
+def _q2_key_companions(
+    spark: SparkSession,
+    sf_dir: str,
+    owner: int,
+    b_min: int,
+    b_max: int,
+    L: int,
+    contract: "str | None",
+    cover: "list[tuple[int, int]]",
+    own_leaves: DataFrame,
+) -> "tuple[DataFrame, ...]":
+    """The q2 revealed-key fetch as a LAZY frame so it can join the
+    element-sequence collect wave: the first-L distinct keys over the
+    range, read from the A26 key-tile tree when L fits its baked reveal
+    bound, else derived from the leaf store (range-proportional, the
+    honest cost of over-asking the circuit setup)."""
+    from euclid_spark.operators.range_tree import Q2_L, q2_range_tree_topl
+
+    if L <= Q2_L:
+        return (
+            q2_range_tree_topl(
+                spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max,
+                L=L, contract=contract,
+            ),
+        )
+    cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
+    ccond_all = (
+        reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("cell") >= lo) & (F.col("cell") <= hi)
+                for lo, hi in cov_cells
+            ],
+        )
+        if cov_cells
+        else F.lit(False)
+    )
+    return (own_leaves.filter(ccond_all).select("token_id").distinct(),)
 
 
 def _range_response(
@@ -437,15 +496,19 @@ def _range_response(
         ["event_id", "entry_reward_hex"] if family == "erc20" else ["token_id"]
     )
     order_col = "event_id" if family == "erc20" else "token_id"
-    empty = spark.createDataFrame(
-        [],
-        ", ".join(f"{c} {'string' if c == 'entry_reward_hex' else 'long'}"
-                  for c in payload_cols)
-        + ", leaf_hash string, path string, elem_idx int, elem_hash string,"
-        " elements string, response_root string, owner long, b_min long,"
-        " b_max long"
-        + (", rewards_rate long" if family == "erc20" else ""),
-    )
+
+    def empty() -> DataFrame:  # built only on the degenerate paths
+        return spark.createDataFrame(
+            [],
+            ", ".join(
+                f"{c} {'string' if c == 'entry_reward_hex' else 'long'}"
+                for c in payload_cols
+            )
+            + ", leaf_hash string, path string, elem_idx int, elem_hash"
+            " string, elements string, response_root string, owner long,"
+            " b_min long, b_max long"
+            + (", rewards_rate long" if family == "erc20" else ""),
+        )
 
     leaves, incell, cell_nodes, depth, incell_depth = serve_range_commitments(
         spark, sf_dir, family, rewards_rate, contract
@@ -453,29 +516,37 @@ def _range_response(
     b_min, b_max = _default_range(spark, sf_dir, b_min, b_max)
     cover, edges = tile_cover(b_min, b_max, depth)
     if not cover and not edges:
-        return empty
+        return empty()
 
     own_leaves = leaves.filter(F.col("owner") == owner)
 
-    # ---- element sequence (bounded: O(log range) tiles + 2 edge slices)
-    elems = _element_sequence(
+    # ---- element sequence (bounded: O(log range) tiles + 2 edge
+    # slices) + the independent revealed-row fetch, one concurrent wave
+    in_range = (F.col("event_id") >= b_min) & (F.col("event_id") < b_max)
+    companions: "tuple[DataFrame, ...]" = ()
+    if family == "erc20":
+        companions = (
+            own_leaves.filter(in_range)
+            .orderBy("event_id")
+            .limit(L)
+            .select("cell", "pos", "node_hash", *payload_cols),
+        )
+    else:
+        companions = _q2_key_companions(
+            spark, sf_dir, owner, b_min, b_max, L, contract, cover,
+            own_leaves,
+        )
+    elems, companion_rows = _element_sequence(
         spark, sf_dir, family, owner, contract, own_leaves, cell_nodes,
-        cover, edges,
+        cover, edges, companions=companions,
     )
     element_hashes = [h for _, h, _ in elems]
     elements_str = "/".join(element_hashes)
     root = _fold(_hdr(b_min, b_max, owner, rate), element_hashes)
 
     # ---- revealed rows: first L results in canonical order
-    in_range = (F.col("event_id") >= b_min) & (F.col("event_id") < b_max)
     if family == "erc20":
-        rev_rows = (
-            own_leaves.filter(in_range)
-            .orderBy("event_id")
-            .limit(L)
-            .select("cell", "pos", "node_hash", *payload_cols)
-            .collect()
-        )
+        rev_rows = companion_rows[0]
     else:
         # first-L distinct keys over the range, in key order, READ FROM
         # THE A26 KEY-TILE TREE (O(log range) — the same universe: keys
@@ -484,45 +555,20 @@ def _range_response(
         # just those ≤ L keys (the previous formulation windowed over
         # EVERY candidate key in the range — interior-proportional work
         # the 100× probe exposed)
-        from euclid_spark.operators.range_tree import (
-            Q2_L,
-            q2_range_tree_topl,
-        )
+        from euclid_spark.operators.range_tree import Q2_L
 
         edge_first_ids = {
             m["edge_tok"] for _, _, m in elems if "edge_tok" in m
         }
         cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
+        key_rows = companion_rows[0]  # fetched in the wave above
         if L <= Q2_L:
-            keys = sorted(
-                int(r["token_id"])
-                for r in q2_range_tree_topl(
-                    spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max,
-                    L=L, contract=contract,
-                ).collect()
-            )
+            keys = sorted(int(r["token_id"]) for r in key_rows)
         else:
-            # beyond the tree's baked reveal width: derive the key set
+            # beyond the tree's baked reveal width: the key set came
             # from the leaf store (range-proportional, the honest cost
             # of over-asking the circuit setup)
-            ccond_all = (
-                reduce(
-                    lambda a, b: a | b,
-                    [
-                        (F.col("cell") >= lo) & (F.col("cell") <= hi)
-                        for lo, hi in cov_cells
-                    ],
-                )
-                if cov_cells
-                else F.lit(False)
-            )
-            covered_toks = {
-                int(r["token_id"])
-                for r in own_leaves.filter(ccond_all)
-                .select("token_id")
-                .distinct()
-                .collect()
-            }
+            covered_toks = {int(r["token_id"]) for r in key_rows}
             keys = sorted(covered_toks | edge_first_ids)[:L]
         cov_keys = [t for t in keys if t not in edge_first_ids]
         cand: "dict[int, dict]" = {}
@@ -593,19 +639,11 @@ def _range_response(
                 return k, c, i
         return None
 
-    # bounded fetch 1: in-cell nodes of the touched cells
-    in_nodes: "dict[str, dict]" = {}
+    # bounded fetches 1+2 (one concurrent wave): the in-cell nodes of
+    # the ≤ L touched cells and the ≤ L·depth cell-tree siblings
+    from euclid_spark.catalog import collect_all
+
     gks = sorted({f"{owner}|{r['cell']}" for r in cov_rows})
-    if gks:
-        for n in (
-            incell.filter(F.col("group_key").isin(gks))
-            .select("group_key", "level", "pos", "node_hash")
-            .collect()
-        ):
-            in_nodes.setdefault(n["group_key"], {})[
-                (int(n["level"]), int(n["pos"]))
-            ] = n["node_hash"]
-    # bounded fetch 2: the needed cell-tree siblings
     need: "set[tuple[int, int]]" = set()
     for r in cov_rows:
         t = _tile_for(int(r["cell"]))
@@ -613,7 +651,13 @@ def _range_response(
             for j in range(t[0]):
                 anc = int(r["cell"]) >> j
                 need.add((j, anc + 1 if anc % 2 == 0 else anc - 1))
-    cell_sibs: "dict[tuple[int, int], str]" = {}
+    wave: "list[DataFrame]" = []
+    if gks:
+        wave.append(
+            incell.filter(F.col("group_key").isin(gks)).select(
+                "group_key", "level", "pos", "node_hash"
+            )
+        )
     if need:
         ncond = reduce(
             lambda a, b: a | b,
@@ -622,9 +666,17 @@ def _range_response(
                 for j, p in sorted(need)
             ],
         )
-        for n in cell_nodes.filter(
-            ncond & (F.col("owner") == owner)
-        ).collect():
+        wave.append(cell_nodes.filter(ncond & (F.col("owner") == owner)))
+    wave_rows = collect_all(*wave) if wave else []
+    in_nodes: "dict[str, dict]" = {}
+    if gks:
+        for n in wave_rows[0]:
+            in_nodes.setdefault(n["group_key"], {})[
+                (int(n["level"]), int(n["pos"]))
+            ] = n["node_hash"]
+    cell_sibs: "dict[tuple[int, int], str]" = {}
+    if need:
+        for n in wave_rows[-1]:
             cell_sibs[(int(n["level"]), int(n["pos"]))] = n["node_hash"]
 
     out_rows: "list[tuple]" = []
@@ -680,7 +732,10 @@ def _range_response(
                 if fe is not None:
                     out_rows.append((r["token_id"], fe[1], "", fe[0]))
 
-    res = spark.createDataFrame(
+    from euclid_spark.catalog import local_frame
+
+    res = local_frame(
+        spark,
         out_rows,
         ", ".join(
             f"{c} {'string' if c == 'entry_reward_hex' else 'long'}"
@@ -835,7 +890,10 @@ def _verify_range_response(
             spark, sf_dir, family, p["owner"], p["b_min"], p["b_max"],
             p["rewards_rate"] if family == "erc20" else None, None,
         )
-    exp_df = spark.createDataFrame(
+    from euclid_spark.catalog import local_frame
+
+    exp_df = local_frame(
+        spark,
         [(o, lo, hi, r) for (o, lo, hi), r in expected.items()],
         "owner long, b_min long, b_max long, expected_root string",
     )

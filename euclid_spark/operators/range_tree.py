@@ -170,18 +170,29 @@ def range_tree_agg(
     parquet scan (row-group pruning keeps it ∝ TILE_SIZE); the final
     fold is one aggregate over ~40 bounded rows. Nothing scans the
     range interior."""
+    from euclid_spark import artifacts
+
     tiles = serve_range_tree(spark, sf_dir)
-    meta = tiles.agg(
-        F.max("level").alias("max_level"),
-        F.max(F.col("max_block")).alias("max_block"),
-    ).collect()[0]  # bounded parameter fetch (two scalars)
-    if meta["max_level"] is None:  # zero-row corpus: no tiles, no range
+    # served metadata from parquet FOOTER statistics (the stat_max
+    # discipline — the previous two-scalar agg scanned every tile row
+    # per call, a job that grows with the corpus); Spark fallback for
+    # remote artifact roots
+    try:
+        fp = _range_tree_fp(sf_dir)
+        ml = artifacts.stat_max("range_tree_tiles", fp, "level")
+        mb = artifacts.stat_max("range_tree_tiles", fp, "max_block")
+    except Exception:  # remote artifact store — resolve through Spark
+        meta = tiles.agg(
+            F.max("level").alias("ml"), F.max(F.col("max_block")).alias("mb")
+        ).collect()[0]
+        ml, mb = meta["ml"], meta["mb"]
+    if ml is None:  # zero-row corpus: no tiles, no range
         return spark.createDataFrame(
             [],
             "b_min long, b_max long, n_events long, total_value double, "
             "min_block long, max_block long, range_digest long",
         )
-    max_level, max_block = int(meta["max_level"]), int(meta["max_block"])
+    max_level, max_block = int(ml), int(mb)
     if b_min is None:
         b_min = max_block // 5
     if b_max is None:

@@ -26,7 +26,9 @@ from euclid_spark.catalog import load_events
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from euclid_spark.catalog import cached_parquet
+
+    return cached_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --- B1: TPC-H Q1 pricing summary -------------------------------------------

@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.functions.vectors import cosine, dot
 
@@ -35,7 +36,7 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _topk_over(emb: DataFrame) -> DataFrame:
@@ -299,7 +300,9 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             ).to_parquet(tmp, index=False)
             os.replace(tmp, artifact)  # atomic: concurrent fitters agree
-    return spark.createDataFrame(_CENTROIDS[fp], "cid int, cemb array<double>")
+    from euclid_spark.catalog import local_frame
+
+    return local_frame(spark, _CENTROIDS[fp], "cid int, cemb array<double>")
 
 
 def _nearest_centroids(
@@ -349,7 +352,7 @@ def ivf_inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if os.path.exists(artifact):
-            assign = spark.read.parquet(artifact)
+            assign = cached_parquet(spark, artifact)
             corpus = corpus_emb.join(assign, "neighbor_id")
         else:
             cent = ivf_centroids(spark, sf_dir)
@@ -1023,9 +1026,11 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method", "query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    from euclid_spark.catalog import local_frame
+
     grid = qn.crossJoin(
-        spark.createDataFrame(
-            [(name,) for name, _ in RECALL_METHODS], "method string"
+        local_frame(
+            spark, [(name,) for name, _ in RECALL_METHODS], "method string"
         )
     )
     per_q = grid.join(

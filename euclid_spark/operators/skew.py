@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from euclid_spark.catalog import cached_parquet
+
 DEFAULT_SALTS = 16
 
 
@@ -130,7 +132,7 @@ def skew_salted_enrich_join(spark, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).select("user_id", "value")
     cust = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        cached_parquet(spark, f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
     joined = salted_join(ev, cust, "user_id")

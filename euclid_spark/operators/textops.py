@@ -13,6 +13,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.cache import persist_tracked
 from euclid_spark.functions.hashing import DIGEST_PRIME
@@ -36,7 +37,7 @@ LANG_MARKERS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _nonempty_words() -> F.Column:

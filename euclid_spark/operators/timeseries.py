@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 
 def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,7 +31,7 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SinglePartition. The last aggregation key (user, day) is the same
     key the explode produced, so the window rides the join's
     partitioning."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet")
     # skip-NULL-writes rule (the A7 pin, caught by the null-injected
     # crosscheck): the day's observation is the latest NON-NULL value.
     # Spelled as max_by over a NULLed-out ordering (rows with a NULL
@@ -82,7 +83,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     v·Δt accumulated in DECIMAL(38,6) — addition-order independent, so
     the hash matches the oracle under any merge order (the q15 rule).
     One lead() window per user + one aggregation on the same key."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_id",
         F.col("ts").cast("timestamp").alias("t"),
@@ -131,7 +132,7 @@ def event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sessionize/funnel shuffle uses; gap arithmetic in exact integer
     microseconds; no self-join (the naive formulation is an
     events×events time-range join)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
         "event_id",
         "user_id",
         "event_type",
@@ -163,7 +164,7 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash cannot drift under any merge order. One window +
     one aggregation on the same (user, hour) key — the window rides
     the aggregation's shuffle."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_id",
         F.col("ts").cast("timestamp").alias("t"),
@@ -209,7 +210,7 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one groupBy(user) over decimal partials (map-side
     combinable) + one broadcast-or-shuffle join back on the same key;
     output is only the flagged rows (thresholded-output rule)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "value"
     )
     dv = F.col("value").cast("decimal(18,6)")
@@ -377,7 +378,7 @@ def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     double (the shared-sequence rule); one map-side-combinable
     aggregate, output bounded at types × 24 × 7 regardless of corpus
     size."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet")
     t = F.col("ts").cast("timestamp")
     dv = F.col("value").cast("decimal(18,6)")
     g = ev.groupBy(

@@ -99,6 +99,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from euclid_spark.catalog import cached_parquet
 
 from euclid_spark import artifacts
 from euclid_spark.functions.hashing import DIGEST_PRIME, MIX, digest_agg, digest_term
@@ -248,7 +249,7 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -304,7 +305,7 @@ def stream_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -349,7 +350,7 @@ def stream_block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         q, sink = run_digest_chain(
             read_event_stream(spark, feed), os.path.join(tmp, "ck")
@@ -396,7 +397,7 @@ def _streamed_dedup_state(
     try:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            cached_parquet(spark, f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             ),
             feed,
@@ -449,7 +450,7 @@ def stream_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from euclid_spark.operators.curation import SPLIT_TRAIN, SPLIT_VALID
 
     _, labels = _streamed_dedup_state(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     assigned = docs.join(labels, "doc_id", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("doc_id"))
     )
@@ -529,7 +530,7 @@ def stream_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(tmp: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
             docs.select("doc_id", "text", "lang", "source"), feed, "doc_id"
@@ -582,7 +583,7 @@ def stream_substring_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            cached_parquet(spark, f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             ),
             feed,
@@ -663,7 +664,7 @@ def stream_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The monoid faces tolerate arbitrary order; eviction-based
         # operators define correctness only within their lateness bound.
         _write_time_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "ts"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "ts"
         )
         out = os.path.join(tmp, "out")
         q = (
@@ -704,7 +705,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         _write_time_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "ts"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "ts"
         )
         agg = (
             read_event_stream(spark, feed)
@@ -881,7 +882,7 @@ def stream_range_tree_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -946,7 +947,7 @@ def stream_q2_key_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1054,7 +1055,7 @@ def stream_hdr_quantile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1097,7 +1098,7 @@ def stream_lc_distinct_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1219,7 +1220,7 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1441,7 +1442,7 @@ def stream_erc20_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1513,7 +1514,7 @@ def stream_erc20_cell_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1591,7 +1592,7 @@ def stream_q2_cell_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1745,7 +1746,7 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -1828,7 +1829,7 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(tmp: str) -> DataFrame:
-        corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        corpus = cached_parquet(spark, f"{sf_dir}/embeddings.parquet").filter(
             F.col("vec_id") >= N_QUERIES
         )
         # the fixed up-front model: K lowest-vec_id corpus vectors
@@ -2019,7 +2020,7 @@ def stream_eth_account_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> DataFrame:
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(
-            spark.read.parquet(f"{sf_dir}/events.parquet"), feed, "event_id"
+            cached_parquet(spark, f"{sf_dir}/events.parquet"), feed, "event_id"
         )
         view, ck = os.path.join(tmp, "view"), os.path.join(tmp, "ck")
         os.makedirs(ck, exist_ok=True)
@@ -2100,7 +2101,7 @@ def stream_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, reused); oracle = the same 1/|component| rule over the
     LSH-pair recursive closure (the pair universe D21 maintains)."""
     _, labels = _streamed_dedup_state(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     assigned = docs.join(labels, "doc_id", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("doc_id"))
     )
@@ -2156,7 +2157,7 @@ def stream_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(tmp: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
         feed = os.path.join(tmp, "feed")
         n_feeds = _write_splits(docs.select("doc_id", "text"), feed, "doc_id")
         stream = (
