@@ -284,7 +284,7 @@ def _fixture_fp(sf_dir: str) -> str:
 
     return artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"], op="eth_proof_fixture",
-        slot=MAPPING_SLOT, v=2,
+        slot=MAPPING_SLOT, v=3,  # v3: rebalanced (size-proportional) layout
     )
 
 
@@ -491,9 +491,20 @@ def eth_proof_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix int, chain array<string>, repl string",
         )
         # assembled proof = top chain + (re-pathed sub-root | reused
-        # executor encoding) + the rest of the local sub-proof
+        # executor encoding) + the rest of the local sub-proof.
+        # REBALANCE on the write (guide §6): the upstream prefix shuffle
+        # leaves shuffle.partitions-many part files regardless of size
+        # (32 tiny files at the local SFs), and the verify face runs
+        # mapInPandas straight over the scan — one Python worker init
+        # per file (~0.3 s each after Spark's 60 s idle reaping), which
+        # dominated the face's first/warm-after-idle wall. AQE sizes the
+        # output to advisoryPartitionSizeInBytes instead, so file count
+        # tracks data volume at every scale (1 file locally, ~64 MB
+        # files at cluster scale) — a build-once cost the serve path
+        # never re-pays.
         return (
             acc2.join(F.broadcast(chain_df), "prefix")
+            .hint("rebalance")
             .withColumn(
                 "accountProof",
                 F.concat(
