@@ -56,8 +56,10 @@ def persist_tracked(
     return df
 
 
-def local_checkpoint_tracked(df: DataFrame, owner: str = DEFAULT_OWNER) -> DataFrame:
-    """`df.localCheckpoint(eager=True)` with deterministic release.
+def local_checkpoint_tracked(
+    df: DataFrame, owner: str = DEFAULT_OWNER, eager: bool = True
+) -> DataFrame:
+    """`df.localCheckpoint(eager)` with deterministic release.
 
     A local checkpoint persists its RDD outside the DataFrame cache
     manager; nothing unpersists it until JVM GC + ContextCleaner get
@@ -65,9 +67,15 @@ def local_checkpoint_tracked(df: DataFrame, owner: str = DEFAULT_OWNER) -> DataF
     trie walks) would strand one persisted RDD per round for the life
     of a long session. The checkpointed DataFrame's analyzed plan is a
     LogicalRDD wrapping exactly the persisted RDD — record that id under
-    `owner` and unpersist it in release_checkpoints(owner)."""
+    `owner` and unpersist it in release_checkpoints(owner).
+
+    `eager=False` defers materialization to the caller's NEXT action
+    over the returned frame (local checkpoints cache their partitions
+    as that job computes them, then truncate lineage) — an iterative
+    operator that needs a per-round scalar anyway (frontier count)
+    fuses checkpoint + fetch into ONE Spark job instead of two."""
     jsc = df.sparkSession.sparkContext._jsc.sc()
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     rid = out._jdf.queryExecution().analyzed().rdd().id()
     with _LOCK:
         _CKPT_IDS.setdefault(owner, []).append((jsc, rid))

@@ -68,11 +68,18 @@ def connected_components(
     # checkpoint otherwise — either way the LINEAGE is truncated, which is
     # the point (see module docstring: plans grow 4^rounds without it)
     if sym.sparkSession.sparkContext.getCheckpointDir():
+        # reliable checkpoints write files on a separate recomputation
+        # when lazy — keep both call sites eager on a cluster
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+        _ckpt_lazy = _ckpt
     elif ckpt_owner is not None:
         _ckpt = lambda df: local_checkpoint_tracked(df, owner=ckpt_owner)  # noqa: E731
+        _ckpt_lazy = lambda df: local_checkpoint_tracked(  # noqa: E731
+            df, owner=ckpt_owner, eager=False
+        )
     else:
         _ckpt = local_checkpoint_tracked
+        _ckpt_lazy = lambda df: local_checkpoint_tracked(df, eager=False)  # noqa: E731
 
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = _ckpt(nodes.withColumn("component", F.col("doc_id")))
@@ -104,9 +111,12 @@ def connected_components(
             F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
         )
         # the pre-round label is carried through the round as a column,
-        # so convergence is a filter-count on the (already materialized)
-        # checkpoint — no extra old⋈new shuffle join per round
-        new_labels = _ckpt(
+        # so convergence is a filter-count on the checkpoint. The
+        # checkpoint is LAZY and the count is its materializing action:
+        # checkpoint + convergence test ride ONE Spark job per round
+        # (walk_tries' fused-round pattern; one_hop above stays eager
+        # because the self-join reads it twice inside this very job).
+        new_labels = _ckpt_lazy(
             one_hop.join(ptr, one_hop.component == ptr.p_id, "left").select(
                 "doc_id",
                 "old_component",

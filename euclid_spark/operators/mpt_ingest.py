@@ -215,11 +215,16 @@ def walk_tries(
     accumulate across batches)."""
     spark = decoded.sparkSession
     if spark.sparkContext.getCheckpointDir():
+        # reliable checkpoints write files on a SEPARATE recomputation
+        # when lazy — keep them eager (the round below still saves the
+        # isEmpty job by reading the frontier count off the count call)
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     elif ckpt_owner is not None:
-        _ckpt = lambda df: local_checkpoint_tracked(df, owner=ckpt_owner)  # noqa: E731
+        _ckpt = lambda df: local_checkpoint_tracked(  # noqa: E731
+            df, owner=ckpt_owner, eager=False
+        )
     else:
-        _ckpt = local_checkpoint_tracked
+        _ckpt = lambda df: local_checkpoint_tracked(df, eager=False)  # noqa: E731
 
     if persist_nodes:
         # caller-owned lifecycle (cache.release_all): the emitted frames
@@ -337,7 +342,11 @@ def walk_tries(
         state = frontier
         for _ in range(LEVELS_PER_ROUND):
             state = step(state)  # lazy: no job, no checkpoint per level
-        state = _ckpt(state)  # the round's ONE materialization
+        state = _ckpt(state)  # LAZY checkpoint: materialized by the
+        # frontier count below — checkpoint + round-termination test in
+        # ONE Spark job per round (the eager-ckpt + isEmpty pair paid
+        # two scheduling round trips per round; a local checkpoint
+        # caches its partitions as the first action computes them)
         emitted.append(
             state.filter("is_emit").select(
                 "owner", F.col("prefix").alias("key_nibbles"), "value"
@@ -348,7 +357,7 @@ def walk_tries(
                 state.filter("is_parked").select("owner", "node_hash", "prefix")
             )
         frontier = state.filter(~F.col("is_emit") & ~F.col("is_parked"))
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
     else:
         raise RuntimeError("walk_tries: depth exceeds MPT maximum — cyclic refs?")
