@@ -417,8 +417,16 @@ def verifiable_query_response(
     leaves, nodes, depth = _owner_token_tree(spark, sf_dir, contract)
     owner_leaves = leaves.filter(F.col("group_key") == owner)
     owner_nodes = nodes.filter(F.col("group_key") == owner)
+    # reveal the first L only — leaf numbering IS the canonical token
+    # order, so `pos < L` selects exactly the rows the orderBy+limit
+    # below keeps. The limit itself CANNOT push through the path
+    # aggregation (Catalyst pushes filters on grouping keys, not
+    # limits), so without this predicate the ×depth explode + sibling
+    # join built openings for the owner's whole token set; with it the
+    # leaf scan prunes to pos < L (PushedFilters, plans/r15).
     paths = merkle_opening_paths(
-        owner_leaves, entry_cols=["token_id"], nodes=owner_nodes, depth=depth
+        owner_leaves.filter(F.col("pos") < L),
+        entry_cols=["token_id"], nodes=owner_nodes, depth=depth,
     )
     revealed = paths.orderBy("token_id").limit(L)
     return revealed.crossJoin(
@@ -549,10 +557,17 @@ def batch_verifiable_responses(
 
     L = TOP_L if L is None else int(L)
     leaves, nodes, depth = _owner_token_tree(spark, sf_dir)
+    # revealed = leaf_pos < L, and leaf_pos IS the stored pos column:
+    # filter the leaves at the source. Catalyst already pushes the
+    # post-aggregation leaf_pos filter through the groupBy + explode
+    # (it is a grouping-key predicate), so this is shape-equivalent —
+    # stated explicitly so the n_owners·L bound on the path build is
+    # structural, not an optimizer obligation
     paths = merkle_opening_paths(
-        leaves, entry_cols=["token_id"], nodes=nodes, depth=depth
+        leaves.filter(F.col("pos") < L),
+        entry_cols=["token_id"], nodes=nodes, depth=depth,
     )
-    revealed = paths.filter(F.col("leaf_pos") < L)
+    revealed = paths
     return revealed.crossJoin(
         F.broadcast(_range_provenance(spark, sf_dir))
     ).select(
@@ -779,14 +794,18 @@ def erc20_verifiable_response(
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
     leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir, rewards_rate, contract)
     owner_leaves = leaves.filter(F.col("group_key") == owner)
+    # leaf numbering IS the canonical (block-order) rank — no window.
+    # pos < L at the source is shape-equivalent to filtering leaf_pos
+    # after the path build (Catalyst pushes grouping-key predicates),
+    # stated explicitly so the L-bound is structural; the total-reward
+    # branch below still folds the owner's FULL leaf set
     paths = merkle_opening_paths(
-        owner_leaves.drop("zs", "of"),
+        owner_leaves.filter(F.col("pos") < L).drop("zs", "of"),
         entry_cols=["event_id", "entry_reward_hex"],
         nodes=nodes.filter(F.col("group_key") == owner),
         depth=depth,
     )
-    # leaf numbering IS the canonical (block-order) rank — no window
-    revealed = paths.filter(F.col("leaf_pos") < L)
+    revealed = paths
     reward = _owner_rewards_from_leaves(owner_leaves).drop("owner")
     return (
         revealed.crossJoin(F.broadcast(reward))
@@ -830,11 +849,16 @@ def erc20_batch_verifiable_responses(
     L = TOP_L if L is None else int(L)
     rate = REWARDS_RATE if rewards_rate is None else int(rewards_rate)
     leaves, nodes, depth = _erc20_entry_tree(spark, sf_dir, rewards_rate)
+    # pos < L at the source (see A23): openings are built for the
+    # n_owners·L revealed rows only — shape-equivalent to the prior
+    # post-build filter, stated structurally; the per-owner reward
+    # fold below still reads every leaf
     paths = merkle_opening_paths(
-        leaves.drop("zs", "of"), entry_cols=["event_id", "entry_reward_hex"],
+        leaves.filter(F.col("pos") < L).drop("zs", "of"),
+        entry_cols=["event_id", "entry_reward_hex"],
         nodes=nodes, depth=depth,
     )
-    revealed = paths.filter(F.col("leaf_pos") < L)
+    revealed = paths
     rewards = _owner_rewards_from_leaves(leaves)
     return (
         revealed.join(
