@@ -68,16 +68,34 @@ def preprocessing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction output is PINNED: both digest paths (direct + bucketed
     # re-fold) consume it, and at production scale this frame is the
     # materialized indexing artifact every stage reads — one scan, one
-    # extraction pass, exactly api.rs's staged hand-off
+    # extraction pass, exactly api.rs's staged hand-off.
+    # r15: pinned PRE-PARTITIONED on the (day, owner) key every stage
+    # groups or joins on — hashpartitioning(day, owner) satisfies the
+    # clustering requirement of the acct aggregate (including both
+    # levels of its multi-distinct resolution, which otherwise
+    # re-shuffles ×(n_distincts+1)-expanded rows), the (day, owner,
+    # bucket) partials, the refold, and the acct⋈refolded join: ONE
+    # exchange of the extraction output where the r14 plan paid five
+    # (plans/r15/euclid_preprocessing_pipeline_{before,after}.txt)
     entries = persist_tracked(
-        ev.filter(tok.isNotNull()).select(
+        ev.filter(tok.isNotNull())
+        .select(
             F.to_date("ts").alias("day"),
             F.col("user_id").alias("owner"),
             "event_id",
             tok.alias("token_id"),
             F.sha2(F.concat(key_hex, slot_hex), 256).alias("location"),
         )
+        .repartition("day", "owner")
     )
+    # materialize NOW (the walk_tries dec.count() pattern): a lazily
+    # built cache plans as UnknownPartitioning (its inner adaptive plan
+    # is not final yet), so every consumer re-inserts its own exchange;
+    # once final, InMemoryTableScan exposes hashpartitioning(day, owner)
+    # and the partials / refold / acct⋈refolded exchanges vanish. The
+    # acct multi-distinct branch keeps its two (Expand reports unknown
+    # partitioning by construction — its replicas null the columns out).
+    entries.count()
 
     # -- stages 2+3: per-account cardinality checks + storage digest ----
     # one groupBy on the (day, owner) key every later stage reuses

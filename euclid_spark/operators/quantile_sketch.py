@@ -57,10 +57,30 @@ def hdr_sketch(df: DataFrame, grp: "str | list[str]", v: str) -> DataFrame:
         gcols, galias = [F.col(grp).alias("grp")], ["grp"]
     else:
         gcols, galias = [F.col(g) for g in grp], list(grp)
-    staged = df.select(
-        *gcols,
-        F.col(v).alias("v"),
-        F.length(F.conv(F.col(v).cast("string"), 10, 2)).alias("nbits0"),
+    # bit length by unrolled integer binary search — value-identical to
+    # the old LENGTH(CONV(v, 10, 2)) for v ≥ 0 (the operator's stated
+    # positive-BIGINT domain) but pure shifts/compares: the conv route
+    # paid a decimal-string format + binary-string format PER ROW, the
+    # single hot expression of the sketch build (guide §1.2 step 2).
+    # The oracle keeps its printf('%b') formulation, so the comparison
+    # stays cross-engine: same bucket keys, same hashes.
+    staged = (
+        df.select(*gcols, F.col(v).alias("v"))
+        .withColumn("w32", F.expr("IF(shiftright(v, 32) > 0, 32, 0)"))
+        .withColumn("r1", F.expr("shiftright(v, w32)"))
+        .withColumn("w16", F.expr("IF(shiftright(r1, 16) > 0, 16, 0)"))
+        .withColumn("r2", F.expr("shiftright(r1, w16)"))
+        .withColumn("w8", F.expr("IF(shiftright(r2, 8) > 0, 8, 0)"))
+        .withColumn("r3", F.expr("shiftright(r2, w8)"))
+        .withColumn("w4", F.expr("IF(shiftright(r3, 4) > 0, 4, 0)"))
+        .withColumn("r4", F.expr("shiftright(r3, w4)"))
+        .withColumn("w2", F.expr("IF(shiftright(r4, 2) > 0, 2, 0)"))
+        .withColumn("r5", F.expr("shiftright(r4, w2)"))
+        .withColumn(
+            "nbits0",
+            F.expr("w32 + w16 + w8 + w4 + w2 + IF(r5 > 1, 1, 0) + 1"),
+        )
+        .drop("w32", "r1", "w16", "r2", "w8", "r3", "w4", "r4", "w2", "r5")
     )
     return (
         staged.select(
