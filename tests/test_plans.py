@@ -432,3 +432,84 @@ def test_no_keyed_sort_aggregate_in_events_rollups(spark):
         plan = _plan(fn(spark, SF_SMOKE))
         m = re.search(r"SortAggregate\(key=\[[^\]]", plan)
         assert not m, f"{fn.__name__} plans a keyed SortAggregate"
+
+
+def test_a20_reveal_bound_reaches_leaf_scan(spark):
+    """r15: A20's orderBy+limit reveal bound cannot push through the
+    path aggregation, so the face filters pos < L at the leaf source —
+    the served leaf scan must carry the LessThan(pos) pushed filter
+    (openings are built for revealed rows only, never the owner's
+    whole token set)."""
+    from euclid_spark.operators import merkle
+
+    plan = _plan(merkle.verifiable_query_response(spark, SF_SMOKE))
+    assert "LessThan(pos" in plan, "reveal bound not pushed to leaf scan"
+
+
+def test_preprocessing_shares_one_day_owner_exchange(spark):
+    """r15: the extraction cache is repartitioned on (day, owner) and
+    materialized before consumers plan, so the partials aggregate must
+    NOT re-shuffle on its (day, owner, bucket) key — no exchange keyed
+    by the bucket _groupingexpression (the acct multi-distinct branch
+    keeps its Expand-forced exchanges; that is the documented limit)."""
+    from euclid_spark.operators import preprocessing
+
+    plan = _plan(preprocessing.preprocessing_pipeline(spark, SF_SMOKE))
+    assert "REPARTITION_BY_COL" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "_groupingexpression" in line:
+            raise AssertionError(
+                f"partials re-shuffled despite shared exchange: {line}"
+            )
+
+
+def test_range_join_bucketed_matches_direct_inequality(spark):
+    """r15: the cell width is now narrower than the interval window —
+    the rewrite must still equal the direct inequality join (the
+    residual filter is exact whatever the bucket size)."""
+    from pyspark.sql import functions as F
+
+    from euclid_spark.operators.relational import (
+        RANGE_DAYS,
+        RANGE_WATCHLIST,
+        _t,
+        range_join_bucketed,
+    )
+
+    got = {
+        (r["o_orderkey"], r["n_lines"], r["revenue"])
+        for r in range_join_bucketed(spark, SF_SMOKE).collect()
+    }
+    big = _t(spark, SF_SMOKE, "orders").filter(
+        F.col("o_custkey") < RANGE_WATCHLIST
+    )
+    li = _t(spark, SF_SMOKE, "lineitem")
+    direct = (
+        li.join(
+            big,
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.date_add(F.col("o_orderdate"), RANGE_DAYS)
+            ),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(24,8)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    want = {
+        (r["o_orderkey"], r["n_lines"], r["revenue"])
+        for r in direct.collect()
+    }
+    assert got == want

@@ -69,3 +69,34 @@ def test_sketch_is_mergeable_monoid(spark):
     m = {(r["nbits"], r["sub"]): r["cnt"] for r in merged.collect()}
     w = {(r["nbits"], r["sub"]): r["cnt"] for r in whole.collect()}
     assert m == w
+
+
+def test_integer_bit_length_matches_string_route(spark):
+    """r15: nbits moved from length(conv(v, 10, 2)) — two string
+    formats per row — to an unrolled integer binary search. The two
+    must agree on every power-of-two boundary (where an off-by-one
+    flips the bucket) and across the 62-bit range."""
+    import random
+
+    rng = random.Random(15)
+    vals = sorted(
+        {v for k in range(63) for v in ((1 << k) - 1, 1 << k, (1 << k) + 1)
+         if 1 <= v < 2 ** 63}
+        | {rng.randrange(1, 2 ** 62) for _ in range(500)}
+    )
+    df = spark.createDataFrame(
+        [(int(v),) for v in vals], "v long"
+    ).withColumn("grp", F.lit("g"))
+    got = {
+        (r["nbits"], r["sub"]): r["cnt"]
+        for r in hdr_sketch(df, "grp", "v").collect()
+    }
+    lo = 1 << (SUB_BITS + 1)
+    want: dict = {}
+    for v in vals:
+        nbits = SUB_BITS + 1 if v < lo else v.bit_length()
+        sub = v if v < lo else (v >> (v.bit_length() - (SUB_BITS + 1))) & (
+            (1 << SUB_BITS) - 1
+        )
+        want[(nbits, sub)] = want.get((nbits, sub), 0) + 1
+    assert got == want
