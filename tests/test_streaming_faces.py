@@ -61,7 +61,8 @@ def test_face_rebuild_is_deterministic(spark, tmp_path, monkeypatch):
 
 def test_curation_face_matches_batch_composition(spark, tmp_path, monkeypatch):
     """kept ∖ revoked == sample ∩ repetition ∩ ¬contaminated ∩ ¬blocked
-    ∩ LSH-component keep-list evaluated over the full corpus."""
+    ∩ model-kept (C61) ∩ LSH-component keep-list evaluated over the
+    full corpus."""
     from euclid_spark.operators.components import connected_components
     from euclid_spark.operators.dedup import dedup_minhash_lsh
     from euclid_spark.operators.textops import (
@@ -92,6 +93,16 @@ def test_curation_face_matches_batch_composition(spark, tmp_path, monkeypatch):
     from euclid_spark.operators.textops import safety_counts
 
     blocked = safety_counts(docs).filter("blocked").select("doc_id")
+    # the C61 learned-quality stage the stream joined in r15 (the sink
+    # receives the served model weights up front, exactly like the
+    # static benchmark index)
+    from euclid_spark.operators.quality_model import text_quality_model
+
+    model_drop = (
+        text_quality_model(spark, SF_SMOKE)
+        .filter(~F.col("model_keep"))
+        .select("doc_id")
+    )
     batch = (
         stratified_sample(docs)
         .filter(~is_bench)
@@ -99,6 +110,7 @@ def test_curation_face_matches_batch_composition(spark, tmp_path, monkeypatch):
               "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(blocked, "doc_id", "left_anti")
+        .join(model_drop, "doc_id", "left_anti")
         .join(drop, "doc_id", "left_anti")
     )
     assert _rows(streamed) == _rows(batch)
