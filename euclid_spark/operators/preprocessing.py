@@ -98,14 +98,52 @@ def preprocessing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries.count()
 
     # -- stages 2+3: per-account cardinality checks + storage digest ----
-    # one groupBy on the (day, owner) key every later stage reuses
+    # one groupBy on the (day, owner) key every later stage reuses.
+    # r15 (this session): the three COUNT(DISTINCT ·) columns are NOT
+    # computed in the same aggregate — Catalyst plans a multi-distinct
+    # as Expand ×(n_distincts+1) followed by TWO exchanges of the
+    # expanded entry set (hashpartitioning(day, owner, value) cannot
+    # reuse the cache's (day, owner) partitioning). Instead each
+    # distinct count runs as its own two-level aggregate over the
+    # pinned extraction artifact: groupBy(day, owner, value) then
+    # groupBy(day, owner) — BOTH satisfied by the cache's
+    # hashpartitioning(day, owner) ({day, owner} ⊆ grouping key), so
+    # the whole stage is exchange-free, and the (day, owner)-sized
+    # join that reassembles the counters is co-partitioned too. Cost
+    # moves from 2 cluster-wide shuffles of 4× the entries to 3 extra
+    # memory-local scans of the materialized artifact (guide §2.3/§2.4
+    # — aggregate before you shuffle; remove shuffles outright).
+    # COUNT(DISTINCT x) ignores NULLs, so each branch filters its
+    # column first and a group whose values are all NULL re-enters as
+    # 0 via the left join's coalesce — bit-equal to the fused form.
     term = digest_term(F.col("event_id").cast("long"), F.col("token_id"))
-    acct = entries.groupBy("day", "owner").agg(
+    base = entries.groupBy("day", "owner").agg(
         F.count("*").alias("n_entries"),
-        F.countDistinct("event_id").alias("n_uniq"),
-        F.countDistinct("token_id").alias("n_keys"),
-        F.countDistinct("location").alias("n_locations"),
         digest_agg(term).alias("storage_digest"),
+    )
+
+    def n_distinct(col: str, alias: str) -> DataFrame:
+        return (
+            entries.filter(F.col(col).isNotNull())
+            .select("day", "owner", col)
+            .distinct()
+            .groupBy("day", "owner")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    acct = (
+        base.join(n_distinct("event_id", "n_uniq"), ["day", "owner"], "left")
+        .join(n_distinct("token_id", "n_keys"), ["day", "owner"], "left")
+        .join(n_distinct("location", "n_locations"), ["day", "owner"], "left")
+        .select(
+            "day",
+            "owner",
+            "n_entries",
+            F.coalesce("n_uniq", F.lit(0)).alias("n_uniq"),
+            F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+            F.coalesce("n_locations", F.lit(0)).alias("n_locations"),
+            "storage_digest",
+        )
     )
 
     # -- stage 4: digest-equal via independent re-fold, then linking ----

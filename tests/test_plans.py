@@ -450,12 +450,15 @@ def test_preprocessing_shares_one_day_owner_exchange(spark):
     """r15: the extraction cache is repartitioned on (day, owner) and
     materialized before consumers plan, so the partials aggregate must
     NOT re-shuffle on its (day, owner, bucket) key — no exchange keyed
-    by the bucket _groupingexpression (the acct multi-distinct branch
-    keeps its Expand-forced exchanges; that is the documented limit)."""
+    by the bucket _groupingexpression — and the acct cardinality
+    counters must run as per-column two-level distinct aggregates over
+    the co-partitioned cache, never as a Catalyst multi-distinct (whose
+    Expand forces two exchanges of the ×4-expanded entry set)."""
     from euclid_spark.operators import preprocessing
 
     plan = _plan(preprocessing.preprocessing_pipeline(spark, SF_SMOKE))
     assert "REPARTITION_BY_COL" in plan
+    assert "Expand" not in plan, "acct counters regressed to multi-distinct"
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line and "_groupingexpression" in line:
             raise AssertionError(
