@@ -269,26 +269,51 @@ def data_drift_psi(
 _KEY_STRIDE = 64
 
 
-def _hdr_key(col: str) -> F.Column:
-    """The B47 HDR bucket key of floor(`col`·100), as ONE comparable
-    long — pure integer arithmetic after one shared IEEE multiply+floor
-    (identical ops in DuckDB: LENGTH(printf('%b', v)) ≡
-    length(conv(v, 10, 2))). Built as one SQL expression because the
-    variable-amount shiftright only takes a column in expr form."""
+def _with_hdr_key(
+    df: DataFrame, col: str, keep: "list[tuple[str, F.Column]]"
+) -> DataFrame:
+    """(*keep, key): the B47 HDR bucket key of floor(`col`·100) as ONE
+    comparable long — pure integer arithmetic after one shared IEEE
+    multiply+floor. r15: bit length via the unrolled integer binary
+    search (quantile_sketch's staged chain, proven value-identical to
+    length(conv(v, 10, 2)) for v ≥ 1 over every power-of-two boundary),
+    replacing the decimal-string + binary-string format the conv route
+    paid PER ROW on both full-corpus scans of the quantile face. The
+    oracle keeps LENGTH(printf('%b', v)) so the cross-engine gate still
+    compares independent formulations. Underflow guard first (key 0 for
+    v < 1 — zeros and negatives): the staged nbits is garbage there
+    (sign-extending shifts) but unreachable through the CASE."""
     from euclid_spark.operators.quantile_sketch import SUB_BITS
 
-    lo = 1 << (SUB_BITS + 1)
-    v = f"CAST(FLOOR({col} * 100) AS BIGINT)"
-    nbits = f"length(conv(CAST({v} AS STRING), 10, 2))"
-    sub = (
-        f"shiftright({v}, CAST({nbits} - {SUB_BITS + 1} AS INT))"
-        f" & {(1 << SUB_BITS) - 1}"
+    lo, mask = 1 << (SUB_BITS + 1), (1 << SUB_BITS) - 1
+    staged = (
+        df.select(
+            *[c.alias(n) for n, c in keep],
+            F.expr(f"CAST(FLOOR({col} * 100) AS BIGINT)").alias("_v"),
+        )
+        .withColumn("_w32", F.expr("IF(shiftright(_v, 32) > 0, 32, 0)"))
+        .withColumn("_r1", F.expr("shiftright(_v, _w32)"))
+        .withColumn("_w16", F.expr("IF(shiftright(_r1, 16) > 0, 16, 0)"))
+        .withColumn("_r2", F.expr("shiftright(_r1, _w16)"))
+        .withColumn("_w8", F.expr("IF(shiftright(_r2, 8) > 0, 8, 0)"))
+        .withColumn("_r3", F.expr("shiftright(_r2, _w8)"))
+        .withColumn("_w4", F.expr("IF(shiftright(_r3, 4) > 0, 4, 0)"))
+        .withColumn("_r4", F.expr("shiftright(_r3, _w4)"))
+        .withColumn("_w2", F.expr("IF(shiftright(_r4, 2) > 0, 2, 0)"))
+        .withColumn("_r5", F.expr("shiftright(_r4, _w2)"))
+        .withColumn(
+            "_nbits",
+            F.expr("_w32 + _w16 + _w8 + _w4 + _w2 + IF(_r5 > 1, 1, 0) + 1"),
+        )
     )
-    return F.expr(
-        f"CAST(CASE WHEN {v} < 1 THEN 0"
-        f" WHEN {v} < {lo} THEN {SUB_BITS + 1} * {_KEY_STRIDE} + {v}"
-        f" ELSE {nbits} * {_KEY_STRIDE} + ({sub}) END AS BIGINT)"
+    key = F.expr(
+        f"CAST(CASE WHEN _v < 1 THEN 0"
+        f" WHEN _v < {lo} THEN {SUB_BITS + 1} * {_KEY_STRIDE} + _v"
+        f" ELSE _nbits * {_KEY_STRIDE}"
+        f" + (shiftright(_v, CAST(_nbits - {SUB_BITS + 1} AS INT)) & {mask})"
+        f" END AS BIGINT)"
     )
+    return staged.select(*[n for n, _ in keep], key.alias("key"))
 
 
 def _quantile_perbin(
@@ -316,9 +341,12 @@ def _quantile_perbin(
     PARTITIONED BY event_type over that bounded aggregate; scan 2 is
     the same row-local pass as the width face."""
     ref_sketch = (
-        catalog.load_events(spark, sf_dir, t_max=split.isoformat())
-        .filter(F.col("value").isNotNull())
-        .select("event_type", _hdr_key("value").alias("key"))
+        _with_hdr_key(
+            catalog.load_events(spark, sf_dir, t_max=split.isoformat())
+            .filter(F.col("value").isNotNull()),
+            "value",
+            [("event_type", F.col("event_type"))],
+        )
         .groupBy("event_type", "key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -353,8 +381,8 @@ def _quantile_perbin(
         .groupBy("event_type")
         .agg(F.sort_array(F.collect_list("ekey")).alias("edges"))
     )
-    keyed = ev.select(
-        "event_type", _hdr_key("value").alias("key"), is_ref.alias("is_ref")
+    keyed = _with_hdr_key(
+        ev, "value", [("event_type", F.col("event_type")), ("is_ref", is_ref)]
     )
     bin_col = F.size(
         F.filter(

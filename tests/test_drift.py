@@ -419,7 +419,7 @@ def test_psi_quantile_edges_equalize_reference_mass(spark):
     no more concentrated than fixed-width's on this corpus."""
     from euclid_spark.operators.drift import (
         PSI_BINS,
-        _hdr_key,
+        _with_hdr_key,
         data_drift_psi_quantile,
     )
 
@@ -439,6 +439,11 @@ def test_psi_quantile_edges_equalize_reference_mass(spark):
     docs = spark.createDataFrame(
         pd.DataFrame({"value": [-5.0, 0.0, 0.004, 0.01, 0.5, 3.0, 1e9]})
     )
-    keys = [r[0] for r in docs.select(_hdr_key("value")).collect()]
+    keys = [
+        r["key"]
+        for r in _with_hdr_key(docs, "value", [("value", F.col("value"))])
+        .orderBy("value")
+        .collect()
+    ]
     assert keys[0] == 0 and keys[1] == 0 and keys[2] == 0  # underflow
     assert keys[3] > 0 and keys == sorted(keys)
