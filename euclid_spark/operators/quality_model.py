@@ -167,17 +167,22 @@ def _fit(
         # gradient and the bias total — without it the scoring join
         # re-executes per aggregate
         resid = persist_tracked(_residuals(spark, feats, labels, w, w_bias, mu))
-        g_rows = (
+        # one concurrent wave for the two per-step fetches (the 77f6ea0
+        # collect_all pattern): both read the persisted residual frame,
+        # so collecting them sequentially paid one extra driver round
+        # trip per gradient step — QM_ITERS barriers per corpus-version
+        # fit at cluster scale
+        from euclid_spark.catalog import collect_all
+
+        g_rows, rt_rows = collect_all(
             resid.join(feats, "doc_id")
             .groupBy("b")
-            .agg(F.sum(F.col("r") * F.col("x")).cast("decimal(38,0)").alias("g"))
-            .collect()
+            .agg(
+                F.sum(F.col("r") * F.col("x")).cast("decimal(38,0)").alias("g")
+            ),
+            resid.agg(F.sum("r").cast("decimal(38,0)").alias("rt")),
         )
-        r_tot = int(
-            resid.agg(F.sum("r").cast("decimal(38,0)").alias("rt")).collect()[
-                0
-            ]["rt"]
-        )
+        r_tot = int(rt_rows[0]["rt"])
         resid.unpersist()
         g = {int(r["b"]): int(r["g"]) for r in g_rows}
         for b in range(QM_BUCKETS):
