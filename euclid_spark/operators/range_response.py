@@ -445,16 +445,18 @@ def _q2_key_companions(
 ) -> "tuple[DataFrame, ...]":
     """The q2 revealed-key fetch as a LAZY frame so it can join the
     element-sequence collect wave: the first-L distinct keys over the
-    range, read from the A26 key-tile tree when L fits its baked reveal
-    bound, else derived from the leaf store (range-proportional, the
-    honest cost of over-asking the circuit setup)."""
+    range — WITH each key's first covered occurrence (cell, pos) from
+    the owner_v4 tile structs — read from the A26 key-tile tree when L
+    fits its baked reveal bound, else derived from the leaf store
+    (range-proportional, the honest cost of over-asking the circuit
+    setup)."""
     from euclid_spark.operators.range_tree import Q2_L, q2_range_tree_topl
 
     if L <= Q2_L:
         return (
             q2_range_tree_topl(
                 spark, sf_dir, owner=owner, b_min=b_min, b_max=b_max,
-                L=L, contract=contract,
+                L=L, contract=contract, with_first=True,
             ),
         )
     cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
@@ -550,47 +552,72 @@ def _range_response(
     else:
         # first-L distinct keys over the range, in key order, READ FROM
         # THE A26 KEY-TILE TREE (O(log range) — the same universe: keys
-        # of covered cells ∪ edge keys); each key then opens at its
-        # smallest covering element, located by an IN-list lookup of
-        # just those ≤ L keys (the previous formulation windowed over
-        # EVERY candidate key in the range — interior-proportional work
-        # the 100× probe exposed)
-        from euclid_spark.operators.range_tree import Q2_L
+        # of covered cells ∪ edge keys); each key opens at its smallest
+        # covering element, whose (cell, pos) the owner_v4 tile structs
+        # already carry — no per-query leaf-store fetch (the previous
+        # formulation IN-list-scanned the owner's covered leaf slice,
+        # the one remaining interior-proportional read of this face);
+        # leaf hash = sha256(token_id), the A20 encoding the edge
+        # elements already recompute driver-side
+        from euclid_spark.operators.range_tree import (
+            _EDGE_SENTINEL_CELL,
+            Q2_L,
+        )
 
         edge_first_ids = {
             m["edge_tok"] for _, _, m in elems if "edge_tok" in m
         }
-        cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
         key_rows = companion_rows[0]  # fetched in the wave above
+        cand: "dict[int, dict]" = {}
         if L <= Q2_L:
             keys = sorted(int(r["token_id"]) for r in key_rows)
+            for r in key_rows:
+                t = int(r["token_id"])
+                if t in edge_first_ids:
+                    continue
+                if int(r["first_cell"]) == _EDGE_SENTINEL_CELL:
+                    # edge-only key NOT listed as an edge element —
+                    # impossible by construction (every edge-slice key
+                    # becomes an edge element); fail like the previous
+                    # formulation's cand[t] KeyError would
+                    raise KeyError(t)
+                cand[t] = {
+                    "cell": int(r["first_cell"]),
+                    "pos": int(r["first_pos"]),
+                    "node_hash": hashlib.sha256(
+                        str(t).encode()
+                    ).hexdigest(),
+                }
         else:
             # beyond the tree's baked reveal width: the key set came
             # from the leaf store (range-proportional, the honest cost
-            # of over-asking the circuit setup)
+            # of over-asking the circuit setup) — and so does the
+            # first-occurrence lookup, bounded to those ≤ L keys
             covered_toks = {int(r["token_id"]) for r in key_rows}
             keys = sorted(covered_toks | edge_first_ids)[:L]
-        cov_keys = [t for t in keys if t not in edge_first_ids]
-        cand: "dict[int, dict]" = {}
-        if cov_keys and cov_cells:
-            ccond2 = reduce(
-                lambda a, b: a | b,
-                [
-                    (F.col("cell") >= lo) & (F.col("cell") <= hi)
-                    for lo, hi in cov_cells
-                ],
-            )
-            for r in (
-                own_leaves.filter(
-                    F.col("token_id").isin(cov_keys) & ccond2
+            cov_keys = [t for t in keys if t not in edge_first_ids]
+            cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
+            if cov_keys and cov_cells:
+                ccond2 = reduce(
+                    lambda a, b: a | b,
+                    [
+                        (F.col("cell") >= lo) & (F.col("cell") <= hi)
+                        for lo, hi in cov_cells
+                    ],
                 )
-                .groupBy("token_id")
-                .agg(
-                    F.min(F.struct("cell", "pos", "node_hash")).alias("s")
-                )
-                .collect()
-            ):
-                cand[int(r["token_id"])] = r["s"]
+                for r in (
+                    own_leaves.filter(
+                        F.col("token_id").isin(cov_keys) & ccond2
+                    )
+                    .groupBy("token_id")
+                    .agg(
+                        F.min(
+                            F.struct("cell", "pos", "node_hash")
+                        ).alias("s")
+                    )
+                    .collect()
+                ):
+                    cand[int(r["token_id"])] = r["s"]
         rev_rows = []
         for t in keys:
             if t in edge_first_ids:  # an edge occurrence opens first

@@ -306,10 +306,35 @@ def _q2_entries(ev: DataFrame, contract: "str | None" = None) -> DataFrame:
     )
 
 
+# Sentinel first-occurrence for keys contributed by an EDGE slice (no
+# covered-cell occurrence known to the tile path): sorts after every
+# real (cell, pos), so a min-merge keeps the covered occurrence if one
+# exists and the sentinel survives only for edge-only keys.
+_EDGE_SENTINEL_CELL = (1 << 63) - 1
+
+
+def _dedup_first_l(col: str, limit: int) -> F.Column:
+    """First-L distinct keys of a SORTED key-struct array, keeping each
+    key's minimal (cell, p): the array is sorted by (t, cell, p), so
+    the first struct per t IS the min — an index-lambda filter drops
+    the rest, then the L bound truncates."""
+    return F.expr(
+        f"slice(filter({col}, (x, i) -> i = 0 OR {col}[i-1].t != x.t),"
+        f" 1, {limit})"
+    )
+
+
 def _q2_leaf_tiles(entries: DataFrame) -> DataFrame:
     """Level-0 tiles: per (cell, owner), the cell's first-L distinct keys
     in canonical order (query2's leaf set, already truncated — the
-    lattice makes the truncation lossless for any top-L query)."""
+    lattice makes the truncation lossless for any top-L query). Each
+    key carries its FIRST-OCCURRENCE struct (cell, p): at level 0 the
+    cell is the tile and p is the key's index in the sorted list — its
+    rank in the cell's full distinct ordering (a key surviving any
+    first-L view has rank < L, so truncation never hides the rank).
+    The structs ride the fold-up so any cover read yields each revealed
+    key's first covered occurrence WITHOUT a leaf-store scan — the A30
+    response opens revealed rows from the tile read alone."""
     return (
         entries.groupBy(
             F.floor(F.col("event_id") / TILE_SIZE).cast("long").alias("cell"),
@@ -317,23 +342,29 @@ def _q2_leaf_tiles(entries: DataFrame) -> DataFrame:
         )
         .agg(
             F.slice(F.array_sort(F.collect_set("token_id")), 1, Q2_L)
-            .alias("keys")
+            .alias("ks")
+        )
+        .select(
+            "cell",
+            "owner",
+            F.expr(
+                "transform(ks, (t, i) ->"
+                " struct(t AS t, cell AS cell, CAST(i AS INT) AS p))"
+            ).alias("keys"),
         )
     )
 
 
 def _q2_fold_up(lvl: DataFrame) -> DataFrame:
     """One level up: per owner, merge the two child cells' first-L lists
-    (full_node.rs's set union + the revelation bound in one step)."""
+    (full_node.rs's set union + the revelation bound in one step),
+    min-merging each key's first-occurrence struct (children span
+    disjoint leaf-cell ranges, so the lexicographic (cell, p) min is
+    the earlier occurrence)."""
     return (
         lvl.groupBy(F.shiftright(F.col("cell"), 1).alias("cell"), "owner")
-        .agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("keys")))),
-                1,
-                Q2_L,
-            ).alias("keys")
-        )
+        .agg(F.array_sort(F.flatten(F.collect_list("keys"))).alias("s"))
+        .select("cell", "owner", _dedup_first_l("s", Q2_L).alias("keys"))
     )
 
 
@@ -374,7 +405,7 @@ def _q2_key_fp(sf_dir: str, contract: "str | None") -> str:
 
     return artifacts.corpus_fingerprint(
         [f"{sf_dir}/events.parquet"],
-        op="q2_key_tree", tile=TILE_SIZE, L=Q2_L, layout="owner_v3",
+        op="q2_key_tree", tile=TILE_SIZE, L=Q2_L, layout="owner_v4",
         contract=CONTRACT if contract is None else contract,
     )
 
@@ -462,6 +493,7 @@ def q2_range_tree_topl(
     b_max: "int | None" = None,
     L: "int | None" = None,
     contract: "str | None" = None,
+    with_first: bool = False,
 ) -> DataFrame:
     """A26 — Query2 answered from the tile tree in O(log range): per-owner
     first-L distinct mapping keys over [b_min, b_max), read from the
@@ -471,7 +503,13 @@ def q2_range_tree_topl(
     one instantiation (owner=None → all owners; bounds default to the
     ⅕/⅘ probe range). L must be ≤ the tree's baked reveal bound Q2_L,
     exactly as the circuit's L is fixed at setup; each contract serves
-    its own key-tile tree (one storage DB per contract)."""
+    its own key-tile tree (one storage DB per contract).
+
+    `with_first=True` appends each key's first COVERED occurrence
+    (first_cell, first_pos) from the tile structs — first_cell =
+    _EDGE_SENTINEL_CELL marks a key seen only in the edge slices. The
+    A30 response consumes this to open revealed rows without its own
+    leaf-store fetch."""
     L = Q2_L if L is None else int(L)
     if L > Q2_L:
         raise ValueError(
@@ -486,7 +524,11 @@ def q2_range_tree_topl(
     # probe's residual slope was exactly this fetch)
     ml = artifacts.stat_max("q2_key_tiles", _q2_key_fp(sf_dir, contract), "level")
     if ml is None:  # no qualifying entries anywhere
-        return spark.createDataFrame([], _Q2_EMPTY)
+        return spark.createDataFrame(
+            [],
+            _Q2_EMPTY
+            + (", first_cell long, first_pos int" if with_first else ""),
+        )
     max_level = int(ml)
     if b_min is None or b_max is None:
         mb = _served_max_block(spark, sf_dir)
@@ -496,7 +538,11 @@ def q2_range_tree_topl(
         b_min, b_max = int(b_min), int(b_max)
     cover, edges = tile_cover(b_min, b_max, max_level)
     if not cover and not edges:
-        return spark.createDataFrame([], _Q2_EMPTY)
+        return spark.createDataFrame(
+            [],
+            _Q2_EMPTY
+            + (", first_cell long, first_pos int" if with_first else ""),
+        )
 
     parts = []
     if cover:
@@ -526,30 +572,43 @@ def q2_range_tree_topl(
         if owner is not None:
             e = e.filter(F.col("owner") == owner)
         parts.append(
-            e.groupBy("owner").agg(
+            e.groupBy("owner")
+            .agg(
                 F.slice(F.array_sort(F.collect_set("token_id")), 1, Q2_L)
-                .alias("keys")
+                .alias("ks")
+            )
+            .select(
+                "owner",
+                F.expr(
+                    "transform(ks, t -> struct(t AS t,"
+                    f" {_EDGE_SENTINEL_CELL}L AS cell,"
+                    " 2147483647 AS p))"
+                ).alias("keys"),
             )
         )
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    topl = merged.groupBy("owner").agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("keys")))),
-            1,
-            L,
-        ).alias("keys")
+    topl = (
+        merged.groupBy("owner")
+        .agg(F.array_sort(F.flatten(F.collect_list("keys"))).alias("s"))
+        .select("owner", _dedup_first_l("s", L).alias("keys"))
     )
-    return topl.select(
-        "owner", F.posexplode("keys").alias("pos0", "token_id")
-    ).select(
+    cols = [
         "owner",
         (F.col("pos0") + 1).cast("int").alias("pos"),
-        "token_id",
+        F.col("kx.t").alias("token_id"),
         F.lit(b_min).cast("long").alias("b_min"),
         F.lit(b_max).cast("long").alias("b_max"),
-    )
+    ]
+    if with_first:
+        cols += [
+            F.col("kx.cell").alias("first_cell"),
+            F.col("kx.p").alias("first_pos"),
+        ]
+    return topl.select(
+        "owner", F.posexplode("keys").alias("pos0", "kx")
+    ).select(*cols)
 
 
 # --- the ERC-20 family over the tile tree: per-owner u256 reward ------------

@@ -353,3 +353,58 @@ def test_erc20_reward_tree_equals_direct_recompute(spark):
     assert sorted(map(tuple, got.values.tolist())) == sorted(
         map(tuple, ref.values.tolist())
     )
+
+
+def test_q2_tile_first_occurrence_matches_leaf_scan(spark):
+    """The owner_v4 key tiles carry each revealed key's first COVERED
+    occurrence (cell, pos); it must equal the min-(cell, pos) a direct
+    leaf scan of the covered cells computes — the per-query formulation
+    the A30 response replaced — and the edge sentinel must appear
+    exactly on keys with no covered occurrence."""
+    from euclid_spark.operators.range_response import _q2_cell_leaf_rows
+    from euclid_spark.operators.range_tree import (
+        _EDGE_SENTINEL_CELL,
+        serve_q2_key_tree,
+        q2_range_tree_topl,
+    )
+
+    face = q2_range_tree_topl(spark, SF_SMOKE, with_first=True).toPandas()
+    assert len(face) > 0
+    b_min = int(face["b_min"].iloc[0])
+    b_max = int(face["b_max"].iloc[0])
+    max_level = int(
+        serve_q2_key_tree(spark, SF_SMOKE).agg(F.max("level")).collect()[0][0]
+    )
+    cover, _ = tile_cover(b_min, b_max, max_level)
+    cov_cells = [(c << k, ((c + 1) << k) - 1) for k, c in cover]
+
+    leaves = _q2_cell_leaf_rows(spark, SF_SMOKE, None)
+    from functools import reduce
+
+    ccond = reduce(
+        lambda a, b: a | b,
+        [(F.col("cell") >= lo) & (F.col("cell") <= hi) for lo, hi in cov_cells],
+    )
+    direct = {
+        (int(r["owner"]), int(r["token_id"])): (int(r["c"]), int(r["p"]))
+        for r in (
+            leaves.filter(ccond)
+            .groupBy("owner", "token_id")
+            .agg(F.min(F.struct("cell", "pos")).alias("s"))
+            .select(
+                "owner", "token_id",
+                F.col("s.cell").alias("c"), F.col("s.pos").alias("p"),
+            )
+            .collect()
+        )
+    }
+    n_cov = n_edge = 0
+    for r in face.itertuples():
+        key = (int(r.owner), int(r.token_id))
+        if int(r.first_cell) == _EDGE_SENTINEL_CELL:
+            assert key not in direct, f"{key}: sentinel but covered occurrence exists"
+            n_edge += 1
+        else:
+            assert direct[key] == (int(r.first_cell), int(r.first_pos)), key
+            n_cov += 1
+    assert n_cov > 0  # the property must actually have been exercised
