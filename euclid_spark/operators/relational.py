@@ -818,42 +818,55 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact at
-    different correlation — suppliers whose line was the ONLY late one
-    on a multi-supplier order. "Late" = shipped > 60 days after the
-    order date (commit/receipt stand-in, as in q4/q12). Both
-    quantifiers are semi/anti joins on l_orderkey — same shuffle key,
-    one exchange reused three ways."""
+    """TPC-H Q21 shape: suppliers whose line was the ONLY late one on a
+    multi-supplier order. "Late" = shipped > 60 days after the order
+    date (commit/receipt stand-in, as in q4/q12).
+
+    The textbook EXISTS + NOT EXISTS pair is two more passes over the
+    same fact (the pre-r15 shape: semi + anti join, three lineitem
+    scans). Both quantifiers are per-order supplier statistics, so ONE
+    two-level aggregate answers them: per (order, supplier) count the
+    late lines, then per order count the suppliers and the late
+    suppliers — a row qualifies iff n_supp >= 2 (EXISTS another
+    supplier) and n_late_supp = 1 (NOT EXISTS another late one), and
+    the lone late supplier's late-line count is exactly the number of
+    l1 rows the quantifier pair used to keep. ONE fact scan instead of
+    three; the quantifier joins' shuffles become two map-side-combined
+    aggregate exchanges over 3-column rows — and when the upstream
+    orders join runs as a sort-merge join at scale (hashpartitioned on
+    l_orderkey), both groupings are already co-partitioned (grouping
+    keys ⊇ partition key) and neither aggregate exchanges at all.
+
+    Null semantics replay the quantifiers exactly: a NULL-suppkey line
+    never witnesses EXISTS, never blocks NOT EXISTS, and never itself
+    qualifies (the `<>` correlation evaluates to NULL in all three
+    roles), so both per-order counters count NON-NULL suppliers only
+    and the lone-supplier extraction skips the NULL group."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem").join(
         orders.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
-    l1 = li.filter(late).select("l_orderkey", "l_suppkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines")
     )
-    l3 = li.filter(late).select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    supp_ok = F.col("l_suppkey").isNotNull()
+    is_late = supp_ok & (F.col("n_late_lines") > 0)
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.when(supp_ok, 1)).alias("n_supp"),
+        F.count(F.when(is_late, 1)).alias("n_late_supp"),
+        F.max(F.when(is_late, F.col("l_suppkey"))).alias("lone_suppkey"),
+        F.max(F.when(is_late, F.col("n_late_lines"))).alias("lone_late_lines"),
     )
-    cand = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    )
-    alone = cand.join(
-        l3,
-        (F.col("l_orderkey") == F.col("o3_orderkey"))
-        & (F.col("l_suppkey") != F.col("o3_suppkey")),
-        "left_anti",
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     sup = _t(spark, sf_dir, "supplier")
     return (
-        alone.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        waiting.join(F.broadcast(sup), F.col("lone_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("lone_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

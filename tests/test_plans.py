@@ -82,12 +82,15 @@ def test_q19_disjunction_keeps_hash_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_quantifiers_are_semi_anti_hash_joins(spark):
-    """EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti hash-family
-    joins on the shared l_orderkey key — never a cartesian product
-    (the non-equi suppkey inequality is a join residual)."""
+def test_q21_quantifiers_fold_into_one_fact_pass(spark):
+    """r15: the EXISTS / NOT EXISTS pair is answered by a two-level
+    per-order aggregate — the plan must scan lineitem exactly ONCE
+    (the quantifier shape scanned it three times) and keep partial
+    aggregation ahead of every exchange; no cartesian fallback."""
     plan = _plan(relational.q21_waiting_supplier(spark, SF_SMOKE))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, "fact must be scanned once"
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "partial_" in plan
     assert "CartesianProduct" not in plan
 
 
