@@ -45,7 +45,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from euclid_spark import catalog
+from euclid_spark import cache, catalog
 
 PSI_BINS = 16
 PSI_ALERT = 0.1  # the conventional "moderate shift, investigate" bar
@@ -210,7 +210,7 @@ def data_drift_psi(
     is_ref = F.col("day") < split_lit
 
     if edges == "quantile":
-        perbin = _quantile_perbin(spark, sf_dir, split, ev, is_ref, bins)
+        perbin = _quantile_perbin(ev, is_ref, bins)
     else:
         # scan 1: per-type reference bounds — the ts < split predicate
         # is applied on the STORED column (load_events), so it reaches
@@ -317,38 +317,40 @@ def _with_hdr_key(
 
 
 def _quantile_perbin(
-    spark: SparkSession,
-    sf_dir: str,
-    split: "_dt.date",
-    ev: DataFrame,
-    is_ref: F.Column,
-    bins: int,
+    ev: DataFrame, is_ref: F.Column, bins: int
 ) -> DataFrame:
     """(event_type, bin, cnt_ref, cnt_cur) under REFERENCE-QUANTILE
-    edges: the reference window's values land in B47 HDR integer
-    buckets (bounded, deterministic, mergeable — the same sketch the
-    D32 tile store maintains per day, so a deployment reads this off
-    served tiles instead of scan 1), the bucket histogram's cumulative
-    masses cut B ~equal-mass bins (bin of a bucket = ⌊cum_before·B/n⌋,
-    capped), and every row — both windows — maps through the ≤ B−1
-    EDGE KEYS (broadcast as one sorted array per type; assignment is a
-    row-local array fold, no row multiplication). Bucket-granularity
-    edges mean ties collapse honestly: a bucket never splits across
-    bins, so heavily-repeated values stay in one bin on both engines.
+    edges: every value lands in a B47 HDR integer bucket (bounded,
+    deterministic, mergeable — the same sketch the D32 tile store
+    maintains per day, so a deployment reads this off served tiles
+    instead of the scan), the REFERENCE slice of the bucket histogram's
+    cumulative masses cuts B ~equal-mass bins (bin of a bucket =
+    ⌊cum_before·B/n⌋, capped), and bins are assigned PER BUCKET through
+    the ≤ B−1 edge keys (broadcast as one sorted array per type; the
+    fold runs over ~1100 bucket rows per type, not corpus rows).
+    Bucket-granularity edges mean ties collapse honestly: a bucket
+    never splits across bins, so heavily-repeated values stay in one
+    bin on both engines.
 
-    Scale shape: scan 1 (pushed ref-window filter) folds to ≤
-    types × ~1100 bucket rows; the cumulative/edge windows run
-    PARTITIONED BY event_type over that bounded aggregate; scan 2 is
-    the same row-local pass as the width face."""
-    ref_sketch = (
-        _with_hdr_key(
-            catalog.load_events(spark, sf_dir, t_max=split.isoformat())
-            .filter(F.col("value").isNotNull()),
-            "value",
-            [("event_type", F.col("event_type"))],
+    Scale shape (r15, was two corpus scans): ONE corpus scan folds to
+    the ≤ types × 2 × ~1100-row (event_type, is_ref, key) aggregate,
+    persisted; the reference slice of that aggregate IS the old
+    pushed-filter ref sketch (`ts < split` ≡ `to_date(ts) < split` on
+    non-null ts — bit-identical counts, re-proven hash-green), the
+    cumulative/edge windows run PARTITIONED BY event_type over it, and
+    the bin map regroups the same bounded rows — cnt_ref/cnt_cur are
+    sums of per-bucket counts, exactly the row counts the per-row pass
+    produced. Everything after the one scan is index-sized."""
+    keyed = _with_hdr_key(
+        ev, "value", [("event_type", F.col("event_type")), ("is_ref", is_ref)]
+    )
+    perkey = cache.persist_tracked(
+        keyed.groupBy("event_type", "is_ref", "key").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        .groupBy("event_type", "key")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ref_sketch = perkey.filter(F.col("is_ref")).select(
+        "event_type", "key", "cnt"
     )
     wk = (
         Window.partitionBy("event_type")
@@ -381,9 +383,6 @@ def _quantile_perbin(
         .groupBy("event_type")
         .agg(F.sort_array(F.collect_list("ekey")).alias("edges"))
     )
-    keyed = _with_hdr_key(
-        ev, "value", [("event_type", F.col("event_type")), ("is_ref", is_ref)]
-    )
     bin_col = F.size(
         F.filter(
             F.coalesce(F.col("edges"), F.expr("array()")),
@@ -391,12 +390,16 @@ def _quantile_perbin(
         )
     ).cast("long")
     return (
-        keyed.join(F.broadcast(edges), "event_type", "left")
-        .select("event_type", bin_col.alias("bin"), "is_ref")
+        perkey.join(F.broadcast(edges), "event_type", "left")
+        .select("event_type", bin_col.alias("bin"), "is_ref", "cnt")
         .groupBy("event_type", "bin")
         .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cnt_ref"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cnt_cur"),
+            F.sum(F.when(F.col("is_ref"), F.col("cnt")).otherwise(0)).alias(
+                "cnt_ref"
+            ),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("cnt"))).alias(
+                "cnt_cur"
+            ),
         )
     )
 

@@ -80,6 +80,25 @@ def test_psi_plan_two_scans_no_single_partition(spark):
         assert spec.strip().startswith("event_type"), spec
 
 
+def test_psi_quantile_plan_one_scan(spark):
+    """The r15 one-scan fold: the quantile face reads the corpus ONCE
+    (one (type, is_ref, key) aggregate, persisted); the old ref-sketch
+    scan is the reference slice of that same aggregate, so a second
+    `Scan parquet` reappearing means the fold regressed. The cached
+    bounded aggregate must actually be read back (InMemoryTableScan),
+    and no SinglePartition exchange anywhere.
+
+    The executedPlan string re-prints the cached relation's inner plan
+    under EVERY InMemoryTableScan, so "one physical scan" asserts as:
+    every `Scan parquet` occurrence sits inside an InMemoryRelation
+    (count equality — an independent second scan would break it), and
+    both consumers (ref sketch, bin map) read the cache."""
+    plan = _plan(data_drift_psi(spark, SF_SMOKE, edges="quantile"))
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation"), plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "Exchange SinglePartition" not in plan
+
+
 # --- C55 epoch shards --------------------------------------------------
 
 
