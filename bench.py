@@ -2,6 +2,7 @@
 
 Prints ONE compact JSON line:
   {"metric": "...", "value": <total cold sec>, "unit": "sec",
+   "queries": {name: cold sec, ...}, "queries_warm": {name: warm sec, ...},
    "warm_total": <sec>, "build_total": <sec>, "sf": <sf>,
    "detail": "BENCH_DETAIL.json"}
 
@@ -16,12 +17,14 @@ isolating it in a child process keeps cold honest — an in-process
 ingest pass left cold measuring a second execution with codegen JIT'd
 and caches warm (VERDICT r11 #2).
 
-The printed line keeps the per-query COLD timings (rounded to 10 ms)
-but moves the warm per-query detail to BENCH_DETAIL.json next to this
-script: the r6 record was lost because the single line (~4 KB for 50
-queries × 2 passes at 3 decimals) exceeded the driver's stdout capture
-and only the tail survived (`parsed: null`). The full-precision
-cold+warm per-query map is always in BENCH_DETAIL.json.
+The printed line carries the per-query COLD (`queries`) and WARM
+(`queries_warm`) maps rounded to 10 ms (~3 KB each for 107 faces) —
+restored in r16 (VERDICT r15 #3: the driver's comparator reads only
+this line, so without them PERF per_query/scaling were empty two
+rounds running). The r6 loss was the full-precision maps PLUS the
+2-rep warm detail on one line; the rounded maps stay well under that,
+and the full-precision cold+warm+reps detail remains in
+BENCH_DETAIL.json.
 
 Each query executes its full physical plan into the noop sink (no driver
 collect — we measure the engine, not row transfer). `queries` is the
@@ -383,15 +386,18 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    # Keep the stdout line tiny (~150 bytes): the r6/r7 records were lost
-    # because a per-query map on this line exceeded the driver's stdout
-    # capture window (head truncated -> parsed: null). ALL per-query
-    # detail lives in BENCH_DETAIL.json; this line carries only totals.
     out = {
         "metric": "headline_queries_total_wall",
         "value": detail["value"],
         "unit": "sec",
         "n_queries": len(times),
+        # per-query maps, rounded to 10 ms (VERDICT r15 #3): the driver's
+        # comparator reads ONLY this line, so these feed PERF per_query,
+        # regression status and the low/high-core scaling ratios. Rounded
+        # (not full precision) + no rep detail keeps the line ~7 KB —
+        # the r6 overflow was the 3-decimal maps plus per-rep detail.
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "queries_warm": {k: round(v, 2) for k, v in warm.items()},
         "warm_total": detail["warm_total"],
         "build_total": build_total,
         "sf": sf_val,

@@ -34,8 +34,10 @@ pruning: at 100 TB the baseline window is usually a thin recent
 slice), and the binning is ONE more scan into a groupBy on
 (event_type, bin) — ≤ types × B groups whatever the row count.  The
 per-type totals ride a window PARTITIONED BY event_type over that
-bounded aggregate.  Exactly TWO data scans, no keyless window, no
-SinglePartition exchange (plan-asserted in tests/test_drift.py).
+bounded aggregate.  Exactly TWO data scans for the WIDTH face (the
+edges='quantile' face folds to ONE — see _quantile_perbin's scale-shape
+note), no keyless window, no SinglePartition exchange (plan-asserted in
+tests/test_drift.py).
 """
 
 from __future__ import annotations
@@ -183,7 +185,14 @@ def data_drift_psi(
     measures: ONE extreme reference value flattens every populated
     fixed-width bin into one, while quantile edges keep ~equal
     reference mass per bin; r14, VERDICT r13 #7; see
-    data_drift_psi_quantile for the mechanism)."""
+    data_drift_psi_quantile for the mechanism).
+
+    Cache ownership note (ADVICE r15): edges='quantile' registers ONE
+    small persisted aggregate (≤ types × 2 × ~1100 rows) via
+    cache.persist_tracked; the caller that owns the terminal action
+    must call cache.release_all() afterwards (bench loop and test
+    fixtures already do) — a long-lived external caller that never
+    releases accumulates one bounded cached frame per call."""
     if edges not in ("width", "quantile"):
         raise ValueError(f"edges must be width|quantile, got {edges!r}")
     if split_day is None:

@@ -936,7 +936,21 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Here: lineitems shipped within 30 days of a watchlist customer's
     order date, aggregated per order. Oracle = the direct inequality
-    join (DuckDB plans it as an IEJoin)."""
+    join (DuckDB plans it as an IEJoin).
+
+    r16 (guide §2.3/§8 — decide with small rows): every join decision
+    depends ONLY on l_shipdate, which is calendar-granular (~2.5k
+    distinct days whatever the corpus size), so the corpus folds to a
+    per-day (n, Σrev) aggregate BEFORE the interval join — map-side
+    partial aggregation does the 600k→2.5k reduction inside the scan
+    stage, and the pair stage evaluates days × intervals (~7k pairs)
+    instead of rows × intervals (~1.7M at sf0.1). Decimal partial sums
+    re-summed per order are exact (integer arithmetic), so the result
+    is bit-identical; n_lines rides as Σ per-day counts. The interval
+    side carries a precomputed `o_hi` bound so the residual is two
+    plain comparisons, and it is broadcast EXPLICITLY — its ~200-row
+    size is a watchlist invariant the planner's post-filter estimate
+    can't see at scale (guide §3.1)."""
     big = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < RANGE_WATCHLIST)
@@ -948,6 +962,12 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = big.select(
         "o_orderkey",
         "o_orderdate",
+        # per-interval upper bound, precomputed once on the ~200-row
+        # side instead of date_add+cast per joined pair (same
+        # midnight-NTZ value the inline cast produced)
+        F.date_add(F.col("o_orderdate"), RANGE_DAYS)
+        .cast("timestamp_ntz")
+        .alias("o_hi"),
         F.explode(
             F.sequence(
                 bucket_of(F.col("o_orderdate")),
@@ -955,32 +975,33 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     )
-    points = _t(spark, sf_dir, "lineitem").withColumn(
-        "cell", bucket_of(F.col("l_shipdate"))
+    # corpus → per-day fold: count + exact decimal revenue per ship day
+    # (sum in DECIMAL so accumulation order can't straddle a cent
+    # boundary between engines; per-day partials re-summed per order
+    # are the same exact sum)
+    points = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count("*").alias("n_day"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,8)"
+                )
+            ).alias("rev_day"),
+        )
+        .withColumn("cell", bucket_of(F.col("l_shipdate")))
     )
     return (
-        points.join(intervals, "cell")
+        points.join(F.broadcast(intervals), "cell")
         .filter(
             (F.col("l_shipdate") >= F.col("o_orderdate"))
-            & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), RANGE_DAYS))
+            & (F.col("l_shipdate") < F.col("o_hi"))
         )
         .groupBy("o_orderkey")
         .agg(
-            F.count("*").alias("n_lines"),
-            # sum in DECIMAL: with ~1000 double terms per group the float
-            # sum's accumulation order can straddle a cent boundary
-            # between engines; casting each term once and summing exactly
-            # makes the result order-independent (and the round stable)
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(24,8)"
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.sum("n_day").alias("n_lines"),
+            F.round(F.sum("rev_day"), 2).cast("double").alias("revenue"),
         )
         .orderBy("o_orderkey")
     )
