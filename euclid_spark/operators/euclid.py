@@ -295,14 +295,27 @@ def block_db_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (month) under a PARTITIONED window; (2) epoch offsets come from a
     triangular join over the per-epoch totals — a table with one row per
     epoch, broadcast. Work per task is O(days-per-epoch); nothing is
-    single-partition."""
+    single-partition.
+
+    r16 (guide §2.4, the drift/preprocessing fold): `daily` is PINNED —
+    it is read by the main chain join AND (twice, via e1/e2) by the
+    epoch-offset build, and an unpersisted subframe re-expands its
+    lineage per reference, so the r15 plan scanned the events corpus
+    THREE times per call. The pinned frame is one row per day (calendar-
+    bounded whatever the corpus size), so the cache is index-sized and
+    the corpus is scanned exactly once (plans/r16/euclid_block_db_chain
+    before: 3× Scan parquet → after: 1)."""
     from pyspark.sql import Window
+
+    from euclid_spark.cache import persist_tracked
 
     ev = _events(spark, sf_dir)
     term = digest_term(F.col("event_id").cast("long"), F.col("user_id").cast("long"))
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        digest_agg(term).alias("day_digest"), F.count("*").alias("n")
-    ).withColumn("epoch", F.trunc("day", "month"))
+    daily = persist_tracked(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            digest_agg(term).alias("day_digest"), F.count("*").alias("n")
+        ).withColumn("epoch", F.trunc("day", "month"))
+    )
 
     epoch_tot = daily.groupBy("epoch").agg(F.sum("day_digest").alias("etot"))
     e1, e2 = epoch_tot.alias("e1"), epoch_tot.alias("e2")
