@@ -41,8 +41,11 @@ CTEs — exactly the pattern curation.py established for C25.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from euclid_spark.cache import persist_tracked
 from euclid_spark.functions.hashing import DIGEST_PRIME, MIX, digest_agg, digest_term
@@ -76,7 +79,20 @@ def preprocessing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shuffles ×(n_distincts+1)-expanded rows), the (day, owner,
     # bucket) partials, the refold, and the acct⋈refolded join: ONE
     # exchange of the extraction output where the r14 plan paid five
-    # (plans/r15/euclid_preprocessing_pipeline_{before,after}.txt)
+    # (plans/r15/euclid_preprocessing_pipeline_{before,after}.txt).
+    # r16 (VERDICT r15 #4, guide §5): the pin's storage level is a
+    # SCALE KNOB. The local default is PySpark's MEMORY_AND_DISK —
+    # the SERIALIZED JVM variant (deserialized=False), which already
+    # spills overflow batches to disk instead of OOMing. At 100 TB a
+    # full-extraction pin should not compete with execution memory at
+    # all: deploys set EUCLID_CORPUS_PIN_LEVEL=DISK_ONLY (local-disk
+    # backed, still partitioned on (day, owner), so the shared-exchange
+    # plan shape is identical — proven by the plan guards running under
+    # both levels in tests/test_plans.py).
+    pin_level = getattr(
+        StorageLevel,
+        os.environ.get("EUCLID_CORPUS_PIN_LEVEL", "MEMORY_AND_DISK"),
+    )
     entries = persist_tracked(
         ev.filter(tok.isNotNull())
         .select(
@@ -86,7 +102,8 @@ def preprocessing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok.alias("token_id"),
             F.sha2(F.concat(key_hex, slot_hex), 256).alias("location"),
         )
-        .repartition("day", "owner")
+        .repartition("day", "owner"),
+        level=pin_level,
     )
     # materialize NOW (the walk_tries dec.count() pattern): a lazily
     # built cache plans as UnknownPartitioning (its inner adaptive plan

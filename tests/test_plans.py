@@ -469,6 +469,31 @@ def test_preprocessing_shares_one_day_owner_exchange(spark):
             )
 
 
+def test_preprocessing_shared_exchange_survives_disk_only_pin(spark, monkeypatch):
+    """r16 (VERDICT r15 #4): at 100 TB the full-extraction pin runs
+    DISK_ONLY so it never competes with execution memory (guide §5).
+    The knob must not change the plan shape: still Expand-free, still
+    one (day, owner) exchange, and the pinned frame really is
+    disk-only."""
+    from euclid_spark import cache
+    from euclid_spark.operators import preprocessing
+
+    monkeypatch.setenv("EUCLID_CORPUS_PIN_LEVEL", "DISK_ONLY")
+    plan = _plan(preprocessing.preprocessing_pipeline(spark, SF_SMOKE))
+    assert "REPARTITION_BY_COL" in plan
+    assert "Expand" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "_groupingexpression" in line:
+            raise AssertionError(
+                f"partials re-shuffled despite shared exchange: {line}"
+            )
+    with cache._LOCK:
+        levels = [d.storageLevel for d in cache._TRACKED]
+    assert any(
+        lv.useDisk and not lv.useMemory for lv in levels
+    ), f"no disk-only pin registered: {levels}"
+
+
 def test_range_join_bucketed_matches_direct_inequality(spark):
     """r15: the cell width is now narrower than the interval window —
     the rewrite must still equal the direct inequality join (the
