@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from euclid_spark.cache import persist_tracked
 from euclid_spark.catalog import cached_parquet
 
 from euclid_spark.operators import components, quality_model, textops
@@ -619,8 +620,21 @@ def _assignments_from_rows(
     """The two-level global prefix sum over pre-derived shard rows
     (doc_id, key, n_tokens, bucket) → + shard_id. Split out of
     _shard_assignments (r15) so the D34 streaming sink can run the
-    identical cut over its bucket-partitioned maintained store."""
-    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    identical cut over its bucket-partitioned maintained store.
+
+    r16 (guide §2.4/§8): `t` and `btot` are PINNED — t is referenced
+    by the bucket-total build and the final join, and btot twice via
+    the triangular join's aliases; unpinned, the batch face re-ran the
+    md5 + regexp tokenization of every document once per reference
+    (3 corpus passes). The pin is the narrow shard-row proxy (~60 B
+    per doc); the streaming sink's manifest() path pins its already-
+    materialized store rows, which costs one narrow cache instead of
+    three parquet re-reads. Terminal callers release via
+    cache.release_all() (bench loop / test fixtures / sink readers)."""
+    t = persist_tracked(t)
+    btot = persist_tracked(
+        t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    )
     if 16**hexn <= _SHARD_SUPER:
         b1, b2 = btot.alias("b1"), btot.alias("b2")
         offsets = (

@@ -596,11 +596,26 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_stream(toks: DataFrame) -> DataFrame:
     """The packing core of C26, reusable over ANY (doc_id, n_tokens>0)
     frame (e.g. a curated survivor set — C32): global start offsets via
-    the two-level prefix sum, then fixed-CTX_LEN bin coordinates."""
-    toks = toks.withColumn(
-        "bucket", F.shiftright(F.col("doc_id"), PACK_BUCKET_BITS)
+    the two-level prefix sum, then fixed-CTX_LEN bin coordinates.
+
+    r16 (guide §2.4/§8): the input is PINNED — it is referenced by the
+    bucket-total build (twice, via the triangular join's b1/b2 aliases)
+    and by the final join side, and an unpersisted lineage re-runs the
+    upstream derivation (for the C26 faces: the regexp tokenization of
+    every document) once per reference — 3 corpus passes per call. The
+    pin is the lightweight proxy (doc_id, n_tokens, bucket — ~24 B/doc
+    whatever the document size); `btot` (one row per 4096 docs) is
+    pinned too so its own double reference costs bounded rows, not two
+    more passes over the proxy. Caller releases via cache.release_all()
+    per the repo's cache-ownership convention."""
+    toks = persist_tracked(
+        toks.withColumn(
+            "bucket", F.shiftright(F.col("doc_id"), PACK_BUCKET_BITS)
+        )
     )
-    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    btot = persist_tracked(
+        toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    )
     b1, b2 = btot.alias("b1"), btot.alias("b2")
     offsets = (
         b1.join(b2, F.col("b2.bucket") < F.col("b1.bucket"), "left")
