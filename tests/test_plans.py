@@ -469,6 +469,60 @@ def test_preprocessing_shares_one_day_owner_exchange(spark):
             )
 
 
+def _logical_node_counts(df) -> "dict[str, int]":
+    """Class-name counts over the OPTIMIZED logical plan tree (walked
+    via children(), so a cached InMemoryRelation is a LEAF — its inner
+    plan re-print never inflates the counts, the ADVICE r15 brittleness
+    of substring counting). A parquet read in the main tree is a
+    LogicalRelation node; a cache read is an InMemoryRelation node."""
+    counts: dict[str, int] = {}
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        counts[name] = counts.get(name, 0) + 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return counts
+
+
+def test_block_db_chain_plan_one_scan(spark):
+    """r16: the per-day aggregate is pinned — the main chain join and
+    the epoch-offset triangular join (two references) must ALL read the
+    cache: no LogicalRelation (direct corpus scan) may remain in the
+    main tree, and the pinned frame must appear more than once."""
+    counts = _logical_node_counts(euclid.block_db_chain(spark, SF_SMOKE))
+    assert counts.get("LogicalRelation", 0) == 0, counts
+    assert counts.get("InMemoryRelation", 0) >= 2, counts
+    assert "Exchange SinglePartition" not in _plan(
+        euclid.block_db_chain(spark, SF_SMOKE)
+    )
+
+
+def test_pack_sequences_plan_one_scan(spark):
+    """r16: pack_stream pins its tokenized proxy and the bucket totals —
+    the triangular-offset build and the final join read the caches
+    instead of re-running the per-document tokenization (3 corpus
+    passes -> 1)."""
+    counts = _logical_node_counts(textops.text_pack_sequences(spark, SF_SMOKE))
+    assert counts.get("LogicalRelation", 0) == 0, counts
+    assert counts.get("InMemoryRelation", 0) >= 3, counts
+
+
+def test_epoch_shards_plan_one_scan(spark):
+    """r16: _assignments_from_rows pins the shard-row proxy and bucket
+    totals — one documents scan feeds the whole two-level prefix sum."""
+    from euclid_spark.operators import curation
+
+    counts = _logical_node_counts(
+        curation.curation_epoch_shards(spark, SF_SMOKE)
+    )
+    assert counts.get("LogicalRelation", 0) == 0, counts
+    assert counts.get("InMemoryRelation", 0) >= 3, counts
+
+
 def test_preprocessing_shared_exchange_survives_disk_only_pin(spark, monkeypatch):
     """r16 (VERDICT r15 #4): at 100 TB the full-extraction pin runs
     DISK_ONLY so it never competes with execution memory (guide §5).
