@@ -122,7 +122,14 @@ def local_frame(spark: SparkSession, rows, ddl: str) -> DataFrame:
             return spark.createDataFrame([], ddl)
         pdf = pd.DataFrame.from_records(list(rows), columns=cols)
         return spark.createDataFrame(pdf, ddl)
-    except Exception:  # noqa: BLE001 — fall back to the classic path
+    except Exception as ex:  # noqa: BLE001 — fall back to the classic path
+        # debug-level note (VERDICT r15 #5): a silent fallback here would
+        # mask an Arrow-path regression as a 10× local-frame slowdown
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "local_frame: Arrow path fell back to the row path (%s)", ex
+        )
         return spark.createDataFrame(list(rows), ddl)
 
 
